@@ -1,0 +1,74 @@
+"""Reusable column-expression helpers.
+
+Everything here is a JVM-side Column expression (whole-stage-codegen
+friendly) — the engine's discipline is built-in expressions first,
+Arrow-vectorized pandas_udf second, row-at-a-time Python UDFs never
+(SURVEY.md §4 "Python boundary cost").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def ts_ntz(literal: str) -> Column:
+    """A TIMESTAMP_NTZ literal (oracle tables are UTC-naive)."""
+    return F.lit(literal).cast("timestamp_ntz")
+
+
+#: All fixture money/measure columns are exact 4-decimal values (verified in
+#: FIXTURES.md / this repo's survey). Cross-engine float policy:
+#:   - sums/products of money go through DECIMAL (exact in every engine),
+#:     then one cast to double at the end -> bit-identical outputs;
+#:   - NEVER `round()` a compared double below its true decimal precision:
+#:     engines disagree at .xx5 boundaries (Spark rounds the exact binary
+#:     value, DuckDB rounds after a double multiply);
+#:   - raw column values are emitted unrounded (identical bits by scan).
+DEC = "decimal(10,4)"
+
+
+def dec4(c: Column | str) -> Column:
+    """Cast a 4-decimal money/measure column to exact DECIMAL(10,4)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast(DEC)
+
+
+def dsum(c: Column | str) -> Column:
+    """Exact money sum: sum in DECIMAL, one cast to double at the end."""
+    return F.sum(dec4(c)).cast("double")
+
+
+def davg(c: Column | str) -> Column:
+    """Exact-numerator average: decimal sum cast double / count.
+    (Both engines then perform the identical IEEE division.)"""
+    return F.sum(dec4(c)).cast("double") / F.count(F.lit(1))
+
+
+def fmt_ts(col: Column | str) -> Column:
+    """Render a timestamp as 'yyyy-MM-dd HH:mm:ss' text.
+
+    Compared query outputs carry timestamps as strings so the value hash
+    is representation-independent (DuckDB: strftime(ts, '%Y-%m-%d %H:%M:%S')).
+    """
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two float arrays, fully JVM-side.
+
+    For L2-normalized vectors (the embeddings fixture) this IS cosine
+    similarity. Scale note: this per-pair expression is fine for
+    narrow candidate sets; for all-pairs kNN use the blocked
+    numpy matmul path in operators/similarity.py instead.
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+
+
+def words(text: Column | str) -> Column:
+    """Tokenize on single spaces (documents fixture is space-joined)."""
+    return F.split(text, " ")

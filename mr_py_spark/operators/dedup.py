@@ -1,0 +1,260 @@
+"""Deduplication operators (SURVEY.md §2C: C1-C2).
+
+Exact dedup, prefix dedup, n-gram Jaccard, MinHash+LSH near-dup, and
+SimHash — the training-data-pipeline surface. The fixtures plant ~4%
+near-duplicates as shared 80-char prefixes (FIXTURES.md documents),
+which the pytest suite uses as ground truth for the approximate paths.
+
+Scale design: every approximate path is blocked/bucketed — candidate
+generation is always an equi-join on a bucket key (LSH band or prefix),
+never an all-pairs cross join, so the plan survives 10^9 documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from mr_py_spark.functions import words
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "dedup_exact",
+    tags=("C1",),
+    oracle="""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        FROM documents
+        GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (C1): keep the minimum doc_id per identical text.
+
+    Scale note: at 100 TB you group by sha2(text, 256) instead of the
+    full text so the shuffle carries 32-byte keys, not documents —
+    tests/test_dedup.py proves the hash-keyed variant selects the same
+    survivor set.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+def dedup_exact_hashed(docs: DataFrame) -> DataFrame:
+    """The shuffle-lean form of dedup_exact: group on sha2(text) so only
+    digests shuffle. Same survivor set (proven in tests)."""
+    return (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+@register(
+    "dedup_prefix",
+    tags=("C2",),
+    oracle="""
+        SELECT min(doc_id) AS doc_id, count(*) AS n_near_copies
+        FROM documents
+        GROUP BY substring(text, 1, 80)
+    """,
+)
+def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-key near-dedup (C2, exact-oracle variant): collapses the
+    fixture's planted shared-80-char-prefix near-duplicates. The
+    production analogue is URL/domain-key dedup before fuzzy passes."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.substring("text", 1, 80))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_near_copies"))
+        .select("doc_id", "n_near_copies")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    tags=("C2",),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(string_split(lower(text), ' ')) AS ws,
+                   substring(text, 1, 40)                        AS blk
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard over blocked candidate pairs (C2).
+
+    Blocking key = 40-char prefix (candidate generation is an equi-join,
+    never all-pairs); Jaccard = |A∩B| / |A∪B| on distinct token sets.
+    The MinHash path below estimates this same quantity at scale.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(words(F.lower("text"))).alias("ws"),
+        F.substring("text", 1, 40).alias("blk"),
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.array_union(F.col("a.ws"), F.col("b.ws")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+# MinHash configuration: 16 permutations, 4 bands x 4 rows.
+_N_HASHES = 16
+_BAND_ROWS = 4
+
+
+def _shingles(col):
+    """3-word shingles as an array column (JVM-side, no UDF)."""
+    w = words(F.lower(col))
+    n = F.size(w)
+    idx = F.sequence(F.lit(0), n - F.lit(3))
+    make = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(w, i + 1),
+            F.element_at(w, i + 2),
+            F.element_at(w, i + 3),
+        ),
+    )
+    # Documents shorter than 3 words fall back to the whole text as one shingle.
+    return F.when(n >= 3, make).otherwise(F.array(F.lower(col)))
+
+
+@register("dedup_minhash", tags=("C2",), oracle=None)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (C2). Rows-only: hash
+    permutations are engine-specific, so correctness is proven by
+    property tests (planted near-dups recalled, Jaccard estimate close
+    to exact) rather than a SQL oracle.
+
+    Pipeline (all DataFrame ops, shuffle-bounded):
+      1. doc -> distinct 3-word shingles (explode)
+      2. minhash signature: per doc, min(xxhash64(shingle, seed_i))
+         for 16 seeds — one groupBy, 16 min() aggregates
+      3. LSH: 4 bands of 4 rows; band key = hash of the band's slice
+      4. candidates = equi-self-join on (band_id, band_key), doc_a < doc_b
+      5. verify candidates with the exact signature agreement fraction
+         (estimate of Jaccard); emit pairs with est >= 0.5
+
+    At 10^9 docs each stage is a hash shuffle on bounded keys; no
+    cross join exists anywhere in the plan.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).distinct()
+
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+
+    n_bands = _N_HASHES // _BAND_ROWS
+    band_entries = sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(_N_HASHES)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", *[f"mh{i}" for i in range(_N_HASHES)], "band.band_id", "band.band_key")
+
+    a = band_entries.alias("a")
+    b = band_entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            *[F.col(f"a.mh{i}").alias(f"amh{i}") for i in range(_N_HASHES)],
+            *[F.col(f"b.mh{i}").alias(f"bmh{i}") for i in range(_N_HASHES)],
+        )
+        .distinct()
+    )
+
+    agree = sum(
+        F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0)
+        for i in range(_N_HASHES)
+    )
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(_N_HASHES)), 4).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= 0.5)
+        .distinct()
+    )
+
+
+@register("dedup_simhash", tags=("C2",), oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (C2). Rows-only; pytest asserts the
+    planted prefix near-dups land within small Hamming distance and that
+    the fingerprint is deterministic (md5-based, engine-independent).
+
+    pandas_udf (Arrow-batched) because the 64-lane bit accumulation is
+    a poor fit for per-bit SQL expressions; the UDF is pure so the
+    operator still parallelizes per batch.
+    """
+
+    @pandas_udf("long")
+    def simhash(text: pd.Series) -> pd.Series:
+        def one(t: str) -> int:
+            acc = [0] * 64
+            for w in t.lower().split(" "):
+                if not w:
+                    continue
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for bit in range(64):
+                    acc[bit] += 1 if (h >> bit) & 1 else -1
+            v = 0
+            for bit in range(64):
+                if acc[bit] > 0:
+                    v |= 1 << bit
+            # wrap to signed 64-bit for Spark LongType
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        return text.map(one)
+
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash("text").alias("simhash64"))

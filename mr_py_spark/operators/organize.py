@@ -1,0 +1,132 @@
+"""Data-organization patterns (SURVEY.md §2B: B14-B18; [MRDP ch.4]).
+
+MR expresses these with custom partitioners and secondary sort; Spark
+expresses them as writes with `partitionBy`, `orderBy` (built-in
+range-partitioned total sort), and nest/unnest via collect/explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dsum
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "partition_counts",
+    tags=("B14",),
+    oracle="""
+        SELECT source, lang, count(*) AS n_docs
+        FROM documents
+        GROUP BY source, lang
+    """,
+)
+def partition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-output routing keys ([MRDP ch.4] partitioning).
+
+    The MR pattern routes records to named output buckets via a custom
+    partitioner; the Spark-native form is
+    ``df.write.partitionBy('source', 'lang')`` (exercised with a real
+    write in tests/test_sinks.py). This query verifies the routing key
+    distribution the writer would produce.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "binning",
+    tags=("B15", "B33"),
+    oracle="""
+        SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                    WHEN o_totalprice < 300000 THEN 'medium'
+                    ELSE 'large' END          AS bucket,
+               count(*)                       AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(10,4))) AS DOUBLE) AS bucket_value
+        FROM orders
+        GROUP BY 1
+    """,
+)
+def binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binning ([MRDP ch.4]): categorize rows, one record may inform
+    exactly one bin — a `when/otherwise` chain, codegen'd."""
+    o = tbl(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_value"),
+        )
+    )
+
+
+@register(
+    "total_sort",
+    tags=("B16",),
+    oracle="""
+        SELECT o_orderkey, o_totalprice AS total_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def total_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order sort ([MRDP ch.4]; [MR04 §4.2]). MR needs a sampled
+    custom partitioner for this; Spark's `orderBy` IS that plan —
+    sample, range-partition, sort within partitions."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "F")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", F.col("o_totalprice").alias("total_price"))
+    )
+
+
+@register("shuffle_random", tags=("B17",), oracle=None)
+def shuffle_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random permutation ([MRDP ch.4] shuffling): sort by seeded rand.
+    Rows-only (permutation order is engine-specific); pytest asserts it
+    is a permutation (same multiset) and seed-stable."""
+    o = tbl(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.rand(seed=42))
+        .select("o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "hierarchical_nest",
+    tags=("B18",),
+    oracle="""
+        SELECT l_orderkey,
+               count(*) AS n_items,
+               string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS item_lines,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS order_value
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+)
+def hierarchical_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-to-hierarchical ([MRDP ch.4]): nest children under the
+    parent key. Here the nesting is the semantics, so collect_list is
+    justified; the list is rendered as ordered text for hash stability.
+    The inverse (hierarchical-to-flat) is `explode`, exercised in
+    wordcount/inverted_index."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"), ","
+        ).alias("item_lines"),
+        dsum("l_extendedprice").alias("order_value"),
+    )

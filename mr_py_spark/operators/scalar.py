@@ -1,0 +1,184 @@
+"""Scalar function surface (SURVEY.md §2B: B29-B33).
+
+The reference does all of this as ad-hoc Python inside mappers; the
+Spark-native form is built-in `pyspark.sql.functions` expressions that
+stay inside whole-stage codegen — no Python boundary at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dec4, dsum
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "string_fns",
+    tags=("B29",),
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name)                          AS name_upper,
+               split_part(p_name, ' ', 1)             AS first_word,
+               length(p_name)                         AS name_len,
+               concat_ws('/', p_brand, p_type)        AS brand_type,
+               substring(p_name, 1, 4)                AS name_prefix,
+               regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        FROM part
+    """,
+)
+def string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions (B29): upper/split_part/length/concat_ws/
+    substring/regexp_extract, all codegen'd."""
+    p = tbl(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+    )
+
+
+@register(
+    "date_fns",
+    tags=("B30",),
+    oracle="""
+        SELECT year(o_orderdate)   AS y,
+               month(o_orderdate)  AS m,
+               count(*)            AS n_orders,
+               min(day(o_orderdate))                                        AS first_day,
+               max(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)) AS max_day_offset
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions (B30): extract + diff, grouped by month."""
+    o = tbl(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.min(F.dayofmonth("o_orderdate")).alias("first_day"),
+        F.max(
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+            )
+        ).alias("max_day_offset"),
+    )
+
+
+@register(
+    "math_fns",
+    tags=("B31",),
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CAST(abs(CAST(l_extendedprice AS DECIMAL(10,4)) - 1000.0) AS DOUBLE) AS abs_delta,
+               round(ln(l_extendedprice), 6)           AS log_price,
+               round(sqrt(l_quantity), 6)              AS sqrt_qty,
+               round(pow(l_discount, 2), 6)            AS disc_sq,
+               ceil(l_quantity)                        AS qty_ceil,
+               floor(l_quantity)                       AS qty_floor,
+               l_linenumber % 3                        AS line_mod
+        FROM lineitem
+        WHERE l_orderkey <= 1000
+    """,
+)
+def math_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math functions (B31)."""
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(dec4("l_extendedprice") - F.lit("1000.0").cast("decimal(10,4)")).cast("double").alias("abs_delta"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("log_price"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+    )
+
+
+@register(
+    "json_fns",
+    tags=("B32",),
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               count(*)             AS n,
+               CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1
+    """,
+)
+def json_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON access (B32): `get_json_object` path
+    extraction on the events.props column, grouped."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("long").alias("k_val")
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register(
+    "array_fns",
+    tags=("B32",),
+    oracle="""
+        SELECT vec_id,
+               len(embedding)                                        AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 6)                AS e1,
+               round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])), 6) AS sq_norm
+        FROM embeddings
+    """,
+)
+def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array manipulation (B32): size / element access / higher-order
+    fold (the dot product is zip_with + aggregate, JVM-side). Both
+    engines cast float32 -> double *before* multiplying so the
+    accumulation is bit-identical."""
+    from mr_py_spark.functions import dot
+
+    e = tbl(spark, sf_dir, "embeddings")
+    emb_d = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at(emb_d, 1), 6).alias("e1"),
+        F.round(dot(emb_d, emb_d), 6).alias("sq_norm"),
+    )
+
+
+@register(
+    "conditional_fns",
+    tags=("B33",),
+    oracle="""
+        SELECT CASE WHEN value < 50 THEN 'low'
+                    WHEN value < 150 THEN 'mid'
+                    ELSE 'high' END                            AS value_band,
+               coalesce(nullif(event_type, 'view'), '(hidden)') AS et,
+               count(*)                                        AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (B33): when/otherwise + nullif/coalesce."""
+    ev = tbl(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 150, "mid")
+        .otherwise("high")
+    )
+    et = F.coalesce(F.nullif(F.col("event_type"), F.lit("view")), F.lit("(hidden)"))
+    return ev.groupBy(band.alias("value_band"), et.alias("et")).agg(
+        F.count("*").alias("n")
+    )

@@ -1,0 +1,169 @@
+"""Similarity search over embeddings (SURVEY.md §2C: C3).
+
+The embeddings fixture is 64-dim float32, L2-normalized, so dot
+product == cosine similarity (FIXTURES.md). Three tiers:
+
+- brute-force top-k (oracle-checked) — correctness baseline;
+- threshold pair mining (oracle-checked);
+- IVF-bucketed approximate top-k (rows-only + recall property test) —
+  the 100 TB path: candidate generation is an equi-join on a coarse
+  centroid id, so cost is O(n * k / nlist), not O(n^2).
+
+Float determinism: both engines cast float32 -> double BEFORE any
+multiply, so products are exact and the left-to-right double
+accumulation is bit-identical; round(_, 6) is then stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dot
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+def _emb_double(df: DataFrame, out: str) -> DataFrame:
+    return df.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias(out)
+    )
+
+
+@register(
+    "knn_cosine_topk",
+    tags=("C3",),
+    oracle="""
+        WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 50),
+             c AS (SELECT vec_id AS nn_id, CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings)
+        SELECT q_id, nn_id, round(sim, 6) AS sim, rn
+        FROM (
+            SELECT q.q_id, c.nn_id,
+                   list_dot_product(q.qv, c.cv) AS sim,
+                   row_number() OVER (PARTITION BY q.q_id
+                                      ORDER BY list_dot_product(q.qv, c.cv) DESC, c.nn_id) AS rn
+            FROM q, c
+            WHERE q.q_id <> c.nn_id
+        )
+        WHERE rn <= 5
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 50 query vectors (C3 baseline).
+
+    The query side is tiny and broadcast, so the 'cross join' is a
+    broadcast nested loop over the candidate scan — each candidate
+    partition streams once, no shuffle of the big side. Top-k is a
+    window over q_id. For all-pairs at scale use knn_ivf_topk.
+    """
+    e = tbl(spark, sf_dir, "embeddings")
+    q = _emb_double(e.filter(F.col("vec_id") < 50), "qv").withColumnRenamed("vec_id", "q_id")
+    c = _emb_double(e, "cv").withColumnRenamed("vec_id", "nn_id")
+    pairs = q.join(c, q.q_id != c.nn_id).select(
+        "q_id", "nn_id", dot("qv", "cv").alias("sim")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "nn_id", F.round("sim", 6).alias("sim"), "rn")
+    )
+
+
+@register(
+    "cosine_near_dup_pairs",
+    tags=("C2", "C3"),
+    oracle="""
+        WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v), 6) AS sim,
+               CAST(a.label = b.label AS INTEGER)   AS same_label
+        FROM t a, t b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.v, b.v) >= 0.9
+    """,
+)
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate mining (C2/C3): all pairs with
+    sim >= 0.9. Exact all-pairs is the oracle baseline; at scale the
+    same threshold query runs over IVF buckets (see knn_ivf_topk) or
+    random-projection LSH buckets."""
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = dot(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim_raw"),
+            (F.col("a.label") == F.col("b.label")).cast("int").alias("same_label"),
+        )
+        .filter(F.col("sim_raw") >= 0.9)
+        .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"), "same_label")
+    )
+
+
+_N_CENTROIDS_MOD = 31  # vec_id % 31 == 0 -> deterministic pseudo-centroids
+_N_PROBE = 4
+
+
+@register("knn_ivf_topk", tags=("C3",), oracle=None)
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5 (C3 scale path). Rows-only; pytest
+    measures recall against knn_cosine_topk.
+
+    Index build (one pass, all joins keyed):
+      centroids  = deterministic subset of vectors (vec_id % 31 == 0);
+                   a production build would k-means these, the plan
+                   shape is identical
+      assignment = each vector -> nearest centroid id (broadcast
+                   centroids x vectors, window top-1)
+    Search: each query probes its 4 nearest centroids' buckets only —
+    candidate generation is an equi-join on centroid_id, so the join
+    fan-out is n_queries * avg_bucket * nprobe, independent of corpus
+    size. This is the structure that replaces the brute-force cross
+    join at 10^9 vectors.
+    """
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    cent = (
+        e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+
+    # assignment: vector -> nearest centroid
+    sim_c = dot("v", "cv")
+    w1 = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (
+        e.join(F.broadcast(cent), how="cross")
+        .select("vec_id", "v", "cid", sim_c.alias("csim"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("cid").alias("bucket"))
+    )
+
+    # queries probe their top-N_PROBE centroids
+    queries = e.filter(F.col("vec_id") < 50).withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
+    wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        queries.join(F.broadcast(cent), how="cross")
+        .select("q_id", "qv", "cid", dot("qv", "cv").alias("csim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _N_PROBE)
+        .select("q_id", "qv", F.col("cid").alias("bucket"))
+    )
+
+    # candidate generation: equi-join on bucket
+    cand = probes.join(assigned, "bucket").filter(F.col("q_id") != F.col("vec_id"))
+    wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
+    return (
+        cand.select("q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+    )

@@ -1,0 +1,243 @@
+"""Summarization patterns (SURVEY.md §2B: B1-B7, B37; [MRDP ch.2]).
+
+The reference expresses each of these as a hand-written mapper emitting
+(group-key, partial-value) plus a reducer folding the group ([MR04 §2]);
+the combiner optimization ([MR04 §4.3]) is user-supplied there. Here
+each is one declarative ``groupBy().agg()`` — Catalyst always plans the
+combiner (HashAggregate partial → shuffle → final), so map-side
+pre-aggregation is free, and AQE right-sizes the shuffle.
+
+Money aggregates follow the exact-DECIMAL policy (see
+mr_py_spark/functions): sums are computed in DECIMAL and cast to double
+once, so Spark and the DuckDB oracle produce bit-identical values with
+no rounding anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import davg, dec4, dsum, ts_ntz, words
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "q1_pricing_summary",
+    tags=("B1", "B2", "B3"),
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(10,4))) AS DOUBLE)      AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l_discount AS DECIMAL(10,4)))
+                        * (1 + CAST(l_tax AS DECIMAL(10,4)))) AS DOUBLE)      AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(10,4))) AS DOUBLE) / count(*)      AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) / count(*)      AS avg_disc,
+               count(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped scan + filter + grouped aggregation.
+
+    Scale: filter pushes to the parquet scan; the groupBy key space is
+    6 rows, so partial aggregation collapses nearly all data map-side
+    and the shuffle moves ~6 rows per input partition.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(10,4)")
+    dp = dec4("l_extendedprice") * (one - dec4("l_discount"))
+    charge = dp * (one + dec4("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= ts_ntz("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(dp).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "global_stats",
+    tags=("B7",),
+    oracle="""
+        SELECT count(*)                               AS n_rows,
+               count(DISTINCT l_orderkey)             AS n_orders,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS total_price,
+               min(l_extendedprice)                   AS min_price,
+               max(l_extendedprice)                   AS max_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(10,4))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem
+    """,
+)
+def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-dataset counters ([MRDP ch.2] counters / [MR04 §4.5]).
+
+    No grouping: Catalyst plans a single-row partial/final aggregate;
+    count(DISTINCT) is planned as expand + two-phase agg, still fully
+    distributed. min/max are raw column values (bit-identical by scan).
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        davg("l_quantity").alias("avg_qty"),
+    )
+
+
+@register(
+    "group_medians",
+    tags=("B4",),
+    oracle="""
+        SELECT l_returnflag,
+               round(median(l_quantity), 2)                  AS med_qty,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                              * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+                     - CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE)
+                       * CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / count(*))
+                    / (count(*) - 1))                        AS sd_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holistic aggregates (median / exact percentile / stddev) per group.
+
+    The reference would need the full value list per key in one reducer
+    ([MRDP ch.2] median pattern); Spark's `percentile` is a typed
+    aggregate that still runs partial/final without materializing the
+    group as a Python list. Stddev is reformulated over exact decimal
+    sums (sum, sum-of-squares) so both engines evaluate the identical
+    IEEE expression — engine-internal stddev accumulation orders differ.
+    """
+    li = tbl(spark, sf_dir, "lineitem")
+    p = dec4("l_extendedprice")
+    s1 = F.sum(p).cast("double")
+    s2 = F.sum(p * p).cast("double")
+    n = F.count(F.lit(1))
+    sd = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+        sd.alias("sd_price"),
+    )
+
+
+@register(
+    "wordcount",
+    tags=("B5", "A1", "A2", "A3"),
+    oracle="""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+        ORDER BY cnt DESC, word
+        LIMIT 20
+    """,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical MapReduce demo ([MR04 §2.1]) as explode + count.
+
+    map = explode(split(...)), shuffle = groupBy, reduce = count, with
+    the combiner planned automatically. Top-20 carries a (cnt desc,
+    word asc) total order so the limit is deterministic on both sides.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words(F.lower("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "inverted_index",
+    tags=("B6",),
+    oracle="""
+        SELECT term,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+               count(*) AS df
+        FROM (
+            SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term, doc_id
+            FROM documents
+        )
+        WHERE term <> ''
+        GROUP BY term
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term -> sorted posting list ([MRDP ch.2] inverted index).
+
+    One of the few operators where per-group materialization is the
+    semantics (the posting list IS the output), so collect_set is
+    justified; posting lists are rendered as comma-joined text for a
+    representation-stable value hash.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words(F.lower("text"))).alias("term"), "doc_id")
+        .filter(F.col("term") != "")
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("doc_id")).cast("array<string>"), ","
+            ).alias("doc_ids"),
+            F.count("*").alias("df"),
+        )
+    )
+
+
+@register(
+    "distinct_agg",
+    tags=("B37",),
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*)                AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (B37) on the events table."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+    )
+
+
+@register("approx_distinct", tags=("B37",), oracle=None)
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only: estimates differ across
+    engines by design; the pytest suite asserts the estimate is within
+    rsd of the exact count)."""
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

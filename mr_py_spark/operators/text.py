@@ -1,0 +1,240 @@
+"""Text-analysis operators (SURVEY.md §2C: C5).
+
+Language ID, quality scoring, token counting, fingerprinting, TF-IDF —
+each as JVM-side expressions (no Python in the hot path) with an exact
+DuckDB oracle. The fixture's documents are space-joined word streams
+with a `lang` ground-truth column (FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import words
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+_SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    "text_quality",
+    tags=("C5",),
+    oracle=f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+                                            AS chars_per_word,
+               round(CAST(len(list_filter(string_split(lower(text), ' '),
+                                          w -> w IN ({_SW_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
+               round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')), 4) AS ttr
+        FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (C5): word count, chars-per-word,
+    stopword ratio, type-token ratio — the standard cheap filters a
+    pretraining pipeline applies before model-based scoring. Pure
+    higher-order array expressions; one scan, no shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    wl = words(F.lower("text"))
+    sw = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_words = F.size(ws)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.length("text").cast("double") / n_words, 4).alias("chars_per_word"),
+        F.round(
+            F.size(F.filter(wl, lambda w: F.array_contains(sw, w))).cast("double") / n_words,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(wl)).cast("double") / n_words, 4).alias("ttr"),
+    )
+
+
+@register(
+    "lang_stats",
+    tags=("C5",),
+    oracle="""
+        SELECT lang,
+               count(*)                        AS n_docs,
+               round(avg(n_chars), 4)          AS avg_chars,
+               count(DISTINCT source)          AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language (C5)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
+    "token_count",
+    tags=("C5",),
+    oracle="""
+        SELECT source,
+               sum(len(string_split(text, ' ')))        AS ws_tokens,
+               sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS bpe_est_tokens,
+               sum(n_chars)                              AS total_chars
+        FROM documents
+        GROUP BY source
+    """,
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting per source (C5): whitespace tokens plus the
+    chars/4 BPE estimate — the budget arithmetic of a training-data
+    pipeline. (A real BPE count is a pandas_udf over a tokenizer lib,
+    which is not in this container; the plumbing is identical.)"""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(F.size(words(F.col("text")))).alias("ws_tokens"),
+        F.sum(F.ceil(F.length("text") / 4.0).cast("long")).alias("bpe_est_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# Tiny per-language stopword lexicons for the heuristic language ID.
+_LEX = {
+    "en": ("the", "and", "of", "to", "is"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "que", "los"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+
+def _hits_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _LEX[lang])
+    return f"len(list_filter(string_split(lower(text), ' '), w -> w IN ({lst})))"
+
+
+@register(
+    "lang_id_heuristic",
+    tags=("C5",),
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {_hits_sql('en')} AS hits_en,
+                   {_hits_sql('fr')} AS hits_fr,
+                   {_hits_sql('es')} AS hits_es,
+                   {_hits_sql('de')} AS hits_de
+            FROM documents
+        )
+        SELECT doc_id, lang AS lang_true,
+               CASE WHEN hits_en >= greatest(hits_fr, hits_es, hits_de) THEN 'en'
+                    WHEN hits_fr >= greatest(hits_es, hits_de) THEN 'fr'
+                    WHEN hits_es >= hits_de THEN 'es'
+                    ELSE 'de' END AS lang_pred
+        FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID (C5). The argmax tie-break order
+    (en > fr > es > de) is explicit and identical in the oracle, so the
+    prediction is deterministic. Accuracy against the `lang` ground
+    truth is asserted in pytest, not here."""
+    docs = tbl(spark, sf_dir, "documents")
+    wl = words(F.lower("text"))
+
+    def hits(lang: str):
+        lex = F.array(*[F.lit(w) for w in _LEX[lang]])
+        return F.size(F.filter(wl, lambda w: F.array_contains(lex, w)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        hits("en").alias("hits_en"),
+        hits("fr").alias("hits_fr"),
+        hits("es").alias("hits_es"),
+        hits("de").alias("hits_de"),
+    )
+    pred = (
+        F.when(
+            F.col("hits_en") >= F.greatest("hits_fr", "hits_es", "hits_de"), "en"
+        )
+        .when(F.col("hits_fr") >= F.greatest("hits_es", "hits_de"), "fr")
+        .when(F.col("hits_es") >= F.col("hits_de"), "es")
+        .otherwise("de")
+    )
+    return scored.select("doc_id", "lang_true", pred.alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    tags=("C5",),
+    oracle="""
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' '))
+                   AS bag_fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (C5): md5 of the sorted
+    distinct token bag — catches shuffled/reordered copies that exact
+    dedup misses. Engine-independent by construction (md5 is a spec,
+    unlike xxhash seeds)."""
+    docs = tbl(spark, sf_dir, "documents")
+    bag = F.array_join(F.sort_array(F.array_distinct(words(F.lower("text")))), " ")
+    return docs.select("doc_id", F.md5(bag).alias("bag_fingerprint"))
+
+
+@register(
+    "tfidf_top_terms",
+    tags=("C5",),
+    oracle="""
+        WITH tokens AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tokens WHERE term <> '' GROUP BY doc_id, term
+        ), df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tokens WHERE term <> '' GROUP BY term
+        ), n AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term, round(tfidf, 6) AS tfidf, rn FROM (
+            SELECT tf.doc_id, tf.term,
+                   tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf,
+                   row_number() OVER (PARTITION BY tf.doc_id
+                                      ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                                               tf.term) AS rn
+            FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document (C5).
+
+    tf = term count in doc; idf = ln(N/df). The df table is small
+    (vocabulary-sized) and broadcast; ranking ties break on the term
+    string so the top-3 boundary is deterministic. At scale: tokens is
+    the only large intermediate, and both groupBys share the
+    (doc_id-free vs doc_id-keyed) shuffle that any MR formulation would
+    also pay."""
+    docs = tbl(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(words(F.lower("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar; embedded as a literal in the plan
+    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(df), "term")
+        .select("doc_id", "term", tfidf.alias("tfidf_raw"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rn")
+    )

@@ -1,0 +1,168 @@
+"""User-function surface (SURVEY.md §2: B38-B40, A1-A9 demo).
+
+Arbitrary user Python is the whole point of the reference engine; the
+Spark-native discipline is: Arrow-vectorized pandas_udf for scalar
+fns, GROUPED_AGG pandas_udf for custom aggregates, applyInPandas for
+whole-group transforms, mapInPandas for per-partition batch logic.
+Every query here is deliberately *also* SQL-expressible so the DuckDB
+oracle proves the Python path computes exactly what it claims.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from mr_py_spark import mr_compat
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "pandas_udf_scalar",
+    tags=("B38",),
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' '))                                  AS n_words,
+               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_word
+        FROM documents
+    """,
+)
+def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas_udf (B38): word count + chars-per-word
+    computed in pandas over Arrow batches; the oracle recomputes both
+    in SQL, proving the Python path exact."""
+
+    @pandas_udf("int")
+    def n_words(text: pd.Series) -> pd.Series:
+        return text.str.split(" ").str.len().astype("int32")
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = docs.select("doc_id", n_words("text").alias("n_words"), F.length("text").alias("n_chars"))
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 4).alias("chars_per_word"),
+    )
+
+
+@register(
+    "grouped_agg_udf",
+    tags=("B39",),
+    oracle="""
+        SELECT event_type,
+               round(sqrt(avg(value * value)), 4) AS rms_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as GROUPED_AGG pandas_udf (B39): RMS per group.
+    The UDAF gets the group's values as one pandas Series (partial
+    aggregation does not apply to opaque UDAFs — use native aggs when
+    the function is algebraic)."""
+
+    @pandas_udf("double")
+    def rms(v: pd.Series) -> float:
+        return float((v.pow(2).mean()) ** 0.5)
+
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.round(rms("value"), 4).alias("rms_value"))
+
+
+@register(
+    "apply_in_pandas",
+    tags=("B39", "A3"),
+    oracle="""
+        SELECT user_id,
+               count(*)                            AS n,
+               round(max(value) - min(value), 4)   AS value_range
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-group transform via applyInPandas (B39/UDTF-shape): the
+    reducer sees the entire group as a pandas frame — the MR reduce
+    phase, Arrow-batched."""
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "value_range": [round(pdf["value"].max() - pdf["value"].min(), 4)],
+            }
+        )
+
+    ev = tbl(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(
+        per_user, "user_id long, n long, value_range double"
+    )
+
+
+@register(
+    "map_in_pandas",
+    tags=("B40",),
+    oracle="""
+        SELECT event_id, round(value * 2, 4) AS doubled
+        FROM events
+        WHERE event_type = 'purchase'
+    """,
+)
+def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition batch iterator (B40): setup-once-per-partition
+    semantics (the MR 'load a model in the mapper' pattern)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-partition setup would go here (runs once per partition)
+        for pdf in batches:
+            hit = pdf[pdf["event_type"] == "purchase"]
+            yield pd.DataFrame(
+                {"event_id": hit["event_id"], "doubled": (hit["value"] * 2).round(4)}
+            )
+
+    ev = tbl(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return ev.mapInPandas(run, "event_id long, doubled double")
+
+
+@register(
+    "mr_wordcount",
+    tags=("A1", "A2", "A3", "A9", "B38", "B39"),
+    oracle="""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+)
+def mr_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical job, run through the mr_compat veneer:
+    a literal ``mapper(record) -> (word, 1)`` and
+    ``reducer(word, counts) -> (word, sum)`` pair (SURVEY.md §3 EP1),
+    executed as mapInPandas -> groupBy -> applyInPandas. The oracle is
+    plain SQL wordcount — the veneer must agree exactly with the
+    declarative engine."""
+
+    def mapper(rec):
+        for w in rec["text"].lower().split(" "):
+            if w:
+                yield (w, 1)
+
+    def reducer(word, counts):
+        yield (word, sum(counts))
+
+    docs = tbl(spark, sf_dir, "documents").select("text")
+    return mr_compat.mapreduce(
+        docs,
+        mapper,
+        reducer,
+        map_schema="word string, one long",
+        out_schema="word string, cnt long",
+        key_cols=("word",),
+    )

@@ -1,0 +1,201 @@
+"""Window functions & grouping extensions (SURVEY.md §2B: B34-B36).
+
+The reference gets these only via the secondary-sort metapattern
+([MRDP ch.4]): composite keys, a custom partitioner, and a stateful
+reducer walking the sorted group. Spark's Window frames are the
+declarative form; the physical plan is one shuffle on the partition
+key + in-partition sort — exactly what the MR secondary sort buys,
+with spill support.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import davg, dec4, dsum
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "topk_window",
+    tags=("B34", "B11"),
+    oracle="""
+        SELECT user_id, event_id, value, rn
+        FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+            FROM events
+        )
+        WHERE rn <= 3
+    """,
+)
+def topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number. The (value desc, event_id) order
+    is total, so ranks are deterministic. At scale this is the
+    standard 'group top-k without materializing groups' plan; AQE
+    splits skewed user_ids."""
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "value", "rn")
+    )
+
+
+@register(
+    "ranking_window",
+    tags=("B34",),
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+               dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+               ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer
+    """,
+)
+def ranking_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile per group (B34)."""
+    c = tbl(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "running_sum",
+    tags=("B35",),
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(10,4))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+        FROM orders
+    """,
+)
+def running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (B35 analytic; MR would need a
+    stateful reducer over a secondary-sorted group)."""
+    o = tbl(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec4("o_totalprice")).over(w).cast("double").alias("cum_value"),
+    )
+
+
+@register(
+    "lag_lead",
+    tags=("B35",),
+    oracle="""
+        SELECT user_id, event_id,
+               lag(value)  OVER w                              AS prev_value,
+               lead(value) OVER w                              AS next_value,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER w         AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead + inter-event gap per user (B35). The gap is exact
+    microseconds (engines disagree on 'seconds between': boundary
+    crossings vs truncated difference)."""
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # session TZ is UTC (harden)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "rollup_agg",
+    tags=("B36",),
+    oracle="""
+        SELECT r.r_name, n.n_name,
+               count(*)                     AS n_supp,
+               CAST(sum(CAST(s.s_acctbal AS DECIMAL(10,4))) AS DOUBLE) AS total_bal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP multi-level aggregate (B36). MR form: mapper emits one
+    record per grouping level; Spark plans a single Expand + aggregate."""
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_supp"),
+            dsum("s_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "cube_agg",
+    tags=("B36",),
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               count(*)                  AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(10,4))) AS DOUBLE) / count(*) AS avg_bal
+        FROM customer
+        GROUP BY CUBE (c_mktsegment, c_nationkey)
+    """,
+)
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions (B36)."""
+    c = tbl(spark, sf_dir, "customer")
+    return c.cube("c_mktsegment", "c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        davg("c_acctbal").alias("avg_bal"),
+    )
+
+
+@register(
+    "pivot_wide",
+    tags=("B36", "B33"),
+    oracle="""
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(10,4)) END) AS DOUBLE) AS qty_open,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(10,4)) END) AS DOUBLE) AS qty_filled
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide form. Expressed via Spark's native `.pivot` with an
+    explicit value list (avoids the extra distinct-values job)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec4("l_quantity")).cast("double"))
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("O").alias("qty_open"),
+        F.col("F").alias("qty_filled"),
+    )

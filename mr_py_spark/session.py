@@ -1,0 +1,120 @@
+"""SparkSession factory and session-conf hardening.
+
+Two entry points:
+
+- :func:`get_spark` builds our own local session (tests, bench).
+- :func:`harden` applies the *runtime-settable* confs this engine
+  depends on to an externally-provided session (the driver harness
+  passes its own ``SparkSession`` into ``queries()`` callables, so we
+  cannot rely on builder-time config).
+
+Scale notes (SURVEY.md §4): AQE is the load-bearing knob for a real
+cluster — runtime partition coalescing, skew-join splitting, and
+dynamic broadcast selection all come from it. Everything set here is
+also valid on a 1000-executor cluster; only ``master`` and memory
+sizing are local-mode specific.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable and required for correctness.
+_RUNTIME_CONFS = {
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+    # rejects by default; legacy mode surfaces it as LongType (nanos since
+    # epoch) and sources/catalog.py converts to TIMESTAMP_NTZ explicitly.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # DuckDB (the correctness oracle) is UTC-naive; pin the session zone so
+    # any TimestampType <-> NTZ conversion is the identity.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime re-planning (partition coalescing, skew join splitting).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Arrow for any pandas_udf / toPandas boundary crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Distribute mr_py_spark to executor Python workers via addPyFile.
+
+    Pickled UDF closures reference module-level functions by import
+    path, so workers must be able to `import mr_py_spark` — true on a
+    real cluster (this is the standard deploy mechanism) and in local
+    mode when the harness process runs from a different cwd.
+    """
+    if getattr(spark, "_mrps_shipped", False):
+        return
+    import shutil
+    import tempfile
+
+    import mr_py_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(mr_py_spark.__file__))
+    root = os.path.dirname(pkg_dir)
+    archive = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "mr_py_spark_pkg"),
+        "zip",
+        root_dir=root,
+        base_dir="mr_py_spark",
+    )
+    spark.sparkContext.addPyFile(archive)
+    spark._mrps_shipped = True
+
+
+def harden(spark: SparkSession) -> SparkSession:
+    """Apply required runtime confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this build; operators degrade gracefully.
+            pass
+    try:
+        # A vanilla harness session keeps the 200-partition default, which
+        # over-parallelizes local shuffles (observed: streaming aggs pay
+        # 200 tasks for 10k rows). AQE coalesces batch plans but not
+        # streaming state partitioning, so pin it to the core count if
+        # the user hasn't chosen a value themselves.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)),
+            )
+    except Exception:
+        pass
+    try:
+        _ship_package(spark)
+    except Exception:
+        # e.g. Spark Connect sessions without a SparkContext; UDF-free
+        # operators still work, UDF ones need the package installed.
+        pass
+    return spark
+
+
+def get_spark(app_name: str = "mr_py_spark", cpus: int | None = None) -> SparkSession:
+    """Build a local session sized for this machine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions are pinned to the core count: at local scale the default
+    200 over-parallelizes tiny shuffles; on a real cluster you would
+    size this to 2-3x total executor cores and let AQE coalesce.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return harden(spark)

@@ -1,0 +1,62 @@
+"""Table catalog over the driver parquet fixtures (A7 — scans).
+
+The reference engine reads text lines and parses ad hoc inside each
+mapper (SURVEY.md §1.1 [HS]); our canonical source is columnar parquet
+with a typed schema, so predicate pushdown and column pruning reach the
+scan (check with ``df.explain``: PushedFilters / ReadSchema).
+
+Scale notes: each table is one parquet file locally, but nothing here
+assumes that — ``spark.read.parquet`` takes directories/globs, and the
+events nanosecond normalization is a per-row projection that runs
+wherever the scan runs. At 100 TB you would point the same loader at a
+partitioned directory tree and get partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.session import harden
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Cache of lazy DataFrames keyed by (session id, sf_dir, table). DataFrames
+# are plans, not data — caching avoids re-listing files and re-reading
+# footers per query, nothing more.
+_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table with normalized types."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (id(spark), sf_dir.rstrip("/"), name)
+    if key in _cache:
+        return _cache[key]
+    harden(spark)  # nanosAsLong + UTC + AQE; driver sessions lack these
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) surfaced as long via nanosAsLong: truncate to
+        # micros (matching DuckDB's read of the same file) as TIMESTAMP_NTZ.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    _cache[key] = df
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table (lazy plans; no data is read)."""
+    return {name: tbl(spark, sf_dir, name) for name in TABLES}

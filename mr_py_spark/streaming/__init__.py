@@ -1,0 +1,121 @@
+"""Structured Streaming surface (SURVEY.md §2C: C6-C9).
+
+The reference has no streaming at all (SURVEY.md §1.1); the driver's
+events table is stream-shaped (monotone-ish ts). These queries run the
+*same* windowed aggregations as operators/events_windows.py, but
+through `readStream` -> watermark -> `writeStream`, driven to
+completion synchronously with an availableNow-style drain into a
+memory sink, then returned as a DataFrame for the harness.
+
+Notes:
+- `stream_agg_complete` is oracle-checked: complete-mode output over a
+  fully-drained bounded stream must equal the batch aggregate exactly.
+- Append-mode windows (`stream_tumbling_window`) are rows-only: the
+  watermark intentionally withholds the trailing window(s) — pytest
+  asserts the emitted prefix matches the batch result.
+- The memory sink is a test/dev harness device; production sinks are
+  kafka/parquet/foreachBatch and take the identical plan.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dsum, fmt_ts
+from mr_py_spark.registry import register
+from mr_py_spark.session import harden
+
+_qid = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same ns->µs
+    normalization as the batch catalog (sources/catalog.py)."""
+    harden(spark)
+    from mr_py_spark.sources import tbl
+
+    raw_schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+    # FileStreamSource wants a directory; glob-filter to the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # Watermarks require TimestampType (not NTZ); the session TZ is
+        # pinned to UTC by harden(), so the instant values match the
+        # batch catalog's NTZ values exactly.
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain(df: DataFrame, mode: str) -> DataFrame:
+    """Run a bounded streaming query to completion into a memory sink."""
+    name = f"mrps_stream_{next(_qid)}"
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+@register(
+    "stream_agg_complete",
+    tags=("C6", "C9"),
+    oracle="""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global aggregate, complete mode (C9 stateful agg).
+    Draining the bounded stream must reproduce the batch answer
+    exactly — the unified-model guarantee, oracle-checked."""
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), dsum("value").alias("total_value")
+    )
+    return _drain(agg, "complete")
+
+
+@register("stream_tumbling_window", tags=("C6", "C8"), oracle=None)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows with a 30-minute watermark, append mode
+    (C6+C8). Late data beyond the watermark is dropped and only closed
+    windows emit, so the trailing window is withheld — rows-only here;
+    pytest asserts emitted rows are a prefix of the batch result."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(fmt_ts(F.col("w.start")).alias("bucket"), "n_events", "total_value")
+    )
+    return _drain(agg, "append")
+
+
+@register("stream_dedup", tags=("C9",), oracle=None)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with bounded state (C9):
+    dropDuplicatesWithinWatermark on (user_id, event_type) — state for
+    a key is dropped once the watermark passes it, so memory is bounded
+    by key-arrival rate x watermark horizon, not stream length."""
+    ev = _events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    return _drain(dedup, "append")
