@@ -109,6 +109,68 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_selfjoin",
+    tags=("C3",),
+    oracle="""
+        WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT q_id, nn_id, rn
+        FROM (
+            SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY list_dot_product(a.v, b.v) DESC, b.vec_id) AS rn
+            FROM t a, t b
+            WHERE a.vec_id <> b.vec_id
+        )
+        WHERE rn <= 5
+    """,
+)
+def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full kNN self-join, top-5 per vector (C3) — the benchmark's
+    quadratic query, executed as broadcast-index + vectorized matmul
+    instead of a row-pair cross join.
+
+    Plan: the whole corpus (n x 64 float32, ~0.5 MB at sf0.1) is a
+    broadcast variable; each partition of query vectors computes a
+    numpy (batch x n) dot product and keeps its own top-5 — no shuffle,
+    no per-pair rows, O(n*d) memory per task. At 10^8+ vectors the same
+    operator runs per IVF bucket (knn_ivf_topk) instead of the full
+    corpus. Similarities are not emitted: BLAS accumulation order
+    differs from a sequential fold at the last ULP, so ids+rank are the
+    stable contract (ranking flips would need two candidates closer
+    than ~1e-13 in cosine).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = e.toPandas()
+    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
+    mat = np.asarray(list(corpus["embedding"]), dtype=np.float32).astype(np.float64)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def topk(batches):
+        cids, cmat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.asarray(list(pdf["embedding"]), dtype=np.float32).astype(np.float64)
+            sims = q @ cmat.T  # (batch, n)
+            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            # mask self-matches, then take top-5 with (sim desc, id asc) order
+            sims[qids[:, None] == cids[None, :]] = -np.inf
+            part = np.argpartition(-sims, 5, axis=1)[:, :8]
+            out_q, out_n, out_r = [], [], []
+            for i in range(sims.shape[0]):
+                cand = part[i]
+                order = np.lexsort((cids[cand], -sims[i, cand]))[:5]
+                out_q.extend([qids[i]] * 5)
+                out_n.extend(cids[cand[order]])
+                out_r.extend(range(1, 6))
+            yield pd.DataFrame({"q_id": out_q, "nn_id": out_n, "rn": out_r})
+
+    return e.mapInPandas(topk, "q_id long, nn_id long, rn int")
+
+
 _N_CENTROIDS_MOD = 31  # vec_id % 31 == 0 -> deterministic pseudo-centroids
 _N_PROBE = 4
 
