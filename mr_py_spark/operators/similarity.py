@@ -172,7 +172,7 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _N_CENTROIDS_MOD = 31  # vec_id % 31 == 0 -> deterministic pseudo-centroids
-_N_PROBE = 4
+_N_PROBE = 6
 
 
 @register("knn_ivf_topk", tags=("C3",), oracle=None)

@@ -18,6 +18,7 @@ sizing are local-mode specific.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -112,6 +113,15 @@ def get_spark(app_name: str = "mr_py_spark", cpus: int | None = None) -> SparkSe
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # static conf: must be set at session build; bucketed-table tests
+        # and any saveAsTable land here instead of cwd/spark-warehouse.
+        # Per-process dir: a leftover location from a dead run would make
+        # saveAsTable fail with LOCATION_ALREADY_EXISTS.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE")
+            or tempfile.mkdtemp(prefix="mrps_warehouse_"),
+        )
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -1,0 +1,35 @@
+"""Sinks (SURVEY.md §2A A8, §2B B14/B22).
+
+The reference writes `key\\tvalue` text lines; the Spark-native sinks
+are columnar parquet with layout control:
+
+- :func:`write_partitioned` — hive-style directory partitioning
+  ([MRDP ch.4] partitioning pattern): downstream readers get partition
+  pruning on the routing key for free.
+- :func:`write_bucketed` — bucketed + sorted table ([MRDP ch.5]
+  composite join prerequisite): later equi-joins/aggs on the bucket
+  key skip the shuffle entirely. This is the 100 TB answer for a fact
+  table that is joined on the same key every day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_partitioned(df: DataFrame, path: str, *cols: str, mode: str = "overwrite") -> None:
+    """Write parquet partitioned by ``cols`` (B14)."""
+    df.write.mode(mode).partitionBy(*cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 8, mode: str = "overwrite"
+) -> None:
+    """Persist as a bucketed, per-bucket-sorted managed table (B22)."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -1,0 +1,184 @@
+"""Property tests for operators without a SQL oracle (SURVEY.md §5.4):
+approximation quality, determinism, recall against exact baselines,
+and planted-near-duplicate recovery (FIXTURES.md documents ~4% shared
+80-char prefixes)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mr_py_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+REG = load_all()
+
+
+def rows(spark, name):
+    return REG[name].fn(spark, SF_DIR).collect()
+
+
+def test_approx_distinct_within_rsd(spark):
+    for r in rows(spark, "approx_distinct"):
+        assert abs(r.approx_users - r.exact_users) <= max(3, 0.1 * r.exact_users)
+
+
+def test_sample_seeded_deterministic(spark):
+    a = {(r.which, r.n) for r in rows(spark, "sample_seeded")}
+    b = {(r.which, r.n) for r in rows(spark, "sample_seeded")}
+    assert a == b
+    n_events = REG["distinct_agg"].fn(spark, SF_DIR).agg(F.sum("n_events")).collect()[0][0]
+    plain = next(n for w, n in a if w == "plain")
+    assert 0.05 * n_events <= plain <= 0.15 * n_events  # fraction=0.1
+
+
+def test_shuffle_random_is_permutation_and_stable(spark):
+    a = [r.o_orderkey for r in rows(spark, "shuffle_random")]
+    b = [r.o_orderkey for r in rows(spark, "shuffle_random")]
+    assert a == b  # seeded
+    assert len(set(a)) == len(a) == 100
+
+
+def _planted_pairs(spark):
+    """Ground-truth near-dup pairs: docs sharing an 80-char prefix."""
+    from mr_py_spark.sources import tbl
+
+    docs = tbl(spark, SF_DIR, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("pre")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    return {
+        (r.da, r.db)
+        for r in a.join(
+            b, (F.col("a.pre") == F.col("b.pre")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .collect()
+    }
+
+
+def test_minhash_recalls_planted_dups(spark):
+    planted = _planted_pairs(spark)
+    assert planted, "fixture should contain planted near-dups"
+    found = {(r.doc_a, r.doc_b) for r in rows(spark, "dedup_minhash")}
+    recall = len(planted & found) / len(planted)
+    assert recall >= 0.8, f"minhash recall {recall:.2f} over {len(planted)} planted pairs"
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    est = {(r.doc_a, r.doc_b): r.jaccard_est for r in rows(spark, "dedup_minhash")}
+    # exact word-set jaccard for the same pairs
+    from mr_py_spark.functions import words
+    from mr_py_spark.sources import tbl
+
+    docs = tbl(spark, SF_DIR, "documents").select(
+        "doc_id", F.array_distinct(words(F.lower("text"))).alias("ws")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    exact = {
+        (r.da, r.db): r.j
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            (
+                F.size(F.array_intersect("a.ws", "b.ws"))
+                / F.size(F.array_union("a.ws", "b.ws"))
+            ).alias("j"),
+        )
+        .collect()
+    }
+    errs = [abs(est[p] - exact[p]) for p in est if p in exact]
+    assert errs and sum(errs) / len(errs) < 0.3
+
+
+def test_simhash_planted_dups_close(spark):
+    import itertools
+
+    sh = {r.doc_id: r.simhash64 for r in rows(spark, "dedup_simhash")}
+    sh2 = {r.doc_id: r.simhash64 for r in rows(spark, "dedup_simhash")}
+    assert sh == sh2  # deterministic
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    planted = _planted_pairs(spark)
+    planted_d = [hamming(sh[a], sh[b]) for a, b in planted]
+    assert planted_d and max(planted_d) <= 16, f"planted dists {sorted(planted_d)[-5:]}"
+    # non-dup pairs share the fixture's common vocabulary, so absolute
+    # distances are modest; require clear separation from planted pairs
+    ids = sorted(sh)
+    rand_d = [
+        hamming(sh[a], sh[b])
+        for a, b in itertools.islice(zip(ids, ids[7:]), 100)
+        if (a, b) not in planted
+    ]
+    assert sum(rand_d) / len(rand_d) > sum(planted_d) / len(planted_d) + 5
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    brute = {(r.q_id, r.nn_id) for r in rows(spark, "knn_cosine_topk")}
+    approx = {(r.q_id, r.nn_id) for r in rows(spark, "knn_ivf_topk")}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
+
+
+def test_dedup_hashed_matches_exact(spark):
+    from mr_py_spark.operators.dedup import dedup_exact_hashed
+    from mr_py_spark.sources import tbl
+
+    docs = tbl(spark, SF_DIR, "documents")
+    exact = {(r.doc_id, r.n_copies) for r in REG["dedup_exact"].fn(spark, SF_DIR).collect()}
+    hashed = {(r.doc_id, r.n_copies) for r in dedup_exact_hashed(docs).collect()}
+    assert exact == hashed
+
+
+def test_stream_tumbling_is_prefix_of_batch(spark):
+    batch = {
+        (r.bucket, r.n_events, r.total_value)
+        for r in REG["tumbling_window"].fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.bucket, r.n_events, r.total_value)
+        for r in rows(spark, "stream_tumbling_window")
+    }
+    assert stream <= batch
+    assert len(stream) >= len(batch) - 2  # only trailing window(s) withheld
+
+
+def test_media_features_shape_and_determinism(spark):
+    a = rows(spark, "media_features")
+    b = rows(spark, "media_features")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a[:50]:
+        assert 64 <= r.width < 128 and 64 <= r.height < 128
+        assert 0 <= r.frame_idx <= 2
+
+
+def test_decode_media_stub_contract():
+    from mr_py_spark.operators.multimodal import decode_media
+
+    feats = decode_media(b"hello world")
+    assert set(feats) == {"width", "height", "n_frames"}
+    with pytest.raises(NotImplementedError):
+        decode_media(b"")
+
+
+def test_rollup_grand_total_consistent(spark):
+    out = REG["rollup_agg"].fn(spark, SF_DIR).collect()
+    grand = [r for r in out if r.r_name is None and r.n_name is None]
+    assert len(grand) == 1
+    from mr_py_spark.sources import tbl
+
+    assert grand[0].n_supp == tbl(spark, SF_DIR, "supplier").count()
+
+
+def test_lang_id_well_formed(spark):
+    """The fixture's text vocabulary is identical across lang labels
+    (verified: per-lang distinct-word sets are equal), so ground-truth
+    accuracy is not measurable on this data; the operator's exactness
+    is proven by its DuckDB oracle. This asserts the prediction
+    contract: valid label set, one prediction per doc."""
+    out = rows(spark, "lang_id_heuristic")
+    assert {r.lang_pred for r in out} <= {"en", "fr", "es", "de"}
+    assert len(out) == len({r.doc_id for r in out})
