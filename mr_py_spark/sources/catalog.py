@@ -60,3 +60,20 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table (lazy plans; no data is read)."""
     return {name: tbl(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry point.
+
+    `spark.sql(...)` over these views and the DataFrame API produce the
+    same Catalyst plans; the SQL surface is first-class in this engine
+    (the reference has no declarative layer at all, SURVEY.md §3).
+    """
+    for name, df in load(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """SQL entry point: run ANSI SQL over the fixture tables."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

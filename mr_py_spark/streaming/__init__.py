@@ -106,6 +106,38 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "append")
 
 
+@register("stream_stateful_counts", tags=("C9",), oracle=None)
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (C9): a per-user running (count, total) kept in explicit state
+    across micro-batches — the building block for bespoke operators
+    Spark's built-in aggs can't express (e.g. decaying counters,
+    per-key ML state). Rows-only; pytest asserts the final state
+    equals the batch groupBy."""
+    import pandas as pd
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state) -> "Iterator[pd.DataFrame]":
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+    return _drain(out, "update")
+
+
 @register("stream_dedup", tags=("C9",), oracle=None)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with bounded state (C9):

@@ -1,0 +1,75 @@
+"""Physical-plan shape tests (SURVEY.md §4): the optimizer behaviors
+this engine relies on at 100 TB must actually appear in the plans —
+pushdown to the scan, column pruning, broadcast of dimensions, top-k
+without global sort, partial aggregation, range-partitioned sort."""
+
+from __future__ import annotations
+
+from mr_py_spark.registry import load_all
+from tests.conftest import SF_DIR
+
+REG = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REG[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    p = plan_of(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: only the 7 referenced columns reach the scan
+    scan = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+    # partial aggregation (the free combiner) before the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q3_broadcasts_and_topk(spark):
+    p = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # top-10 without a global sort
+    assert "EqualTo(c_mktsegment,BUILDING)" in p  # filter reached the scan
+
+
+def test_q5_dimension_broadcast(spark):
+    p = plan_of(spark, "q5_local_supplier")
+    assert "BroadcastHashJoin" in p
+    assert "EqualTo(r_name,ASIA)" in p
+
+
+def test_top_k_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in plan_of(spark, "top_k")
+
+
+def test_total_sort_is_range_partitioned(spark):
+    assert "rangepartitioning" in plan_of(spark, "total_sort").lower()
+
+
+def test_projection_prunes_scan(spark):
+    p = plan_of(spark, "projection")
+    scan = next(line for line in p.splitlines() if "ReadSchema" in line)
+    for dropped in ("l_returnflag", "l_tax", "l_quantity", "l_suppkey"):
+        assert dropped not in scan, f"{dropped} not pruned: {scan}"
+
+
+def test_semi_join_stays_semi(spark):
+    assert "LeftSemi" in plan_of(spark, "semi_join")
+
+
+def test_knn_selfjoin_has_no_join(spark):
+    """The benchmark kNN must be the broadcast-matmul plan: no join,
+    no exchange — a single mapInPandas over the scan."""
+    p = plan_of(spark, "knn_selfjoin")
+    assert "Join" not in p
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_minhash_has_no_cartesian(spark):
+    """LSH candidate generation must be an equi-join on band buckets,
+    never a cartesian/nested-loop product."""
+    p = plan_of(spark, "dedup_minhash")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

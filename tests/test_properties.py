@@ -146,6 +146,25 @@ def test_stream_tumbling_is_prefix_of_batch(spark):
     assert len(stream) >= len(batch) - 2  # only trailing window(s) withheld
 
 
+def test_stream_stateful_counts_equal_batch(spark):
+    from mr_py_spark.sources import tbl
+
+    ev = tbl(spark, SF_DIR, "events")
+    batch = {
+        (r.user_id, r.n): round(r.t, 4)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    stream = {
+        (r.user_id, r.n_events): r.total_value
+        for r in rows(spark, "stream_stateful_counts")
+    }
+    assert set(batch) == set(stream)
+    for k, v in batch.items():
+        assert abs(stream[k] - v) < 1e-6
+
+
 def test_media_features_shape_and_determinism(spark):
     a = rows(spark, "media_features")
     b = rows(spark, "media_features")
