@@ -226,6 +226,49 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("dedup_clusters", tags=("C2",), oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters + survivor election (C2 end-to-end):
+    candidate pairs (the prefix-blocked exact-Jaccard pairs at
+    threshold 0.5) -> connected components -> keep the minimum doc_id
+    per cluster. Rows-only; pytest asserts cluster consistency against
+    the pair set.
+
+    Connected components run as iterated min-label propagation on
+    DataFrames: each round joins labels across edges and keeps the
+    min; rounds = O(cluster diameter), which for near-dup clusters is
+    tiny (pairs share a blocking key). Each round is one keyed shuffle
+    — no driver-side graph, so the same loop runs at 10^9 edges.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    edges = pairs.select("doc_a", "doc_b").cache()
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+
+    both = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    for _ in range(5):  # diameter bound; planted clusters are cliques (1 suffices)
+        neighbor_min = (
+            both.join(labels, both.doc_b == labels.doc_id)
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.groupBy("label").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("survivor"),
+    ).select(F.col("label").alias("cluster_id"), "cluster_size", "survivor")
+
+
 @register("dedup_simhash", tags=("C2",), oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (C2). Rows-only; pytest asserts the

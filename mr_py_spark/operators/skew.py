@@ -1,0 +1,58 @@
+"""Skew-handling patterns (SURVEY.md §4 'Skew handling').
+
+The reference handles skew with a custom partitioner ([MR04 §4.1]) —
+a human noticing a hot key and hand-routing it. Spark gives two
+mechanisms, both shown here:
+
+1. AQE skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`,
+   on by default in 4.x) — runtime re-planning, nothing to write.
+2. Salting — the explicit two-phase form for aggregations, where AQE
+   cannot help because a single group key lands in a single reducer by
+   definition. `salted_agg` demonstrates it with an oracle proving the
+   result identical to the direct aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dec4
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+_N_SALTS = 8
+
+
+@register(
+    "salted_agg",
+    tags=("A5", "B2"),
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over a low-cardinality (hence
+    maximally skewed) key: events has 5 event_types, so a direct
+    groupBy puts ~20% of the table in each of 5 reducer tasks no matter
+    how many executors exist.
+
+    Phase 1 groups on (key, salt) — fan-out N_SALTS x, every core
+    busy; phase 2 merges the N_SALTS partials per key — tiny. Decimal
+    partials re-sum exactly, so the oracle is the plain aggregate:
+    salting must be invisible in the result.
+    """
+    ev = tbl(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(_N_SALTS)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(dec4("value")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

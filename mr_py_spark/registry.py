@@ -61,6 +61,7 @@ def load_all() -> dict[str, Query]:
         organize,
         scalar,
         similarity,
+        skew,
         sql_surface,
         summarize,
         text,

@@ -165,6 +165,45 @@ def test_stream_stateful_counts_equal_batch(spark):
         assert abs(stream[k] - v) < 1e-6
 
 
+def test_dedup_clusters_consistent_with_pairs(spark):
+    """Every strong pair must land in one cluster; survivors are the
+    cluster minima; singleton docs stay their own cluster."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in REG["ngram_jaccard_pairs"].fn(spark, SF_DIR).collect()
+        if r.jaccard >= 0.5
+    ]
+    clusters = REG["dedup_clusters"].fn(spark, SF_DIR).collect()
+    n_docs = sum(r.cluster_size for r in clusters)
+    from mr_py_spark.sources import tbl
+
+    assert n_docs == tbl(spark, SF_DIR, "documents").count()
+    # exact reference: union-find over the same pair set
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected_multi = {}
+    for d in list(parent):
+        expected_multi.setdefault(find(d), set()).add(d)
+    got_multi = {
+        r.survivor: r.cluster_size for r in clusters if r.cluster_size > 1
+    }
+    assert got_multi == {
+        min(members): len(members) for members in expected_multi.values()
+    }
+    assert len(got_multi) > 0, "planted near-dups should form clusters"
+
+
 def test_media_features_shape_and_determinism(spark):
     a = rows(spark, "media_features")
     b = rows(spark, "media_features")
