@@ -65,6 +65,7 @@ def load_all() -> dict[str, Query]:
         sql_surface,
         summarize,
         text,
+        tpch_like,
         udf_surface,
         windows,
     )
