@@ -171,6 +171,81 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.mapInPandas(topk, "q_id long, nn_id long, rn int")
 
 
+# 4 hyperplanes -> 16 buckets. For cos-sim s, a neighbor differs on each
+# bit with prob acos(s)/pi, so at 4 bits a s=0.7 neighbor is ~1 bit away
+# and 1-bit multiprobe recovers it; more planes would need multiple hash
+# tables (L repetitions) to hold recall, which is the production knob.
+_N_PLANES = 4
+
+
+@register("knn_rplsh_topk", tags=("C3", "C2"), oracle=None)
+def knn_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-5 (C3 scale path #2).
+    Rows-only; pytest measures recall against the brute-force oracle.
+
+    Signature = sign bits of fixed random projections (seeded numpy,
+    broadcast) -> a bucket key. Candidates = equi-join on bucket (plus
+    the single-bit-flip neighbor buckets for the query side, the
+    standard multi-probe trick that recovers recall near Hamming
+    boundaries). Like IVF, the join fan-out is independent of corpus
+    size — this is the LSH-bucketed form of cosine_near_dup_pairs
+    for 10^9-vector corpora.
+    """
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(7)
+    planes = rng.standard_normal((64, _N_PLANES))
+    b_planes = spark.sparkContext.broadcast(planes)
+
+    e = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def bucketize(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            m = np.asarray(list(pdf["embedding"]), dtype=np.float32)
+            bits = (m.astype(np.float64) @ pl) > 0
+            key = (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "bucket": key}
+            )
+
+    schema = "vec_id long, embedding array<float>, bucket long"
+    assigned = e.mapInPandas(bucketize, schema)
+
+    # multi-probe: query probes its own bucket + all 1-bit flips
+    probes = assigned.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(_N_PLANES)
+                ],
+            )
+        ).alias("bucket"),
+    ).filter(F.col("q_id") < 50)
+
+    cand = probes.join(
+        assigned.select(
+            F.col("vec_id").alias("nn_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+            "bucket",
+        ),
+        "bucket",
+    ).filter(F.col("q_id") != F.col("nn_id"))
+    wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
+    return (
+        cand.select("q_id", "nn_id", dot("qv", "cv").alias("sim_raw"))
+        .distinct()
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+    )
+
+
 _N_CENTROIDS_MOD = 31  # vec_id % 31 == 0 -> deterministic pseudo-centroids
 _N_PROBE = 6
 

@@ -170,6 +170,41 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_counts",
+    tags=("C5", "B5"),
+    oracle="""
+        SELECT bigram, count(*) AS cnt
+        FROM (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+        )
+        GROUP BY bigram
+        ORDER BY cnt DESC, bigram
+        LIMIT 30
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-gram generation + counting (C5): top-30 bigrams. The
+    n-gram expansion is a pure array expression (transform over an
+    index sequence) — the same construct the MinHash shingler uses —
+    so no Python runs per token."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = words(F.lower("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(30)
+    )
+
+
+@register(
     "doc_fingerprint",
     tags=("C5",),
     oracle="""

@@ -106,6 +106,33 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "append")
 
 
+@register("stream_session_window", tags=("C7", "C8"), oracle=None)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows on the stream (C7): the identical
+    `session_window` expression as the batch operator, under a
+    watermark; sessions close when the watermark passes their gap.
+    Rows-only (the trailing sessions are withheld by the watermark);
+    pytest asserts the emitted sessions are a subset of the batch
+    result."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("s_start"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            fmt_ts("s_start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return _drain(agg, "append")
+
+
 @register("stream_stateful_counts", tags=("C9",), oracle=None)
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState

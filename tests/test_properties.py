@@ -123,6 +123,26 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
 
 
+def test_rplsh_recall_vs_bruteforce(spark):
+    brute = {(r.q_id, r.nn_id) for r in rows(spark, "knn_cosine_topk")}
+    approx = {(r.q_id, r.nn_id) for r in rows(spark, "knn_rplsh_topk")}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.4, f"RP-LSH recall@5 {recall:.2f}"
+
+
+def test_stream_session_subset_of_batch(spark):
+    batch = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in REG["session_window"].fn(spark, SF_DIR).collect()
+    }
+    stream = {
+        (r.user_id, r.session_start, r.n_events, r.session_value)
+        for r in rows(spark, "stream_session_window")
+    }
+    assert stream, "watermark should close most sessions in a bounded stream"
+    assert stream <= batch
+
+
 def test_dedup_hashed_matches_exact(spark):
     from mr_py_spark.operators.dedup import dedup_exact_hashed
     from mr_py_spark.sources import tbl
