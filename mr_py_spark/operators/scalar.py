@@ -37,7 +37,7 @@ def string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.upper("p_name").alias("name_upper"),
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
         F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
         F.substring("p_name", 1, 4).alias("name_prefix"),
         F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
@@ -61,15 +61,16 @@ def date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time functions (B30): extract + diff, grouped by month."""
     o = tbl(spark, sf_dir, "orders")
     return o.groupBy(
-        F.year("o_orderdate").alias("y"), F.month("o_orderdate").alias("m")
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
     ).agg(
         F.count("*").alias("n_orders"),
-        F.min(F.dayofmonth("o_orderdate")).alias("first_day"),
+        F.min(F.dayofmonth("o_orderdate")).cast("long").alias("first_day"),
         F.max(
             F.datediff(
                 F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
             )
-        ).alias("max_day_offset"),
+        ).cast("long").alias("max_day_offset"),
     )
 
 
@@ -82,8 +83,8 @@ def date_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(ln(l_extendedprice), 6)           AS log_price,
                round(sqrt(l_quantity), 6)              AS sqrt_qty,
                round(pow(l_discount, 2), 6)            AS disc_sq,
-               ceil(l_quantity)                        AS qty_ceil,
-               floor(l_quantity)                       AS qty_floor,
+               CAST(ceil(l_quantity) AS BIGINT)        AS qty_ceil,
+               CAST(floor(l_quantity) AS BIGINT)       AS qty_floor,
                l_linenumber % 3                        AS line_mod
         FROM lineitem
         WHERE l_orderkey <= 1000
@@ -151,7 +152,7 @@ def array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb_d = F.col("embedding").cast("array<double>")
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(F.element_at(emb_d, 1), 6).alias("e1"),
         F.round(dot(emb_d, emb_d), 6).alias("sq_norm"),
     )

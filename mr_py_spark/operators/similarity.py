@@ -66,7 +66,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nn_id"))
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        pairs.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .select("q_id", "nn_id", F.round("sim", 6).alias("sim"), "rn")
     )
@@ -168,7 +168,7 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out_r.extend(range(1, 6))
             yield pd.DataFrame({"q_id": out_q, "nn_id": out_n, "rn": out_r})
 
-    return e.mapInPandas(topk, "q_id long, nn_id long, rn int")
+    return e.mapInPandas(topk, "q_id long, nn_id long, rn long")
 
 
 # 4 hyperplanes -> 16 buckets. For cos-sim s, a neighbor differs on each

@@ -47,7 +47,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = F.size(ws)
     return docs.select(
         "doc_id",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(F.length("text").cast("double") / n_words, 4).alias("chars_per_word"),
         F.round(
             F.size(F.filter(wl, lambda w: F.array_contains(sw, w))).cast("double") / n_words,
@@ -84,9 +84,9 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("C5",),
     oracle="""
         SELECT source,
-               sum(len(string_split(text, ' ')))        AS ws_tokens,
-               sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS bpe_est_tokens,
-               sum(n_chars)                              AS total_chars
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT)             AS ws_tokens,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est_tokens,
+               CAST(sum(n_chars) AS BIGINT)                                  AS total_chars
         FROM documents
         GROUP BY source
     """,
@@ -269,7 +269,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tf.join(F.broadcast(df), "term")
         .select("doc_id", "term", tfidf.alias("tfidf_raw"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rn")
     )

@@ -153,7 +153,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("nk1") == F.col("c_nationkey"))
         .join(F.broadcast(n2), F.col("nk2") == F.col("s_nationkey"))
         .filter(F.col("nk1") != F.col("nk2"))
-        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
             F.sum(dec4("l_extendedprice") * (one - dec4("l_discount")))
             .cast("double")

@@ -38,9 +38,9 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed in pandas over Arrow batches; the oracle recomputes both
     in SQL, proving the Python path exact."""
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def n_words(text: pd.Series) -> pd.Series:
-        return text.str.split(" ").str.len().astype("int32")
+        return text.str.split(" ").str.len().astype("int64")
 
     docs = tbl(spark, sf_dir, "documents")
     out = docs.select("doc_id", n_words("text").alias("n_words"), F.length("text").alias("n_chars"))

@@ -39,7 +39,7 @@ def topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = tbl(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        ev.withColumn("rn", F.row_number().over(w))
+        ev.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .select("user_id", "event_id", "value", "rn")
     )
@@ -63,9 +63,9 @@ def ranking_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_custkey",
         "c_mktsegment",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
     )
 
 
