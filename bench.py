@@ -56,7 +56,10 @@ def main() -> None:
         )
         timings[name] = round(best, 4)
 
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None  # non-standard dir name; don't discard the timings over it
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -39,7 +39,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: at 100 TB you group by sha2(text, 256) instead of the
     full text so the shuffle carries 32-byte keys, not documents —
-    tests/test_dedup.py proves the hash-keyed variant selects the same
+    tests/test_properties.py proves the hash-keyed variant selects the same
     survivor set.
     """
     docs = tbl(spark, sf_dir, "documents")
@@ -263,6 +263,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
+        # materialize each round and truncate lineage — without this the
+        # plan doubles per round; with it, the final result no longer
+        # references `edges`, so the cache can be released below
+        labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
     return labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"),
         F.min("doc_id").alias("survivor"),

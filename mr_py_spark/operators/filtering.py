@@ -157,13 +157,12 @@ def bloom_semi_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership pre-filter ([MRDP ch.3] bloom filtering).
 
     The MR pattern ships a pre-built bloom file to every mapper. Spark
-    subsumes it: with runtime bloom filters enabled, the optimizer
-    injects a bloom built from the selective side into the probe-side
-    scan of this semi-join (`spark.sql.optimizer.runtime.bloomFilter.enabled`),
-    which is exactly the pattern, minus false positives in the result —
-    so the oracle is the exact EXISTS semantics.
+    subsumes it: the optimizer injects a bloom built from the selective
+    side into the probe-side scan of this semi-join
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, on by default
+    in Spark 3.4+), which is exactly the pattern, minus false positives
+    in the result — so the oracle is the exact EXISTS semantics.
     """
-    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     li = tbl(spark, sf_dir, "lineitem")
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
     return (

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import davg, dec4, dsum, ts_ntz
+from mr_py_spark.functions import davg, dec4, dsum, fmt_ts, ts_ntz
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
@@ -91,7 +91,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_date"),
+            fmt_ts("o_orderdate").alias("order_date"),
             "o_orderpriority",
         )
     )

@@ -158,15 +158,27 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             qids = np.asarray(pdf["vec_id"], dtype=np.int64)
             # mask self-matches, then take top-5 with (sim desc, id asc) order
             sims[qids[:, None] == cids[None, :]] = -np.inf
-            part = np.argpartition(-sims, 5, axis=1)[:, :8]
+            n = sims.shape[1]
+            k = min(5, n - 1)
             out_q, out_n, out_r = [], [], []
             for i in range(sims.shape[0]):
-                cand = part[i]
-                order = np.lexsort((cids[cand], -sims[i, cand]))[:5]
-                out_q.extend([qids[i]] * 5)
+                row = sims[i]
+                # candidates = everything tied with or above the k-th best
+                # similarity, so the (sim desc, id asc) tie-break matches the
+                # oracle's row_number() even under mass ties (duplicate vectors)
+                kth = -np.partition(-row, k - 1)[k - 1]
+                cand = np.nonzero(row >= kth)[0]
+                order = np.lexsort((cids[cand], -row[cand]))[:k]
+                out_q.extend([qids[i]] * len(order))
                 out_n.extend(cids[cand[order]])
-                out_r.extend(range(1, 6))
-            yield pd.DataFrame({"q_id": out_q, "nn_id": out_n, "rn": out_r})
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {
+                    "q_id": np.asarray(out_q, dtype=np.int64),
+                    "nn_id": np.asarray(out_n, dtype=np.int64),
+                    "rn": np.asarray(out_r, dtype=np.int64),
+                }
+            )
 
     return e.mapInPandas(topk, "q_id long, nn_id long, rn long")
 
@@ -261,7 +273,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    shape is identical
       assignment = each vector -> nearest centroid id (broadcast
                    centroids x vectors, window top-1)
-    Search: each query probes its 4 nearest centroids' buckets only —
+    Search: each query probes its _N_PROBE nearest centroids' buckets only —
     candidate generation is an equi-join on centroid_id, so the join
     fan-out is n_queries * avg_bucket * nprobe, independent of corpus
     size. This is the structure that replaces the brute-force cross

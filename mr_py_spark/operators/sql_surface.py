@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mr_py_spark.functions import fmt_ts
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 from mr_py_spark.sources.catalog import sql
@@ -202,6 +203,6 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "user_id",
-            F.date_format("last_signup", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+            fmt_ts("last_signup").alias("signup_ts"),
         )
     )

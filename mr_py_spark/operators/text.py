@@ -263,11 +263,14 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("term") != "")
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # scalar; embedded as a literal in the plan
-    tfidf = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    # corpus size joins in lazily as a broadcast 1-row frame (an eager
+    # .count() here would run a full scan at plan-construction time)
+    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
+    tfidf = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf_raw"), F.asc("term"))
     return (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "term", tfidf.alias("tfidf_raw"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)

@@ -56,8 +56,10 @@ def _ship_package(spark: SparkSession) -> None:
 
     pkg_dir = os.path.dirname(os.path.abspath(mr_py_spark.__file__))
     root = os.path.dirname(pkg_dir)
+    # per-process archive name: a fixed path would race a concurrent run
+    # (pytest + bench on one host) while its executors fetch the zip
     archive = shutil.make_archive(
-        os.path.join(tempfile.gettempdir(), "mr_py_spark_pkg"),
+        os.path.join(tempfile.gettempdir(), f"mr_py_spark_pkg_{os.getpid()}"),
         "zip",
         root_dir=root,
         base_dir="mr_py_spark",

@@ -32,19 +32,23 @@ TABLES = (
     "embeddings",
 )
 
-# Cache of lazy DataFrames keyed by (session id, sf_dir, table). DataFrames
-# are plans, not data — caching avoids re-listing files and re-reading
-# footers per query, nothing more.
-_cache: dict[tuple[int, str, str], DataFrame] = {}
-
-
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table with normalized types."""
+    """Load one fixture table with normalized types.
+
+    Loaded plans are cached ON the session object (DataFrames are plans,
+    not data — this only avoids re-listing files and re-reading footers
+    per query). Keying by the session itself, not id(spark), means the
+    cache dies with the session and a recycled object address can never
+    serve plans bound to a stopped SparkContext.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (id(spark), sf_dir.rstrip("/"), name)
-    if key in _cache:
-        return _cache[key]
+    cache: dict[tuple[str, str], DataFrame] = spark.__dict__.setdefault(
+        "_mrps_tbl_cache", {}
+    )
+    key = (sf_dir.rstrip("/"), name)
+    if key in cache:
+        return cache[key]
     harden(spark)  # nanosAsLong + UTC + AQE; driver sessions lack these
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
@@ -53,7 +57,7 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
-    _cache[key] = df
+    cache[key] = df
     return df
 
 

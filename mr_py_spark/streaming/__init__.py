@@ -54,7 +54,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain(df: DataFrame, mode: str) -> DataFrame:
-    """Run a bounded streaming query to completion into a memory sink."""
+    """Run a bounded streaming query to completion into a memory sink.
+
+    The sink's temp view is dropped before returning (it pins the full
+    result in driver memory; repeated invocations in a long-lived
+    session would otherwise accumulate) — the materialized rows are
+    re-wrapped as a local DataFrame. Streaming results here are small
+    aggregates by construction; production topologies use kafka/parquet/
+    foreachBatch sinks instead of memory."""
+    spark = df.sparkSession
     name = f"mrps_stream_{next(_qid)}"
     q = (
         df.writeStream.outputMode(mode)
@@ -66,7 +74,10 @@ def _drain(df: DataFrame, mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return df.sparkSession.table(name)
+    sink = spark.table(name)
+    rows, schema = sink.collect(), sink.schema
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, schema)
 
 
 @register(
