@@ -41,7 +41,14 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register ``fn`` as query ``name`` with its oracle SQL."""
 
     def deco(fn: QueryFn) -> QueryFn:
-        if name in REGISTRY:
+        prev = REGISTRY.get(name)
+        # Same-source re-registration (importlib.reload of an operator
+        # module, e.g. by a harness) replaces; two different functions
+        # claiming one name is a programming error.
+        if prev is not None and (
+            prev.fn.__module__,
+            prev.fn.__qualname__,
+        ) != (fn.__module__, fn.__qualname__):
             raise ValueError(f"duplicate query name: {name}")
         REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tuple(tags))
         return fn
