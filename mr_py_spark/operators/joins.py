@@ -52,8 +52,8 @@ def join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B19", "B21", "B11", "B1"),
     oracle="""
         SELECT l.l_orderkey,
-               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
-                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE) AS revenue,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS revenue,
                strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')          AS order_date,
                o.o_orderpriority
         FROM customer c
@@ -80,7 +80,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderdate") < ts_ntz("1998-01-01 00:00:00"))
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > ts_ntz("1998-01-01 00:00:00"))
     one = F.lit(1).cast("decimal(10,4)")
-    revenue = F.sum(dec4("l_extendedprice") * (one - dec4("l_discount"))).cast("double")
+    revenue = F.round(F.sum(dec4("l_extendedprice") * (one - dec4("l_discount"))), 4).cast("double")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -102,8 +102,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B19", "B21", "B27"),
     oracle="""
         SELECT n.n_name,
-               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
-                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -142,9 +142,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
-            F.sum(
-                dec4("l_extendedprice")
-                * (F.lit(1).cast("decimal(10,4)") - dec4("l_discount"))
+            F.round(
+                F.sum(
+                    dec4("l_extendedprice")
+                    * (F.lit(1).cast("decimal(10,4)") - dec4("l_discount"))
+                ),
+                4,
             )
             .cast("double")
             .alias("revenue")

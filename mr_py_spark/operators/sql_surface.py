@@ -81,8 +81,8 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sql_q6_forecast",
     tags=("B2", "B8"),
     oracle="""
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))
-                        * CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,4))
+                        * CAST(l_discount AS DECIMAL(10,4))), 4) AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -99,8 +99,8 @@ def sql_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         """
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))
-                        * CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,4))
+                        * CAST(l_discount AS DECIMAL(10,4))), 4) AS DOUBLE) AS revenue,
                count(*) AS n_lines
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP_NTZ '1997-01-01 00:00:00'

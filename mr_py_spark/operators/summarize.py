@@ -30,11 +30,11 @@ from mr_py_spark.sources import tbl
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(10,4))) AS DOUBLE)      AS sum_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))
-                        * (1 - CAST(l_discount AS DECIMAL(10,4)))) AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,4))
                         * (1 - CAST(l_discount AS DECIMAL(10,4)))
-                        * (1 + CAST(l_tax AS DECIMAL(10,4)))) AS DOUBLE)      AS sum_charge,
+                        * (1 + CAST(l_tax AS DECIMAL(10,4)))), 4) AS DOUBLE)      AS sum_charge,
                CAST(sum(CAST(l_quantity AS DECIMAL(10,4))) AS DOUBLE) / count(*)      AS avg_qty,
                CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / count(*) AS avg_price,
                CAST(sum(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) / count(*)      AS avg_disc,
@@ -61,8 +61,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
-            F.sum(dp).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(dp), 4).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).cast("double").alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
             davg("l_discount").alias("avg_disc"),
@@ -109,8 +109,8 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                round(median(l_quantity), 2)                  AS med_qty,
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-               sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
-                              * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE)
+               sqrt((CAST(round(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                              * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)
                      - CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE)
                        * CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / count(*))
                     / (count(*) - 1))                        AS sd_price
@@ -131,7 +131,7 @@ def group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     p = dec4("l_extendedprice")
     s1 = F.sum(p).cast("double")
-    s2 = F.sum(p * p).cast("double")
+    s2 = F.round(F.sum(p * p), 4).cast("double")
     n = F.count(F.lit(1))
     sd = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))
     return li.groupBy("l_returnflag").agg(

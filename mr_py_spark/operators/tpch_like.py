@@ -74,8 +74,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B19", "B11"),
     oracle="""
         SELECT c.c_custkey, c.c_name,
-               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
-                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -102,7 +102,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.sum(dec4("l_extendedprice") * (one - dec4("l_discount")))
+            F.round(F.sum(dec4("l_extendedprice") * (one - dec4("l_discount"))), 4)
             .cast("double")
             .alias("revenue")
         )
@@ -117,8 +117,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
                year(l.l_shipdate) AS l_year,
-               CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
-                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE) AS revenue
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o   ON o.o_custkey = c.c_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -155,7 +155,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nk1") != F.col("nk2"))
         .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(
-            F.sum(dec4("l_extendedprice") * (one - dec4("l_discount")))
+            F.round(F.sum(dec4("l_extendedprice") * (one - dec4("l_discount"))), 4)
             .cast("double")
             .alias("revenue")
         )
