@@ -1,0 +1,116 @@
+"""Remaining inventory refinements (SURVEY.md §2): bag-semantics set
+operations (B26), approximate percentiles (B4), map-typed columns
+(B32), and range-frame windows (B35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "set_intersect_all",
+    tags=("B26",),
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (B26 bag semantics): each nation key survives
+    min(customer-count, supplier-count) times."""
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "set_except_all",
+    tags=("B26",),
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (B26 bag semantics): occurrences in customer minus
+    occurrences in supplier, per key."""
+    c = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register("percentile_approx_digest", tags=("B4",), oracle=None)
+def percentile_approx_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (B4): Spark's quantile digest. Rows-only
+    (sketch algorithms differ across engines by design); pytest bounds
+    the estimate against the exact percentile. At 100 TB this is the
+    only sane percentile: fixed-size mergeable state instead of a
+    per-group sort."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_median"),
+        F.percentile_approx("l_extendedprice", 0.99, 1000).alias("approx_p99"),
+    )
+
+
+@register(
+    "map_fns",
+    tags=("B32",),
+    oracle="""
+        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+               'k'       AS map_key,
+               count(*)  AS n
+        FROM events
+        GROUP BY 1
+    """,
+)
+def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column manipulation (B32): props parsed into a real
+    MapType via from_json, then exploded into (key, value) rows —
+    the dynamic-schema path when JSON keys are not known up front
+    (vs get_json_object for known paths, see json_fns)."""
+    ev = tbl(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    kv = ev.select(F.explode(m).alias("map_key", "map_val"))
+    return kv.groupBy(
+        (F.col("map_val") % 10).alias("k_mod"), "map_key"
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "range_frame_window",
+    tags=("B35",),
+    oracle="""
+        SELECT user_id, event_id,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events
+    """,
+)
+def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range window frame (B35): events per user in the trailing
+    hour, per event. Unlike ROWS frames, the frame is defined by the
+    ordering VALUE (epoch micros), so it is insensitive to row ties —
+    the streaming analog is a sliding window; this is the batch
+    point-in-time form."""
+    ev = tbl(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))  # session TZ pinned UTC
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )

@@ -62,6 +62,7 @@ def load_all() -> dict[str, Query]:
     from mr_py_spark.operators import (  # noqa: F401
         dedup,
         events_windows,
+        extras,
         filtering,
         joins,
         multimodal,

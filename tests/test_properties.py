@@ -143,6 +143,12 @@ def test_stream_session_subset_of_batch(spark):
     assert stream <= batch
 
 
+def test_percentile_approx_bounds(spark):
+    for r in rows(spark, "percentile_approx_digest"):
+        assert abs(r.approx_median - r.exact_median) <= 0.02 * abs(r.exact_median)
+        assert r.approx_p99 >= r.exact_median
+
+
 def test_dedup_hashed_matches_exact(spark):
     from mr_py_spark.operators.dedup import dedup_exact_hashed
     from mr_py_spark.sources import tbl
