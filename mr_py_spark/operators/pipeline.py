@@ -1,0 +1,79 @@
+"""End-to-end training-data pipeline (SURVEY.md §2C capstone).
+
+The driver-mandated extension operators composed the way a pretraining
+data pipeline actually uses them: exact dedup -> near-dup collapse ->
+quality filtering -> per-language token accounting — one lazy Catalyst
+plan, one oracle. At 100 TB each stage is the scale-shaped variant
+proven elsewhere in this package (hash-keyed dedup, LSH near-dup);
+the composition structure is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import words
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+@register(
+    "pipeline_clean_corpus",
+    tags=("C1", "C2", "C5"),
+    oracle="""
+        WITH exact_dedup AS (
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        ), near_dedup AS (
+            SELECT min(d.doc_id) AS doc_id
+            FROM documents d JOIN exact_dedup e ON d.doc_id = e.doc_id
+            GROUP BY substring(d.text, 1, 80)
+        ), kept AS (
+            SELECT d.doc_id, d.lang, d.text,
+                   len(string_split(d.text, ' ')) AS n_words
+            FROM documents d JOIN near_dedup n ON d.doc_id = n.doc_id
+            WHERE len(string_split(d.text, ' ')) >= 10
+              AND CAST(len(list_distinct(string_split(lower(d.text), ' '))) AS DOUBLE)
+                  / len(string_split(d.text, ' ')) >= 0.3
+        )
+        SELECT lang,
+               count(*)                                           AS n_docs,
+               CAST(sum(n_words) AS BIGINT)                       AS total_tokens,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS bpe_est_tokens
+        FROM kept
+        GROUP BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pipeline: exact dedup (keep min doc_id per text) ->
+    prefix near-dedup (collapse the planted 80-char-prefix families) ->
+    quality gate (>=10 words, type-token ratio >= 0.3) -> per-language
+    token budget. Everything fuses into one plan: the two dedup stages
+    are semi-join-shaped survivor filters, the quality gate is a scan
+    predicate over array expressions, and the final rollup is one
+    shuffle on `lang`."""
+    docs = tbl(spark, sf_dir, "documents")
+
+    exact_survivors = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    after_exact = docs.join(
+        exact_survivors.select("doc_id"), "doc_id", "left_semi"
+    )
+    near_survivors = after_exact.groupBy(F.substring("text", 1, 80)).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    after_near = docs.join(near_survivors.select("doc_id"), "doc_id", "left_semi")
+
+    ws = words(F.col("text"))
+    wl = words(F.lower("text"))
+    n_words = F.size(ws)
+    ttr = F.size(F.array_distinct(wl)).cast("double") / n_words
+    kept = after_near.filter((n_words >= 10) & (ttr >= 0.3)).select(
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("bpe_est"),
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_words").alias("total_tokens"),
+        F.sum("bpe_est").alias("bpe_est_tokens"),
+    )

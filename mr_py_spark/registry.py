@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         joins,
         multimodal,
         organize,
+        pipeline,
         scalar,
         similarity,
         skew,
