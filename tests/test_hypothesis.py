@@ -1,0 +1,59 @@
+"""Property-based tests (SURVEY.md §5.4) over generated inputs: the
+mr_compat veneer must agree with the native declarative engine on
+arbitrary data, and dedup must be idempotent."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from mr_py_spark import mr_compat
+
+KEYS = st.sampled_from(["a", "b", "c", "d"])
+ROWS = st.lists(st.tuples(KEYS, st.integers(-1000, 1000)), min_size=1, max_size=50)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=ROWS)
+def test_mapreduce_agrees_with_groupby(spark, rows):
+    df = spark.createDataFrame(rows, "k string, v long")
+
+    def mapper(rec):
+        yield (rec["k"], rec["v"])
+
+    def reducer(key, values):
+        yield (key, sum(values), len(values))
+
+    veneer = dict(
+        (r.k, (r.s, r.n))
+        for r in mr_compat.mapreduce(
+            df, mapper, reducer, "k string, v long", "k string, s long, n long"
+        ).collect()
+    )
+    native = dict(
+        (r.k, (r.s, r.n))
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert veneer == native
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(st.tuples(st.integers(0, 30), st.text("ab", min_size=0, max_size=4)), min_size=1, max_size=40))
+def test_dedup_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "id long, t string")
+    once = df.dropDuplicates(["t"])
+    twice = once.dropDuplicates(["t"])
+    assert sorted((r.t) for r in once.collect()) == sorted(r.t for r in twice.collect())
+    assert once.count() == df.select("t").distinct().count()
