@@ -1,0 +1,68 @@
+"""CDC / upsert emulation (guide 'Common OLAP patterns': MERGE INTO
+needs Delta/Iceberg jars, absent in this image — the portable form is
+full-outer-join + coalesce, shown here with an exact oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+
+def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """MERGE-shaped upsert: updates override matching target rows,
+    unmatched updates insert, unmatched target rows survive. Both
+    inputs must share a schema. One shuffle on the key (or none, if
+    both sides are bucketed on it — sources/sinks.write_bucketed)."""
+    t = target.alias("t")
+    u = updates.alias("u")
+    cols = target.columns
+    return t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full").select(
+        *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols]
+    )
+
+
+@register(
+    "cdc_upsert",
+    tags=("B19", "B33"),
+    oracle="""
+        WITH updates AS (
+            SELECT c.c_custkey,
+                   max(c.c_name)                              AS c_name,
+                   CAST(round(max(CAST(c.c_acctbal AS DECIMAL(10,4)))
+                        + count(o.o_orderkey), 4) AS DOUBLE)  AS c_acctbal
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY c.c_custkey
+        )
+        SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+               coalesce(u.c_name, c.c_name)       AS c_name,
+               coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal
+        FROM customer c FULL OUTER JOIN updates u ON u.c_custkey = c.c_custkey
+    """,
+)
+def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change set to a dimension table: customers with filled
+    orders get their balance bumped by their order count (a synthetic
+    but deterministic change feed); everyone else passes through. The
+    update arithmetic follows the exact-DECIMAL policy."""
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    updates = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.max("c_name").alias("c_name"),
+            F.round(
+                F.max(F.col("c_acctbal").cast("decimal(10,4)"))
+                + F.count("o_orderkey"),
+                4,
+            )
+            .cast("double")
+            .alias("c_acctbal"),
+        )
+    )
+    return merge_upsert(c, updates, "c_custkey")

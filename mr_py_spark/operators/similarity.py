@@ -24,6 +24,22 @@ from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
 
+class _LocalBroadcast:
+    """Closure-captured fallback when no SparkContext exists (Spark
+    Connect): cloudpickle ships the value inside the UDF instead of a
+    torrent broadcast — same semantics, higher serialization cost."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _bc(spark: SparkSession, value):
+    try:
+        return spark.sparkContext.broadcast(value)
+    except Exception:
+        return _LocalBroadcast(value)
+
+
 def _emb_double(df: DataFrame, out: str) -> DataFrame:
     return df.select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias(out)
@@ -147,8 +163,8 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.toPandas()
     ids = np.asarray(corpus["vec_id"], dtype=np.int64)
     mat = np.asarray(list(corpus["embedding"]), dtype=np.float32).astype(np.float64)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    b_ids = _bc(spark, ids)
+    b_mat = _bc(spark, mat)
 
     def topk(batches):
         cids, cmat = b_ids.value, b_mat.value
@@ -208,7 +224,7 @@ def knn_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rng = np.random.RandomState(7)
     planes = rng.standard_normal((64, _N_PLANES))
-    b_planes = spark.sparkContext.broadcast(planes)
+    b_planes = _bc(spark, planes)
 
     e = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
