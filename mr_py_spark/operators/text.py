@@ -170,6 +170,28 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regex_tokens",
+    tags=("C5", "B29"),
+    oracle="""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+               len(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
+        FROM documents
+    """,
+)
+def regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenization (C5): BPE-style pretokenizers are regex
+    splits; counting alpha/numeric runs per doc via regexp_extract_all
+    stays JVM-side (both engines use the same extraction semantics)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+"), 0)).cast("long").alias("n_alpha_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).cast("long").alias("n_num_tokens"),
+    )
+
+
+@register(
     "bigram_counts",
     tags=("C5", "B5"),
     oracle="""
