@@ -110,7 +110,7 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(median(l_quantity), 2)                  AS med_qty,
                round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
                sqrt((CAST(round(sum(CAST(l_extendedprice AS DECIMAL(19,4))
-                              * CAST(l_extendedprice AS DECIMAL(19,4))), 4) AS DOUBLE)
+                              * CAST(l_extendedprice AS DECIMAL(19,4))), 0) AS DOUBLE)
                      - CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE)
                        * CAST(sum(CAST(l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / count(*))
                     / (count(*) - 1))                        AS sd_price
@@ -131,7 +131,11 @@ def group_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     p = dec4("l_extendedprice")
     s1 = F.sum(p).cast("double")
-    s2 = F.round(F.sum(p * p), 4).cast("double")
+    # sum-of-squares totals are ~1e12 even at tiny sf, so the scale-4
+    # unscaled value exceeds 2^53 and the engines' decimal->double casts
+    # diverge; integer-round the exact decimal first (identical op both
+    # sides, error 0.5 in 1e12 -> invisible in sd)
+    s2 = F.round(F.sum(p * p), 0).cast("double")
     n = F.count(F.lit(1))
     sd = F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))
     return li.groupBy("l_returnflag").agg(

@@ -36,13 +36,14 @@ def canon(rows, colnames):
 
 
 def values_equal(a, b) -> bool:
+    """BITWISE comparison, matching the driver's value hash: the float
+    policy (mr_py_spark/functions) is designed so both engines emit
+    identical doubles — a tolerance here would mask policy violations
+    (it hid a sum-of-squares 2^53 cast divergence once)."""
     if a is None or b is None:
         return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
-        except (TypeError, ValueError):
-            return False
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
     return a == b
 
 
