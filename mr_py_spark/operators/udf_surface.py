@@ -56,23 +56,32 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B39",),
     oracle="""
         SELECT event_type,
-               round(sqrt(avg(value * value)), 4) AS rms_value
+               CAST(sum(CAST(abs(CAST(value AS DECIMAL(10,4)) - 100) AS DECIMAL(12,4)))
+                    AS DOUBLE) / count(*) AS mad_from_100
         FROM events
         GROUP BY event_type
     """,
 )
 def grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom aggregate as GROUPED_AGG pandas_udf (B39): RMS per group.
-    The UDAF gets the group's values as one pandas Series (partial
-    aggregation does not apply to opaque UDAFs — use native aggs when
-    the function is algebraic)."""
+    """Custom aggregate as GROUPED_AGG pandas_udf (B39): mean absolute
+    deviation from 100, per group. The UDAF gets the group's values as
+    one pandas Series (partial aggregation does not apply to opaque
+    UDAFs — use native aggs when the function is algebraic).
+
+    Bitwise-exactness inside arbitrary Python: values are exact
+    4-decimal, so the UDAF accumulates |v-100| as scaled int64 cents4
+    and performs the identical final division the oracle's
+    decimal-sum/count does — float summation order never appears.
+    """
 
     @pandas_udf("double")
-    def rms(v: pd.Series) -> float:
-        return float((v.pow(2).mean()) ** 0.5)
+    def mad100(v: pd.Series) -> float:
+        scaled = (v * 10_000).round().astype("int64")
+        total = int((scaled - 1_000_000).abs().sum())
+        return (total / 10_000) / len(v)
 
     ev = tbl(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(F.round(rms("value"), 4).alias("rms_value"))
+    return ev.groupBy("event_type").agg(mad100("value").alias("mad_from_100"))
 
 
 @register(
