@@ -86,6 +86,73 @@ def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "secondary_sort",
+    tags=("A6", "B18"),
+    oracle="""
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS journey,
+               count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+)
+def secondary_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MR secondary sort (A6), natively: values arrive at the reducer
+    ordered by a non-key column. The MR form is composite keys + a
+    custom partitioner + sorted shuffle ([MRDP ch.4]); Spark's form is
+    an ordered aggregation — here each user's event-type journey in
+    time order, via sorted structs -> transform (no UDF)."""
+    ev = tbl(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ",",
+            ).alias("journey"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "first_last_window",
+    tags=("B35",),
+    oracle="""
+        SELECT user_id, event_id,
+               first_value(value) OVER w AS first_value_seen,
+               last_value(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS final_value,
+               nth_value(value, 2) OVER w AS second_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth analytic functions (B35). last_value needs the
+    full-partition frame (the default frame ends at CURRENT ROW —
+    classic SQL footgun, made explicit here on both sides)."""
+    from pyspark.sql import Window as W
+
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("value").over(w).alias("first_value_seen"),
+        F.last("value").over(w_full).alias("final_value"),
+        F.nth_value("value", 2).over(w).alias("second_value"),
+    )
+
+
+@register(
     "range_frame_window",
     tags=("B35",),
     oracle="""
