@@ -226,48 +226,72 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters", tags=("C2",), oracle=None)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate clusters + survivor election (C2 end-to-end):
-    candidate pairs (the prefix-blocked exact-Jaccard pairs at
-    threshold 0.5) -> connected components -> keep the minimum doc_id
-    per cluster. Rows-only; pytest asserts cluster consistency against
-    the pair set.
-
-    Connected components run as iterated min-label propagation on
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 64
+) -> DataFrame:
+    """Connected components as iterated min-label propagation on
     DataFrames: each round joins labels across edges and keeps the
-    min; rounds = O(cluster diameter), which for near-dup clusters is
-    tiny (pairs share a blocking key). Each round is one keyed shuffle
-    — no driver-side graph, so the same loop runs at 10^9 edges.
-    """
-    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
-    edges = pairs.select("doc_a", "doc_b").cache()
-    docs = tbl(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    min, until a fixpoint (no label changed). Rounds = O(component
+    diameter); each round is one keyed shuffle — no driver-side graph,
+    so the same loop runs at 10^9 edges.
 
+    ``nodes`` must have a ``doc_id`` column, ``edges`` ``doc_a``/
+    ``doc_b``. Returns (doc_id, label) with label = min doc_id of the
+    component. Raises if ``max_rounds`` is hit before convergence —
+    silent truncation would split long-chain components (a planted
+    8-hop chain guards this in tests/test_properties.py).
+    """
+    edges = edges.select("doc_a", "doc_b").cache()
+    labels = nodes.select("doc_id", F.col("doc_id").alias("label"))
     both = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
-    for _ in range(5):  # diameter bound; planted clusters are cliques (1 suffices)
+    for _ in range(max_rounds):
         neighbor_min = (
             both.join(labels, both.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nlabel"))
         )
-        labels = (
+        # materialize each round and truncate lineage — without this the
+        # plan doubles per round; with it, the final result no longer
+        # references `edges`, so the cache can be released below. The
+        # `changed` flag rides along so the convergence check is a cheap
+        # agg over the checkpointed rows, not a second propagation job.
+        step = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                (F.coalesce(F.col("nlabel"), F.col("label")) < F.col("label")).alias(
+                    "changed"
+                ),
             )
+            .localCheckpoint(eager=True)
         )
-        # materialize each round and truncate lineage — without this the
-        # plan doubles per round; with it, the final result no longer
-        # references `edges`, so the cache can be released below
-        labels = labels.localCheckpoint(eager=True)
+        labels = step.select("doc_id", "label")
+        if step.filter(F.col("changed")).limit(1).count() == 0:
+            edges.unpersist()
+            return labels
     edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+@register("dedup_clusters", tags=("C2",), oracle=None)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters + survivor election (C2 end-to-end):
+    candidate pairs (the prefix-blocked exact-Jaccard pairs at
+    threshold 0.5) -> connected components (convergence-checked min-
+    label propagation, see ``connected_components``) -> keep the
+    minimum doc_id per cluster. Rows-only; pytest asserts cluster
+    consistency against the pair set and chain-shaped convergence.
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5)
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+    labels = connected_components(docs, pairs.select("doc_a", "doc_b"))
     return labels.groupBy("label").agg(
         F.count("*").alias("cluster_size"),
         F.min("doc_id").alias("survivor"),

@@ -16,6 +16,8 @@ accumulation is bit-identical; round(_, 6) is then stable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -38,6 +40,12 @@ def _bc(spark: SparkSession, value):
         return spark.sparkContext.broadcast(value)
     except Exception:
         return _LocalBroadcast(value)
+
+
+# Block-grid size for the exact kNN self-join: a block pair is an
+# (n/B x n/B) matmul in one task, so raise this as the corpus grows
+# (target: 2*(n/B)*64*8 bytes of input + the sim tile per task).
+_KNN_BLOCKS = int(os.environ.get("SPARK_GRAFT_KNN_BLOCKS", "4"))
 
 
 def _emb_double(df: DataFrame, out: str) -> DataFrame:
@@ -142,61 +150,100 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full kNN self-join, top-5 per vector (C3) — the benchmark's
-    quadratic query, executed as broadcast-index + vectorized matmul
-    instead of a row-pair cross join.
+    """Full exact kNN self-join, top-5 per vector (C3) — the benchmark's
+    quadratic query, executed as a block-cogrouped matmul instead of a
+    row-pair cross join OR a driver-collected broadcast index.
 
-    Plan: the whole corpus (n x 64 float32, ~0.5 MB at sf0.1) is a
-    broadcast variable; each partition of query vectors computes a
-    numpy (batch x n) dot product and keeps its own top-5 — no shuffle,
-    no per-pair rows, O(n*d) memory per task. At 10^8+ vectors the same
-    operator runs per IVF bucket (knn_ivf_topk) instead of the full
-    corpus. Similarities are not emitted: BLAS accumulation order
-    differs from a sequential fold at the last ULP, so ids+rank are the
-    stable contract (ranking flips would need two candidates closer
-    than ~1e-13 in cosine).
+    Plan: vectors are hashed into B = _KNN_BLOCKS blocks; each side is
+    replicated B ways via an explode (queries get every candidate-block
+    id, candidates every query-block id), then ``cogroup(qb, cb)`` +
+    ``applyInPandas`` computes one (n/B x n/B) numpy dot product per
+    block pair and keeps each query's block-local top-5 *including
+    boundary ties*, so the global window merge (sim desc, nn_id asc)
+    reproduces the oracle's row_number() exactly. No joins, no
+    cartesian, and — unlike a broadcast-index build — NO driver
+    materialization: rows shuffled are n*B per side and rows emitted
+    are ~n*B*k, never n^2. Exact all-pairs kNN is O(n^2*d) compute on
+    any engine; at 100 TB you raise B (SPARK_GRAFT_KNN_BLOCKS) so a
+    block pair (~(n/B)^2 sims, 2*(n/B)*d*8 B input) fits one task, or
+    switch to the sub-quadratic tiers (knn_ivf_topk / knn_rplsh_topk).
+
+    Similarities are not emitted: BLAS accumulation order differs from
+    a sequential fold at the last ULP, so ids+rank are the stable
+    contract (a ranking flip would need two candidates closer than
+    ~1e-13 in cosine; cross-block comparisons are safe because each
+    pair's sim is computed exactly once).
     """
     import numpy as np
     import pandas as pd
 
+    B = _KNN_BLOCKS
     e = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    corpus = e.toPandas()
-    ids = np.asarray(corpus["vec_id"], dtype=np.int64)
-    mat = np.asarray(list(corpus["embedding"]), dtype=np.float32).astype(np.float64)
-    b_ids = _bc(spark, ids)
-    b_mat = _bc(spark, mat)
+    every_block = F.explode(F.array(*[F.lit(i).cast("int") for i in range(B)]))
 
-    def topk(batches):
-        cids, cmat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.asarray(list(pdf["embedding"]), dtype=np.float32).astype(np.float64)
-            sims = q @ cmat.T  # (batch, n)
-            qids = np.asarray(pdf["vec_id"], dtype=np.int64)
-            # mask self-matches, then take top-5 with (sim desc, id asc) order
-            sims[qids[:, None] == cids[None, :]] = -np.inf
-            n = sims.shape[1]
-            k = min(5, n - 1)
-            out_q, out_n, out_r = [], [], []
-            for i in range(sims.shape[0]):
-                row = sims[i]
-                # candidates = everything tied with or above the k-th best
-                # similarity, so the (sim desc, id asc) tie-break matches the
-                # oracle's row_number() even under mass ties (duplicate vectors)
-                kth = -np.partition(-row, k - 1)[k - 1]
-                cand = np.nonzero(row >= kth)[0]
-                order = np.lexsort((cids[cand], -row[cand]))[:k]
-                out_q.extend([qids[i]] * len(order))
-                out_n.extend(cids[cand[order]])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {
-                    "q_id": np.asarray(out_q, dtype=np.int64),
-                    "nn_id": np.asarray(out_n, dtype=np.int64),
-                    "rn": np.asarray(out_r, dtype=np.int64),
-                }
-            )
+    q = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("qb"),
+        every_block.alias("cb"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("cemb"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("cb"),
+        every_block.alias("qb"),
+    )
 
-    return e.mapInPandas(topk, "q_id long, nn_id long, rn long")
+    def block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "q_id": pd.Series(dtype="int64"),
+                "nn_id": pd.Series(dtype="int64"),
+                "sim": pd.Series(dtype="float64"),
+            }
+        )
+        if left.empty or right.empty:
+            return empty
+        qm = np.asarray(list(left["embedding"]), dtype=np.float32).astype(np.float64)
+        cm = np.asarray(list(right["cemb"]), dtype=np.float32).astype(np.float64)
+        qids = left["vec_id"].to_numpy(np.int64)
+        cids = right["nn_id"].to_numpy(np.int64)
+        sims = qm @ cm.T  # (n/B, n/B)
+        sims[qids[:, None] == cids[None, :]] = -np.inf
+        out_q, out_n, out_s = [], [], []
+        for i in range(sims.shape[0]):
+            row = sims[i]
+            kk = min(5, int((row > -np.inf).sum()))
+            if kk == 0:
+                continue
+            # keep everything tied with or above the kk-th best so the
+            # global (sim desc, nn_id asc) tie-break sees all contenders
+            kth = -np.partition(-row, kk - 1)[kk - 1]
+            cand = np.nonzero(row >= kth)[0]
+            out_q.extend([qids[i]] * len(cand))
+            out_n.extend(cids[cand])
+            out_s.extend(row[cand])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "q_id": np.asarray(out_q, dtype=np.int64),
+                "nn_id": np.asarray(out_n, dtype=np.int64),
+                "sim": np.asarray(out_s, dtype=np.float64),
+            }
+        )
+
+    part = (
+        q.groupBy("qb", "cb")
+        .cogroup(c.groupBy("qb", "cb"))
+        .applyInPandas(block_topk, "q_id long, nn_id long, sim double")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        part.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "nn_id", "rn")
+    )
 
 
 # 4 hyperplanes -> 16 buckets. For cos-sim s, a neighbor differs on each

@@ -58,13 +58,22 @@ def test_semi_join_stays_semi(spark):
     assert "LeftSemi" in plan_of(spark, "semi_join")
 
 
-def test_knn_selfjoin_has_no_join(spark):
-    """The benchmark kNN must be the broadcast-matmul plan: no join,
-    no exchange — a single mapInPandas over the scan."""
+def test_knn_selfjoin_is_blocked_cogroup(spark):
+    """The benchmark kNN must be the block-cogrouped matmul plan: no
+    join and no cartesian row explosion — replication is an explode,
+    the matmul runs inside FlatMapCoGroupsInPandas — and crucially NO
+    driver-side materialization of the corpus (the round-1 plan built
+    a broadcast index via toPandas(), a driver OOM at 10^8 vectors)."""
+    import inspect
+
+    from mr_py_spark.operators import similarity
+
     p = plan_of(spark, "knn_selfjoin")
     assert "Join" not in p
-    assert "Exchange" not in p
-    assert "MapInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "FlatMapCoGroupsInPandas" in p
+    src = inspect.getsource(similarity.knn_selfjoin)
+    assert "toPandas" not in src and "collect(" not in src
 
 
 def test_minhash_has_no_cartesian(spark):

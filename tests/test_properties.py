@@ -230,6 +230,39 @@ def test_dedup_clusters_consistent_with_pairs(spark):
     assert len(got_multi) > 0, "planted near-dups should form clusters"
 
 
+def test_connected_components_converges_on_long_chain(spark):
+    """A chain-shaped component of diameter 8 — the shape the old
+    fixed-5-round loop silently split — must collapse to one label,
+    and the loop must detect the fixpoint rather than round-cap."""
+    from mr_py_spark.operators.dedup import connected_components
+
+    # chain 0-1-2-...-8 (diameter 8), plus an isolated node and a triangle
+    chain = [(i, i + 1) for i in range(8)]
+    tri = [(20, 21), (21, 22)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in list(range(9)) + [15, 20, 21, 22]], "doc_id long"
+    )
+    edges = spark.createDataFrame(chain + tri, "doc_a long, doc_b long")
+    labels = {r.doc_id: r.label for r in connected_components(nodes, edges).collect()}
+    assert all(labels[i] == 0 for i in range(9)), labels
+    assert labels[15] == 15
+    assert labels[20] == labels[21] == labels[22] == 20
+
+
+def test_connected_components_raises_without_convergence(spark):
+    """The round cap must be a loud error, not silent truncation."""
+    import pytest as _pytest
+
+    from mr_py_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_rounds=2)
+
+
 def test_media_features_shape_and_determinism(spark):
     a = rows(spark, "media_features")
     b = rows(spark, "media_features")
