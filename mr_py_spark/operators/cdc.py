@@ -13,15 +13,23 @@ from mr_py_spark.sources import tbl
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
-    """MERGE-shaped upsert: updates override matching target rows,
-    unmatched updates insert, unmatched target rows survive. Both
-    inputs must share a schema. One shuffle on the key (or none, if
-    both sides are bucketed on it — sources/sinks.write_bucketed)."""
+    """MERGE-shaped upsert: a matched update row overrides the target
+    row IN FULL — including columns the update sets to NULL (true
+    WHEN MATCHED THEN UPDATE semantics, keyed on the update's non-null
+    join key rather than per-column coalesce, which could never null a
+    column out). Unmatched updates insert, unmatched target rows
+    survive. Both inputs must share a schema. One shuffle on the key
+    (or none, if both sides are bucketed on it —
+    sources/sinks.write_bucketed)."""
     t = target.alias("t")
     u = updates.alias("u")
     cols = target.columns
+    matched = F.col(f"u.{key}").isNotNull()
     return t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full").select(
-        *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols]
+        *[
+            F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
     )
 
 
@@ -38,9 +46,9 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
             WHERE o.o_orderstatus = 'F'
             GROUP BY c.c_custkey
         )
-        SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
-               coalesce(u.c_name, c.c_name)       AS c_name,
-               coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal
+        SELECT CASE WHEN u.c_custkey IS NOT NULL THEN u.c_custkey ELSE c.c_custkey END AS c_custkey,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name    ELSE c.c_name    END AS c_name,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE c.c_acctbal END AS c_acctbal
         FROM customer c FULL OUTER JOIN updates u ON u.c_custkey = c.c_custkey
     """,
 )

@@ -1,0 +1,55 @@
+"""Text/CSV source surface (SURVEY.md §2 A7).
+
+The reference pattern catalog's canonical input is line-oriented text
+parsed ad hoc per mapper; the Spark-first form is a schema'd CSV scan
+(header, quoting, typed columns) — same DataFrame downstream as any
+parquet table, so every operator composes with it unchanged. The
+parquet catalog (sources/catalog.py) stays the performance path;
+this proves the non-columnar ingest path end-to-end with a driver
+oracle (round 1 covered it only in pytest round-trips,
+tests/test_sources.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+_CSV_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_csv")
+
+
+@register(
+    "csv_source_agg",
+    tags=("A7", "B1"),
+    oracle="""
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM nation
+        GROUP BY n_regionkey
+    """,
+)
+def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the nation table through a real CSV file, then read it
+    back with an explicit schema and aggregate. The oracle runs the
+    same aggregate over the parquet view, so any CSV write/read
+    mangling (quoting, header, type coercion) breaks parity. Scale
+    note: an explicit schema (never inferSchema) is mandatory at 100 TB
+    — inference is an extra full scan of the input."""
+    path = os.path.join(
+        _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "nation"
+    )
+    nation = tbl(spark, sf_dir, "nation")
+    nation.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    csv = (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", True)
+        .csv(path)
+    )
+    return csv.groupBy("n_regionkey").agg(
+        F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
+    )

@@ -65,11 +65,15 @@ def percentile_approx_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_fns",
     tags=("B32",),
     oracle="""
-        SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-               'k'       AS map_key,
-               count(*)  AS n
-        FROM events
-        GROUP BY 1
+        WITH kv AS (
+            SELECT unnest(json_keys(props)) AS map_key, props
+            FROM events
+        )
+        SELECT CAST(json_extract_string(props, '$.' || map_key) AS BIGINT) % 10 AS k_mod,
+               map_key,
+               count(*) AS n
+        FROM kv
+        GROUP BY 1, 2
     """,
 )
 def map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:

