@@ -104,6 +104,39 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer, restricted to syntax Java regex (Spark)
+# and RE2 (DuckDB) evaluate identically — no lookarounds, no \p
+# classes. Counting these pre-tokens tracks real BPE counts far more
+# closely than chars/4 (BPE only ever splits WITHIN a pre-token).
+_BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s"
+
+
+@register(
+    "token_count_bpe",
+    tags=("C5",),
+    oracle=f"""
+        SELECT source,
+               CAST(sum(len(regexp_extract_all(text, '{_BPE_PRETOKEN_RE.replace("'", "''")}'))) AS BIGINT)
+                   AS bpe_tokens,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY source
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer token accounting per source (C5): counts
+    GPT-2-style pre-tokens with a regex both engines run bitwise-
+    identically. A real vocab-merging BPE (tiktoken/transformers, not
+    in this container) would slot into the same seam as a pandas_udf
+    over the text column — the aggregation shape is unchanged; this
+    regex count is its deterministic, engine-portable lower bound."""
+    docs = tbl(spark, sf_dir, "documents")
+    n = F.size(F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN_RE), F.lit(0)))
+    return docs.groupBy("source").agg(
+        F.sum(n).alias("bpe_tokens"), F.count("*").alias("n_docs")
+    )
+
+
 # Tiny per-language stopword lexicons for the heuristic language ID.
 _LEX = {
     "en": ("the", "and", "of", "to", "is"),

@@ -55,20 +55,21 @@ OFFSET_COLS = {
 
 def scale_table(src: str, out: str, name: str, factor: int, bases: dict) -> int:
     table = pq.read_table(f"{src}/{name}.parquet")
-    copies = [table]
-    for i in range(1, factor):
-        cols = []
-        for col_name in table.column_names:
-            col = table.column(col_name)
-            space = OFFSET_COLS[name].get(col_name)
-            if space is not None:
-                shifted = pc.add(col, i * bases[space])
-                col = shifted.cast(col.type)  # keep the source int width
-            cols.append(col)
-        copies.append(pa.table(dict(zip(table.column_names, cols))))
-    merged = pa.concat_tables(copies)
-    pq.write_table(merged, f"{out}/{name}.parquet")
-    return merged.num_rows
+    # stream one copy per row group so factor=100 never holds 100
+    # copies in RAM; per-copy row groups also give scan parallelism
+    with pq.ParquetWriter(f"{out}/{name}.parquet", table.schema) as writer:
+        writer.write_table(table)
+        for i in range(1, factor):
+            cols = []
+            for col_name in table.column_names:
+                col = table.column(col_name)
+                space = OFFSET_COLS[name].get(col_name)
+                if space is not None:
+                    shifted = pc.add(col, i * bases[space])
+                    col = shifted.cast(col.type)  # keep the source int width
+                cols.append(col)
+            writer.write_table(pa.table(dict(zip(table.column_names, cols))))
+    return table.num_rows * factor
 
 
 def main() -> None:
