@@ -32,7 +32,10 @@ BENCH_QUERIES = [
     "tumbling_window",
 ]
 
-N_RUNS = 3
+# Best-of-N timed runs after one warm-up. Override for large scale
+# factors where a single execution is already seconds-long and
+# run-to-run variance is negligible relative to the runtime.
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def main() -> None:

@@ -54,6 +54,12 @@ def fmt_ts(col: Column | str) -> Column:
     return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
 
 
+def fmt_ts_us(col: Column | str) -> Column:
+    """Render a timestamp with microseconds, 'yyyy-MM-dd HH:mm:ss.SSSSSS'
+    (DuckDB: strftime(ts, '%Y-%m-%d %H:%M:%S.%f') — also 6-digit)."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Dot product of two float arrays, fully JVM-side.
 

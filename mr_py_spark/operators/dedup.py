@@ -18,6 +18,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 from pyspark.sql.functions import pandas_udf
 
 from mr_py_spark.functions import words
@@ -330,3 +331,44 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tbl(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash("text").alias("simhash64"))
+
+
+@register(
+    "dedup_latest",
+    tags=("C1", "B34"),
+    oracle="""
+        SELECT user_id, event_type, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+               value
+        FROM (
+            SELECT user_id, event_type, event_id, ts, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn = 1
+    """,
+)
+def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest-per-key dedup (C1/B34): the CDC-compaction shape
+    every training-data pipeline runs — one surviving record per
+    (user_id, event_type), newest ts wins, event_id as the total
+    tie-break. One hash shuffle on the key; Spark's WindowGroupLimit
+    prunes to the per-key max BEFORE the sort spills (map-side top-1),
+    so at 100 TB the shuffle carries only each partition's per-key
+    leaders, not the full history."""
+    from mr_py_spark.functions import fmt_ts_us
+
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_type", "event_id", fmt_ts_us("ts").alias("ts"), "value"
+        )
+    )

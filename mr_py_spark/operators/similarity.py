@@ -45,7 +45,36 @@ def _bc(spark: SparkSession, value):
 # Block-grid size for the exact kNN self-join: a block pair is an
 # (n/B x n/B) matmul in one task, so raise this as the corpus grows
 # (target: 2*(n/B)*64*8 bytes of input + the sim tile per task).
-_KNN_BLOCKS = int(os.environ.get("SPARK_GRAFT_KNN_BLOCKS", "4"))
+_KNN_BLOCKS = int(os.environ.get("SPARK_GRAFT_KNN_BLOCKS", "0"))  # 0 = auto
+
+
+def _knn_blocks(n: int) -> int:
+    """Auto-size the block grid: keep each block near _BLOCK_ROWS rows
+    so a pair's matmul tile stays cache/memory-friendly and the B^2
+    pairs spread evenly over the executor cores; explicit env wins."""
+    if _KNN_BLOCKS > 0:
+        return _KNN_BLOCKS
+    return max(4, min(64, round(n / _BLOCK_ROWS)))
+
+
+def _table_rows(df: DataFrame, sf_dir: str, name: str) -> int:
+    """Row count for grid sizing — parquet footer metadata when the
+    fixture is a single file (milliseconds, no Spark job), else one
+    count() job. Only a sizing heuristic, so staleness is harmless."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            f"{sf_dir.rstrip('/')}/{name}.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return df.count()
+
+
+# ~B^2 pairs of (n/B)-row blocks: n/B near 1500 keeps a pair's tile at
+# ~1500^2 sims (18 MB) and, at n=20k, yields B=13 -> 169 pairs that
+# level across 32 cores instead of 16 lumpy half-second ones.
+_BLOCK_ROWS = 1500
 
 
 def _emb_double(df: DataFrame, out: str) -> DataFrame:
@@ -154,19 +183,21 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic query, executed as a block-cogrouped matmul instead of a
     row-pair cross join OR a driver-collected broadcast index.
 
-    Plan: vectors are hashed into B = _KNN_BLOCKS blocks; each side is
+    Plan: vectors are hashed into B = _knn_blocks(n) blocks; each side
     replicated B ways via an explode (queries get every candidate-block
     id, candidates every query-block id), then ``cogroup(qb, cb)`` +
-    ``applyInPandas`` computes one (n/B x n/B) numpy dot product per
+    ``applyInArrow`` computes one (n/B x n/B) numpy dot product per
     block pair and keeps each query's block-local top-5 *including
     boundary ties*, so the global window merge (sim desc, nn_id asc)
     reproduces the oracle's row_number() exactly. No joins, no
     cartesian, and — unlike a broadcast-index build — NO driver
     materialization: rows shuffled are n*B per side and rows emitted
     are ~n*B*k, never n^2. Exact all-pairs kNN is O(n^2*d) compute on
-    any engine; at 100 TB you raise B (SPARK_GRAFT_KNN_BLOCKS) so a
-    block pair (~(n/B)^2 sims, 2*(n/B)*d*8 B input) fits one task, or
-    switch to the sub-quadratic tiers (knn_ivf_topk / knn_rplsh_topk).
+    any engine; the grid auto-sizes with n (SPARK_GRAFT_KNN_BLOCKS
+    overrides) so a block pair (~(n/B)^2 sims, 2*(n/B)*d*8 bytes in)
+    stays one cache-friendly task and the B^2 pairs level across the
+    cores. Past the exact tier's budget, switch to the sub-quadratic
+    tiers (knn_ivf_topk / knn_rplsh_topk).
 
     Similarities are not emitted: BLAS accumulation order differs from
     a sequential fold at the last ULP, so ids+rank are the stable
@@ -175,10 +206,11 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair's sim is computed exactly once).
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    B = _KNN_BLOCKS
     e = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # pinned grid skips sizing; auto reads the parquet footer (no job)
+    B = _KNN_BLOCKS if _KNN_BLOCKS > 0 else _knn_blocks(_table_rows(e, sf_dir, "embeddings"))
     every_block = F.explode(F.array(*[F.lit(i).cast("int") for i in range(B)]))
 
     q = e.select(
@@ -194,49 +226,66 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         every_block.alias("qb"),
     )
 
-    def block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "q_id": pd.Series(dtype="int64"),
-                "nn_id": pd.Series(dtype="int64"),
-                "sim": pd.Series(dtype="float64"),
-            }
+    def _mat(table: pa.Table, col: str) -> "np.ndarray":
+        # zero-copy list<float> -> (rows, dim) float64, no per-row hop
+        flat = table.column(col).combine_chunks().flatten()
+        return (
+            flat.to_numpy(zero_copy_only=False)
+            .reshape(table.num_rows, -1)
+            .astype(np.float64)
         )
-        if left.empty or right.empty:
-            return empty
-        qm = np.asarray(list(left["embedding"]), dtype=np.float32).astype(np.float64)
-        cm = np.asarray(list(right["cemb"]), dtype=np.float32).astype(np.float64)
-        qids = left["vec_id"].to_numpy(np.int64)
-        cids = right["nn_id"].to_numpy(np.int64)
+
+    _EMPTY = pa.table(
+        {
+            "q_id": pa.array([], pa.int64()),
+            "nn_id": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+    def block_topk(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return _EMPTY
+        qm, cm = _mat(left, "embedding"), _mat(right, "cemb")
+        qids = left.column("vec_id").to_numpy()
+        cids = right.column("nn_id").to_numpy()
         sims = qm @ cm.T  # (n/B, n/B)
         sims[qids[:, None] == cids[None, :]] = -np.inf
-        out_q, out_n, out_s = [], [], []
-        for i in range(sims.shape[0]):
-            row = sims[i]
-            kk = min(5, int((row > -np.inf).sum()))
-            if kk == 0:
-                continue
-            # keep everything tied with or above the kk-th best so the
-            # global (sim desc, nn_id asc) tie-break sees all contenders
-            kth = -np.partition(-row, kk - 1)[kk - 1]
-            cand = np.nonzero(row >= kth)[0]
-            out_q.extend([qids[i]] * len(cand))
-            out_n.extend(cids[cand])
-            out_s.extend(row[cand])
-        if not out_q:
-            return empty
-        return pd.DataFrame(
+        k = min(5, cm.shape[0])
+        # per-row k-th best, vectorized; keep everything tied with or
+        # above it so the global (sim desc, nn_id asc) tie-break sees
+        # all contenders. Rows with fewer than k valid candidates (the
+        # self-excluded diagonal of a tiny block) get kth = -inf, and
+        # the isfinite guard then emits exactly their valid set.
+        kth = np.partition(sims, -k, axis=1)[:, -k]
+        qi, ci = np.nonzero((sims >= kth[:, None]) & np.isfinite(sims))
+        if qi.size == 0:
+            return _EMPTY
+        return pa.table(
             {
-                "q_id": np.asarray(out_q, dtype=np.int64),
-                "nn_id": np.asarray(out_n, dtype=np.int64),
-                "sim": np.asarray(out_s, dtype=np.float64),
+                "q_id": pa.array(qids[qi], pa.int64()),
+                "nn_id": pa.array(cids[ci], pa.int64()),
+                "sim": pa.array(sims[qi, ci], pa.float64()),
             }
         )
 
+    # Large grids get an explicit pair repartition: the matmul stage is
+    # compute-bound but byte-light, so AQE's size-based coalescing
+    # would clump the B^2 pairs onto a few cores; a user repartition is
+    # exempt from coalescing and the cogroup reuses its partitioning.
+    # Cap at 2x the core count — each Arrow-cogroup task pays a
+    # Python-worker round trip, so hundreds of sub-second tasks cost
+    # more than they level. Small grids (fewer pairs than that cap)
+    # can't be leveled any further by repartitioning, and AQE's
+    # coalescing of the tiny shuffle is the cheaper schedule.
+    cores = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if B * B >= 2 * cores:
+        q = q.repartition(2 * cores, "qb", "cb")
+        c = c.repartition(2 * cores, "qb", "cb")
     part = (
         q.groupBy("qb", "cb")
         .cogroup(c.groupBy("qb", "cb"))
-        .applyInPandas(block_topk, "q_id long, nn_id long, sim double")
+        .applyInArrow(block_topk, "q_id long, nn_id long, sim double")
     )
     w = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nn_id"))
     return (
@@ -421,3 +470,42 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("v", "qv")
     )
     return _ivf_topk_core(spark, e, queries)
+
+
+@register("emb_centroid", tags=("C3",), oracle=None)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (C3): componentwise mean vector per
+    label — the building block for class prototypes, IVF coarse
+    quantizers, and cluster drift monitoring. Implemented as
+    posexplode -> groupBy(label, pos) avg -> re-assemble sorted by
+    position: the shuffle carries (label, pos, partial sum) scalars,
+    never whole vectors, and each row's explode fan-out equals the
+    fixed dimension — so the plan holds at 10^9 vectors.
+
+    Rows-only by design: the cross-row float summation order is
+    engine- and partitioning-dependent, so there is no bitwise-stable
+    SQL oracle; tests/test_properties.py plants Gaussian clusters and
+    asserts each centroid lands within tolerance of its true mean and
+    that labels map 1:1 to output rows.
+    """
+    e = tbl(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    per_comp = comp.groupBy("label", "pos").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    return (
+        per_comp.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "m"))
+            ).alias("pm"),
+            F.count("*").alias("dim"),
+        )
+        .select(
+            "label",
+            F.transform(F.col("pm"), lambda s: s.m).alias("centroid"),
+            "dim",
+        )
+    )

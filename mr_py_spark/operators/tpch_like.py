@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from mr_py_spark.functions import dec4, dsum, fmt_ts, ts_ntz
 from mr_py_spark.registry import register
@@ -211,3 +212,147 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "q17_small_qty_revenue",
+    tags=("B19", "B2", "B33"),
+    oracle="""
+        WITH th AS (
+            SELECT l_partkey,
+                   sum(CAST(CAST(l_quantity AS DECIMAL(10,4)) * 10000 AS BIGINT)) AS sum_qi,
+                   count(*) AS cnt
+            FROM lineitem
+            GROUP BY l_partkey
+        )
+        SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))) AS DOUBLE) / 7.0
+                   AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN th    ON th.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND CAST(CAST(l.l_quantity AS DECIMAL(10,4)) * 10000 AS BIGINT)
+                  * 5 * th.cnt < th.sum_qi
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from small-quantity orders of one brand,
+    where 'small' is a correlated per-part threshold (qty < 0.2 * the
+    part's average quantity). Spark-first: the brand dim broadcasts to
+    prune lineitem FIRST (1/25 of parts survive), then the correlated
+    scalar subquery becomes a window aggregate over l_partkey on the
+    pruned rows — one shuffle, no join-back, and nothing driver- or
+    broadcast-materialized that grows with the part domain.
+    Cross-engine exactness: the 0.2*avg comparison is multiplied out
+    into pure BIGINT arithmetic (quantity has exactly 4 decimals), so
+    the filter decision is bit-identical in both engines instead of
+    racing IEEE division at the boundary."""
+    li = tbl(spark, sf_dir, "lineitem")
+    qi = (dec4("l_quantity") * F.lit(10000)).cast("long")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    w = W.partitionBy("l_partkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .withColumn("qi", qi)
+        .withColumn("sum_qi", F.sum("qi").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter(F.col("qi") * F.lit(5) * F.col("cnt") < F.col("sum_qi"))
+        .agg((dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q21_last_shipper",
+    tags=("B19", "B20", "B11"),
+    oracle="""
+        WITH om AS (
+            SELECT l_orderkey, max(l_shipdate) AS max_ship,
+                   count(DISTINCT l_suppkey) AS nsupp
+            FROM lineitem
+            GROUP BY l_orderkey
+        ),
+        last AS (
+            SELECT DISTINCT l.l_orderkey, l.l_suppkey
+            FROM lineitem l JOIN om ON om.l_orderkey = l.l_orderkey
+            WHERE l.l_shipdate = om.max_ship AND om.nsupp >= 2
+        ),
+        sole AS (
+            SELECT l_orderkey FROM last GROUP BY l_orderkey HAVING count(*) = 1
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM last
+        JOIN sole USING (l_orderkey)
+        JOIN supplier s ON s.s_suppkey = last.l_suppkey
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+)
+def q21_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers who were the
+    SOLE last shipper on multi-supplier orders. The two correlated
+    existence tests become relational building blocks: the EXISTS side
+    is a window aggregate over l_orderkey (max shipdate + distinct-
+    supplier count on the SAME single shuffle — no join-back), and the
+    NOT EXISTS (no OTHER supplier also shipped at the max) is a second
+    window (count of distinct last-shippers per order) that rides the
+    SAME l_orderkey partitioning — so lineitem is scanned once and
+    shuffled once for both existence tests. The supplier dim
+    broadcasts. Top-10 is total-ordered (numwait desc, s_name) for a
+    deterministic hash."""
+    li = tbl(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
+    last = (
+        li.withColumn("max_ship", F.max("l_shipdate").over(w))
+        .withColumn("nsupp", F.size(F.collect_set("l_suppkey").over(w)))
+        .filter((F.col("l_shipdate") == F.col("max_ship")) & (F.col("nsupp") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = last.withColumn("nlast", F.count("*").over(w)).filter(F.col("nlast") == 1)
+    s = tbl(spark, sf_dir, "supplier")
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@register(
+    "q4_priority_semi",
+    tags=("B20", "B1"),
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority that had at least one
+    late-shipping lineitem (shipped >30 days after the order date),
+    over one quarter. The EXISTS is a LEFT SEMI join with an extra
+    non-equi predicate — Spark keeps the equi key (orderkey) as the
+    join key and applies the date comparison as a join-time filter, so
+    it stays a hash semi-join, not a theta product. The quarter filter
+    prunes orders BEFORE the join (predicate pushdown to the scan)."""
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_ntz("1996-04-01 00:00:00"))
+    )
+    li = tbl(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))

@@ -53,12 +53,17 @@ OFFSET_COLS = {
 }
 
 
-def scale_table(src: str, out: str, name: str, factor: int, bases: dict) -> int:
+def scale_table(
+    src: str, out: str, name: str, factor: int, bases: dict, row_group_size: int
+) -> int:
     table = pq.read_table(f"{src}/{name}.parquet")
-    # stream one copy per row group so factor=100 never holds 100
-    # copies in RAM; per-copy row groups also give scan parallelism
+    # Stream one copy at a time so factor=100 never holds 100 copies in
+    # RAM. row_group_size matters: Spark and DuckDB both parallelize
+    # parquet scans at row-group granularity (the sf0.1 fixtures are a
+    # single row group, which serializes the scan); ~150k-row groups
+    # mirror the layout a real multi-file 100 TB table would have.
     with pq.ParquetWriter(f"{out}/{name}.parquet", table.schema) as writer:
-        writer.write_table(table)
+        writer.write_table(table, row_group_size=row_group_size)
         for i in range(1, factor):
             cols = []
             for col_name in table.column_names:
@@ -68,7 +73,10 @@ def scale_table(src: str, out: str, name: str, factor: int, bases: dict) -> int:
                     shifted = pc.add(col, i * bases[space])
                     col = shifted.cast(col.type)  # keep the source int width
                 cols.append(col)
-            writer.write_table(pa.table(dict(zip(table.column_names, cols))))
+            writer.write_table(
+                pa.table(dict(zip(table.column_names, cols))),
+                row_group_size=row_group_size,
+            )
     return table.num_rows * factor
 
 
@@ -77,6 +85,7 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/sparkgraft/sf1")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--row-group-size", type=int, default=150_000)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -90,7 +99,7 @@ def main() -> None:
         pq.write_table(t, f"{args.out}/{name}.parquet")
         print(f"{name}: {t.num_rows} rows (copied)")
     for name in OFFSET_COLS:
-        n = scale_table(args.src, args.out, name, args.factor, bases)
+        n = scale_table(args.src, args.out, name, args.factor, bases, args.row_group_size)
         print(f"{name}: {n} rows (x{args.factor})")
 
 

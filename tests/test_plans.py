@@ -61,7 +61,7 @@ def test_semi_join_stays_semi(spark):
 def test_knn_selfjoin_is_blocked_cogroup(spark):
     """The benchmark kNN must be the block-cogrouped matmul plan: no
     join and no cartesian row explosion — replication is an explode,
-    the matmul runs inside FlatMapCoGroupsInPandas — and crucially NO
+    the matmul runs inside an Arrow-batched cogroup — and crucially NO
     driver-side materialization of the corpus (the round-1 plan built
     a broadcast index via toPandas(), a driver OOM at 10^8 vectors)."""
     import inspect
@@ -71,7 +71,7 @@ def test_knn_selfjoin_is_blocked_cogroup(spark):
     p = plan_of(spark, "knn_selfjoin")
     assert "Join" not in p
     assert "CartesianProduct" not in p
-    assert "FlatMapCoGroupsInPandas" in p
+    assert "FlatMapCoGroupsInArrow" in p or "FlatMapCoGroupsInPandas" in p
     src = inspect.getsource(similarity.knn_selfjoin)
     assert "toPandas" not in src and "collect(" not in src
 
@@ -92,3 +92,34 @@ def test_minhash_has_no_cartesian(spark):
     p = plan_of(spark, "dedup_minhash")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_latest_map_side_group_limit(spark):
+    """The keep-newest shuffle must be pruned map-side: a Partial
+    WindowGroupLimit before the exchange means each task ships only
+    its per-key leaders, not the full history — the property that
+    makes the operator viable at 100 TB."""
+    p = plan_of(spark, "dedup_latest")
+    partial = next(
+        (l for l in p.splitlines() if "WindowGroupLimit" in l and "Partial" in l), None
+    )
+    assert partial is not None, p
+    assert p.index(partial) > p.index("Exchange hashpartitioning(user_id")
+
+
+def test_q17_semi_broadcast_single_shuffle(spark):
+    """Brand dim broadcasts as a semi join; the correlated threshold is
+    a window over ONE l_partkey exchange (no join-back, nothing
+    broadcast that scales with the part domain)."""
+    p = plan_of(spark, "q17_small_qty_revenue")
+    assert "LeftSemi, BuildRight" in p
+    assert p.count("Exchange hashpartitioning(l_partkey") == 1
+    assert "Window [" in p
+
+
+def test_q21_single_lineitem_shuffle(spark):
+    """Both existence tests ride one l_orderkey exchange of lineitem;
+    the supplier dim broadcasts."""
+    p = plan_of(spark, "q21_last_shipper")
+    assert p.count("Exchange hashpartitioning(l_orderkey") == 1
+    assert "BroadcastHashJoin [l_suppkey" in p

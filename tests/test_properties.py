@@ -379,3 +379,55 @@ def test_lang_id_well_formed(spark):
     out = rows(spark, "lang_id_heuristic")
     assert {r.lang_pred for r in out} <= {"en", "fr", "es", "de"}
     assert len(out) == len({r.doc_id for r in out})
+
+
+def test_emb_centroid_matches_planted_means(spark):
+    """emb_centroid recovers planted Gaussian cluster means: build a
+    synthetic frame with 3 labels at known centers and assert each
+    centroid is within sampling tolerance of its center, dims intact,
+    and labels 1:1 with output rows."""
+    import numpy as np
+    import pandas as pd
+
+    from mr_py_spark.operators.similarity import emb_centroid
+
+    rng = np.random.RandomState(11)
+    centers = {0: 0.5, 1: -0.25, 2: 0.0}
+    recs = []
+    for lbl, mu in centers.items():
+        for i in range(200):
+            recs.append(
+                {
+                    "vec_id": lbl * 1000 + i,
+                    "embedding": (mu + 0.05 * rng.standard_normal(8)).astype(
+                        np.float32
+                    ).tolist(),
+                    "label": lbl,
+                }
+            )
+    sdf = spark.createDataFrame(pd.DataFrame(recs))
+    sdf.createOrReplaceTempView("_emb_centroid_fixture")
+
+    import mr_py_spark.sources as sources
+
+    orig = sources.tbl
+    try:
+        sources.tbl = lambda sp, sf, name: (
+            sp.table("_emb_centroid_fixture") if name == "embeddings" else orig(sp, sf, name)
+        )
+        # the operator resolves tbl at call time through its module global
+        import mr_py_spark.operators.similarity as sim
+
+        sim_tbl = sim.tbl
+        sim.tbl = sources.tbl
+        out = {r.label: r for r in emb_centroid(spark, SF_DIR).collect()}
+    finally:
+        sources.tbl = orig
+        sim.tbl = sim_tbl
+    assert set(out) == set(centers)
+    for lbl, mu in centers.items():
+        r = out[lbl]
+        assert r.dim == 8
+        got = np.asarray(r.centroid)
+        # 200 samples of sigma=0.05 -> se ~ 0.0035; 5 sigma margin
+        assert np.all(np.abs(got - mu) < 0.02), (lbl, got)
