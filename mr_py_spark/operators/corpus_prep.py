@@ -1,0 +1,247 @@
+"""Training-corpus preparation operators (SURVEY.md §2C: C5 extensions).
+
+The mechanical steps between a cleaned corpus and a training run:
+window chunking, PII redaction, mixture weighting, deterministic
+stratified sampling, and sequence packing. All deterministic — the
+sampling and packing decisions are hash- and order-based, never RNG-
+based, so the same corpus always yields the same training set on any
+engine, partitioning, or cluster size (reproducibility is a hard
+requirement for training-data pipelines).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import words
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+# Window chunking: 64-token windows every 48 tokens (16-token overlap),
+# the context-window slicing step of a pretraining tokenizer pipeline.
+_CHUNK = 64
+_STRIDE = 48
+
+
+@register(
+    "doc_chunks",
+    tags=("C5",),
+    oracle=f"""
+        WITH ch AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id,
+               s AS chunk_start,
+               CAST(len(list_slice(w, s, s + {_CHUNK - 1})) AS BIGINT) AS n_tokens,
+               md5(array_to_string(list_slice(w, s, s + {_CHUNK - 1}), ' ')) AS chunk_md5
+        FROM (SELECT doc_id, w,
+                     unnest(range(1, len(w) + 1, {_STRIDE})) AS s
+              FROM ch)
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping window chunking (C5): each document becomes
+    64-token windows on a 48-token stride — the slicing a tokenizer
+    pipeline performs before packing. Pure scan + generate: the chunk
+    starts are a per-row `sequence` exploded in place, so there is NO
+    shuffle and the fan-out per row is n_tokens/stride — the plan is a
+    single embarrassingly-parallel stage at any corpus size. Chunk
+    text is emitted as md5 (the compare stays row-shaped; a real
+    pipeline would write the tokens)."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(_STRIDE))
+    chunk = F.slice(F.col("w"), F.col("s"), _CHUNK)
+    return (
+        docs.select("doc_id", w.alias("w"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("chunk_start"),
+            F.size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+# Java-regex == RE2 subset (no lookarounds, no \p classes) so both
+# engines match identically; Spark regexp_replace is replace-all,
+# DuckDB needs the explicit 'g' flag.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "pii_scrub",
+    tags=("C5", "B29"),
+    oracle=f"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com, tel +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+                       AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM aug
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (C5): email/phone patterns replaced with typed
+    placeholders, plus per-doc redaction counts for audit. The fixture
+    has no planted PII, so both sides append a deterministic synthetic
+    contact line keyed on doc_id — the redaction then provably fires
+    on every row. JVM-side regexp only; one scan, no shuffle."""
+    docs = tbl(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com, tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select("doc_id", aug.alias("t")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "domain_mix_weights",
+    tags=("C5", "B2"),
+    oracle="""
+        WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+             t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total, count(*) AS k FROM s)
+        SELECT s.source, s.n_docs,
+               s.n_docs / t.total            AS actual_frac,
+               t.total / (t.k * s.n_docs)    AS mix_weight
+        FROM s, t
+    """,
+)
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting (C5): per-source sampling weight that
+    rebalances the corpus to a uniform target mix (weight = target
+    share / actual share). The per-source counts aggregate in one
+    shuffle; the totals frame is one row and broadcasts. No rounding:
+    both weights are single IEEE divisions of exact integers, which
+    every engine computes bit-identically (the float policy only bars
+    order-dependent accumulations)."""
+    docs = tbl(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").cast("double").alias("total"),
+        F.count("*").alias("k"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") / F.col("total")).alias("actual_frac"),
+        (F.col("total") / (F.col("k") * F.col("n_docs"))).alias("mix_weight"),
+    )
+
+
+# Per-language keep thresholds on the first hex char of md5(doc_id):
+# '8' keeps 8/16 of docs, '4' keeps 4/16, '2' keeps 2/16. md5 is a
+# spec, so the SAME rows are kept on any engine — unlike RNG-based
+# Bernoulli sampling, whose reproducibility is engine/partitioning-
+# dependent (the seeded-RNG variant is `sampling` + its property test).
+_LANG_KEEP = {"en": "8", "fr": "4", "es": "4"}
+_DEFAULT_KEEP = "2"
+
+
+@register(
+    "stratified_sample_hash",
+    tags=("C5", "B12"),
+    oracle=f"""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+              CASE lang
+                  {" ".join(f"WHEN '{lang}' THEN '{th}'" for lang, th in _LANG_KEEP.items())}
+                  ELSE '{_DEFAULT_KEEP}'
+              END
+    """,
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (C5/B12): per-language keep
+    rates (en 1/2, fr+es 1/4, rest 1/8) decided by a hash of the doc
+    id, not an RNG — the exact row set is reproducible across engines,
+    runs, and repartitioning, which is what a training-data pipeline
+    needs for corpus versioning. Pure scan predicate; 16ths granularity
+    comes from one hex char (extend the prefix for finer rates)."""
+    docs = tbl(spark, sf_dir, "documents")
+    threshold = F.col("lang")
+    expr = None
+    for lang, th in _LANG_KEEP.items():
+        cond = F.when(threshold == lang, F.lit(th))
+        expr = cond if expr is None else expr.when(threshold == lang, F.lit(th))
+    keep = expr.otherwise(F.lit(_DEFAULT_KEEP))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return docs.filter(h < keep).select("doc_id", "lang", "source")
+
+
+# Sequence packing: greedy next-fit into a fixed token budget.
+_PACK_BUDGET = 512
+_PACK_BUCKETS = 8
+
+
+@register("seq_packing", tags=("C5", "B39"), oracle=None)
+def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (C5): greedily packs documents into training
+    sequences of <= 512 whitespace tokens (next-fit in doc_id order) —
+    the step that turns a document corpus into fixed-length samples.
+
+    Scale shape: packing is inherently sequential WITHIN a pack, so
+    the corpus is split into (lang, hash-bucket) groups and packed
+    independently per group via applyInPandas — one shuffle, then
+    each group's greedy scan is a single in-memory pass. Bucket count
+    scales with the cluster (here 8); determinism is preserved because
+    the bucket hash and the in-group doc_id order are data-, not
+    partitioning-, dependent. Rows-only by design: the greedy
+    recurrence (pack boundary depends on the running fill) has no
+    closed SQL form; tests/test_properties.py asserts every doc is
+    packed exactly once, no pack exceeds the budget (unless a single
+    oversized doc), pack ids are dense, and two runs agree row-for-row.
+    """
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq: list[int] = []
+        cur, fill = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if fill > 0 and fill + t > _PACK_BUDGET:
+                cur += 1
+                fill = 0
+            fill += t
+            seq.append(cur)
+        pdf["pack_seq"] = pd.Series(seq, dtype="int64")
+        return pdf
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.xxhash64("doc_id"), F.lit(_PACK_BUCKETS)).cast("int").alias("bucket"),
+        F.size(words(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return base.groupBy("lang", "bucket").applyInPandas(
+        pack, "doc_id long, lang string, bucket int, n_tokens long, pack_seq long"
+    )

@@ -141,6 +141,39 @@ def map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_word_sample",
+    tags=("B38", "B40"),
+    oracle="""
+        WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        SELECT doc_id, i - 1 AS word_idx, w[i] AS word
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, 25)) AS i FROM sp)
+    """,
+)
+def udtf_word_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python user table function (B38/B40): a UDTF that emits every
+    25th token of each document with its index — one input row, many
+    output rows, applied via a LATERAL correlated call in SQL. Arrow-
+    optimized (`useArrow=True`) so batches cross the Python boundary
+    columnar, not row-at-a-time; the oracle recomputes the stride walk
+    as a pure list expression, proving the Python path exact."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx long, word string", useArrow=True)
+    class WordSampler:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                if i % 25 == 0:
+                    yield i, tok
+
+    spark.udtf.register("word_sampler", WordSampler)
+    tbl(spark, sf_dir, "documents").createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word_idx, s.word "
+        "FROM _udtf_docs d, LATERAL word_sampler(d.text) s"
+    )
+
+
+@register(
     "mr_wordcount",
     tags=("A1", "A2", "A3", "A9", "B38", "B39"),
     oracle="""

@@ -125,6 +125,7 @@ def load_all() -> dict[str, Query]:
     # Imports are inside the function so `import mr_py_spark` stays cheap.
     from mr_py_spark.operators import (  # noqa: F401
         cdc,
+        corpus_prep,
         csv_source,
         dedup,
         events_windows,

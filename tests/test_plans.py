@@ -123,3 +123,11 @@ def test_q21_single_lineitem_shuffle(spark):
     p = plan_of(spark, "q21_last_shipper")
     assert p.count("Exchange hashpartitioning(l_orderkey") == 1
     assert "BroadcastHashJoin [l_suppkey" in p
+
+
+def test_doc_chunks_no_shuffle(spark):
+    """Window chunking is scan + generate only — no exchange at any
+    corpus size (the fan-out is per-row, never keyed)."""
+    p = plan_of(spark, "doc_chunks")
+    assert "Exchange" not in p
+    assert "Generate explode" in p

@@ -431,3 +431,53 @@ def test_emb_centroid_matches_planted_means(spark):
         got = np.asarray(r.centroid)
         # 200 samples of sigma=0.05 -> se ~ 0.0035; 5 sigma margin
         assert np.all(np.abs(got - mu) < 0.02), (lbl, got)
+
+
+def test_seq_packing_invariants(spark):
+    """seq_packing: every doc packed exactly once; no pack exceeds the
+    512-token budget unless it is a single oversized doc; pack ids are
+    dense per (lang, bucket); two runs agree row-for-row (the packing
+    decision is hash/order-based, never partitioning-dependent)."""
+    from collections import defaultdict
+
+    from mr_py_spark.operators.corpus_prep import _PACK_BUDGET
+    from mr_py_spark.sources import tbl
+
+    out1 = sorted(map(tuple, rows(spark, "seq_packing")))
+    out2 = sorted(map(tuple, rows(spark, "seq_packing")))
+    assert out1 == out2
+
+    all_ids = [r.doc_id for r in tbl(spark, SF_DIR, "documents").select("doc_id").collect()]
+    assert sorted(r[0] for r in out1) == sorted(all_ids)
+
+    packs = defaultdict(list)
+    seqs = defaultdict(set)
+    for doc_id, lang, bucket, n_tokens, pack_seq in out1:
+        packs[(lang, bucket, pack_seq)].append(n_tokens)
+        seqs[(lang, bucket)].add(pack_seq)
+    for key, toks in packs.items():
+        assert sum(toks) <= _PACK_BUDGET or len(toks) == 1, (key, toks)
+    for key, ids in seqs.items():
+        assert ids == set(range(len(ids))), key
+
+
+def test_stratified_sample_hash_rates(spark):
+    """The md5-prefix sampler hits its per-language keep rates within
+    binomial tolerance and is a strict subset of the corpus."""
+    from mr_py_spark.sources import tbl
+
+    kept = rows(spark, "stratified_sample_hash")
+    totals = {
+        r.lang: r.n
+        for r in tbl(spark, SF_DIR, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    rates = {"en": 8 / 16, "fr": 4 / 16, "es": 4 / 16}
+    by_lang = {}
+    for r in kept:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    for lang, n_total in totals.items():
+        rate = rates.get(lang, 2 / 16)
+        got = by_lang.get(lang, 0) / n_total
+        # 4-sigma binomial margin
+        margin = 4 * (rate * (1 - rate) / n_total) ** 0.5
+        assert abs(got - rate) < margin, (lang, got, rate, n_total)
