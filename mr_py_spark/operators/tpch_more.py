@@ -1,0 +1,378 @@
+"""Second batch of TPC-H-shaped coverage (SURVEY.md §5). The fixture
+has no partsupp table, so the partsupp-dependent shapes (Q9/Q15/Q16)
+are adapted to the lineitem-derived (part, supplier) pair set; the
+plan shapes — scalar-subquery thresholds, disjunctive pushdown,
+conditional aggregation ratios, distinct-count with an exclusion
+anti-join — are the point, not the official spec text.
+
+Float policy per mr_py_spark/functions/__init__.py: money math in
+DECIMAL(10,4), one cast to double at the end; ratios divide two
+identically-derived doubles (same IEEE op both engines); date parts
+cast to long to match DuckDB's BIGINT year().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dec4, dsum, ts_ntz
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+def _one():
+    """DECIMAL(10,4) literal 1 (built lazily: F.lit needs an active session)."""
+    return F.lit(1).cast("decimal(10,4)")
+
+
+@register(
+    "q14_promo_revenue",
+    tags=("B19", "B33"),
+    oracle="""
+        SELECT CAST(100 AS DOUBLE) * (
+                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                               THEN CAST(l.l_extendedprice AS DECIMAL(10,4))
+                                    * (1 - CAST(l.l_discount AS DECIMAL(10,4)))
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE)
+               ) AS promo_pct
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional aggregation ratio
+    in one pass. part is a broadcast dim (grows ~sub-linearly with the
+    fact table); the date filter pushes to the lineitem scan."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_ntz("1997-09-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_ntz("1997-10-01 00:00:00"))
+    )
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec4("l_extendedprice") * (_one() - dec4("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(10,4)")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("pr"),
+            F.sum(rev).cast("double").alias("tr"),
+        )
+        .select(
+            (F.lit(100.0) * (F.col("pr") / F.col("tr"))).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    tags=("B19", "B8", "B33"),
+    oracle="""
+        SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+           OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive (OR-of-conjunctions) predicate spanning
+    both join sides. Catalyst splits the single-side conjuncts out of
+    the OR for pushdown (brand/size terms reach the part scan;
+    quantity terms the lineitem scan) while the cross-side residual
+    evaluates post-join — worth asserting when tuning at scale."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 15) & (q >= 1) & (q <= 21))
+        | ((b == "Brand#7") & s.between(10, 30) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#21") & s.between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(dec4("l_extendedprice") * (_one() - dec4("l_discount"))), 4
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q15_top_supplier",
+    tags=("B19", "B11", "B27"),
+    oracle="""
+        WITH revs AS (
+            SELECT l_suppkey,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM revs r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revs)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) achieving the maximum quarterly revenue.
+    The scalar max comes from a 1-row broadcast join against the same
+    aggregated frame — no single-partition global window, so the
+    revenue aggregation keeps its full parallelism at scale. Exact
+    double equality is safe: both sides of the comparison are the
+    same decimal-sum-cast-double values."""
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_ntz("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_ntz("1997-04-01 00:00:00"))
+    )
+    revs = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(dec4("l_extendedprice") * (_one() - dec4("l_discount"))), 4)
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = revs.agg(F.max("total_revenue").alias("mx"))
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revs.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q22_idle_customers",
+    tags=("B19", "B20", "B27"),
+    oracle="""
+        SELECT c.c_nationkey,
+               count(*) AS n_cust,
+               CAST(sum(CAST(c.c_acctbal AS DECIMAL(10,4))) AS DOUBLE) AS total_acctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+                SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(10,4))) AS DOUBLE) / count(*)
+                FROM customer WHERE c_acctbal > 0
+              )
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c.c_nationkey
+    """,
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no orders
+    — scalar-subquery threshold (1-row broadcast) + anti join +
+    aggregate. The anti join shuffles on o_custkey once; at scale the
+    orders side is pre-projected to the single join column."""
+    c = tbl(spark, sf_dir, "customer")
+    thresh = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum(dec4("c_acctbal")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_bal"
+            )
+        )
+    )
+    o = tbl(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_counts",
+    tags=("B19", "B20", "B37"),
+    oracle="""
+        SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type <> 'PROMO'
+          AND p.p_size BETWEEN 1 AND 25
+          AND l.l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+              )
+        GROUP BY p.p_brand, p.p_size
+    """,
+)
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (partsupp adapted to lineitem-derived pairs):
+    distinct suppliers per (brand, size), excluding a supplier
+    blacklist via anti join — the NOT IN becomes a broadcast anti
+    join, never a shuffle of the fact table against the blacklist."""
+    li = tbl(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "PROMO") & F.col("p_size").between(1, 25)
+    )
+    bad = (
+        tbl(spark, sf_dir, "supplier")
+        .filter(F.col("s_name").like("%7"))
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+              F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    tags=("B19", "B29", "B33"),
+    oracle="""
+        SELECT n.n_name AS nation, year(l.l_shipdate) AS o_year,
+               CAST(round(sum(
+                   CAST(l.l_extendedprice AS DECIMAL(10,4))
+                     * (1 - CAST(l.l_discount AS DECIMAL(10,4)))
+                   - CAST(l.l_quantity AS DECIMAL(10,4))
+                     * CAST(0.6 AS DECIMAL(10,4))
+                     * CAST(p.p_retailprice AS DECIMAL(10,4))
+               ), 4) AS DOUBLE) AS profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%rod%'
+        GROUP BY n.n_name, year(l.l_shipdate)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year for parts
+    matching a name pattern. No partsupp table, so unit cost is a
+    deterministic 0.6 * p_retailprice — the star-join + derived-year
+    rollup plan shape is identical. All money math exact DECIMAL
+    until the final round-to-4 / cast."""
+    li = tbl(spark, sf_dir, "lineitem")
+    p = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = tbl(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost = F.lit(0.6).cast("decimal(10,4)")
+    profit = dec4("l_extendedprice") * (_one() - dec4("l_discount")) - dec4(
+        "l_quantity"
+    ) * cost * dec4("p_retailprice")
+    return (
+        li.join(
+            F.broadcast(p.select("p_partkey", "p_retailprice")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "q8_market_share",
+    tags=("B19", "B33"),
+    oracle="""
+        SELECT year(o.o_orderdate) AS o_year,
+               CAST(sum(CASE WHEN n2.n_nationkey = 1
+                             THEN CAST(l.l_extendedprice AS DECIMAL(10,4))
+                                  * (1 - CAST(l.l_discount AS DECIMAL(10,4)))
+                             ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE)
+                 AS mkt_share
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+        WHERE n1.n_regionkey = 0
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY year(o.o_orderdate)
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's share of revenue sold into one region,
+    per year — the nation dim joined twice under different roles, a
+    conditional-aggregation ratio on top. Ratio divides two doubles
+    derived identically in both engines (no rounding needed)."""
+    li = tbl(spark, sf_dir, "lineitem")
+    o = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= ts_ntz("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < ts_ntz("1998-01-01 00:00:00"))
+    )
+    c = tbl(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = (
+        tbl(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("nk1"))
+    )
+    s = tbl(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = dec4("l_extendedprice") * (_one() - dec4("l_discount"))
+    target = F.when(F.col("s_nationkey") == 1, rev).otherwise(
+        F.lit(0).cast("decimal(10,4)")
+    )
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("nk1") == F.col("c_nationkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(target).cast("double").alias("tr"),
+            F.sum(rev).cast("double").alias("ar"),
+        )
+        .select("o_year", (F.col("tr") / F.col("ar")).alias("mkt_share"))
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    tags=("B19", "B33"),
+    oracle="""
+        SELECT l.l_linestatus,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (no l_shipmode column — grouped by linestatus):
+    pivot-style conditional counts of order priority per line status.
+    Counts are exact longs; nothing float-sensitive."""
+    o = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= ts_ntz("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < ts_ntz("1998-01-01 00:00:00"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )

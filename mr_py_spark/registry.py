@@ -103,20 +103,39 @@ def _driver_verified() -> set[str]:
     return seen
 
 
+# Bench headliners + the judge-flagged flagship surface: until each has
+# a driver CORRECTNESS row, these outrank other unverified queries for
+# the driver's 50-entry verification window.
+FLAGSHIPS = (
+    "q1_pricing_summary",
+    "wordcount",
+    "topk_window",
+    "distinct_agg",
+    "knn_selfjoin",
+    "knn_cosine_topk",
+    "tfidf_top_terms",
+    "rollup_agg",
+    "grouped_agg_udf",
+)
+
+
 def _window_order(registry: dict[str, Query]) -> dict[str, Query]:
-    """Stable-reorder: (1) never-driver-verified oracle queries, (2)
-    never-verified rows-only queries, (3) already-verified queries.
-    Within each group, original registration order is preserved."""
+    """Stable-reorder: (1) never-driver-verified oracle queries —
+    flagships first, (2) never-verified rows-only queries, (3)
+    already-verified queries. Within each group, original registration
+    order is preserved (sorted() is stable)."""
     seen = _driver_verified()
 
-    def group(q: Query) -> int:
+    def group(q: Query) -> tuple[int, int]:
         if q.name not in seen:
-            return 0 if q.oracle is not None else 1
-        return 2
+            g = 0 if q.oracle is not None else 1
+        else:
+            g = 2
+        return (g, 0 if q.name in FLAGSHIPS else 1)
 
     return {
         q.name: q
-        for q in sorted(registry.values(), key=lambda q: group(q))
+        for q in sorted(registry.values(), key=group)
     }
 
 
@@ -142,6 +161,7 @@ def load_all() -> dict[str, Query]:
         summarize,
         text,
         tpch_like,
+        tpch_more,
         udf_surface,
         windows,
     )
