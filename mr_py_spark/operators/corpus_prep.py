@@ -197,6 +197,60 @@ def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(h < keep).select("doc_id", "lang", "source")
 
 
+# Benchmark decontamination: 6-gram overlap against the eval set
+# (docs with doc_id % 13 == 0 stand in for a held-out benchmark —
+# the fixture's ~4% planted near-duplicates guarantee real hits).
+_DECON_N = 6
+_DECON_MOD = 13
+
+
+@register(
+    "decontaminate_ngrams",
+    tags=("C5", "C2", "B20"),
+    oracle=f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ngr AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(w, s, s + {_DECON_N - 1}), ' ')) AS ng
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - {_DECON_N - 2})) AS s
+                  FROM toks WHERE len(w) >= {_DECON_N})
+        ),
+        ev AS (SELECT DISTINCT ng FROM ngr WHERE doc_id % {_DECON_MOD} = 0),
+        tr AS (SELECT * FROM ngr WHERE doc_id % {_DECON_MOD} <> 0)
+        SELECT t.doc_id, count(DISTINCT t.ng) AS n_contaminated_ngrams
+        FROM tr t JOIN ev e ON e.ng = t.ng
+        GROUP BY t.doc_id
+    """,
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (C5/C2): flag training documents that
+    share any 6-gram with the held-out eval set — the overlap check a
+    training pipeline runs against its benchmark suites before a run.
+    N-grams are md5-hashed in place (32-byte join keys instead of raw
+    text), the eval side is DISTINCT n-grams only — at 100 TB that set
+    is benchmark-sized (millions of n-grams, MBs), so the join
+    broadcasts and the train side never shuffles. One scan each side,
+    one broadcast hash join, one partial-aggregated count."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("w")) - (_DECON_N - 1)),
+        lambda s: F.md5(F.array_join(F.slice(F.col("w"), s, _DECON_N), " ")),
+    )
+    base = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _DECON_N)
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+    )
+    ev = base.filter(F.col("doc_id") % _DECON_MOD == 0).select("ng").distinct()
+    tr = base.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return (
+        tr.join(F.broadcast(ev), "ng")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ng").alias("n_contaminated_ngrams"))
+    )
+
+
 # Sequence packing: greedy next-fit into a fixed token budget.
 _PACK_BUDGET = 512
 _PACK_BUCKETS = 8

@@ -53,3 +53,32 @@ def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv.groupBy("n_regionkey").agg(
         F.count("*").alias("n_nations"), F.min("n_name").alias("first_name")
     )
+
+
+@register(
+    "json_source_agg",
+    tags=("A7", "B1"),
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_cust, max(c_name) AS last_name
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+)
+def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the customer table through JSON-lines files, read
+    back with an explicit schema, aggregate — the semi-structured
+    ingest path (A7). Same discipline as the CSV variant: explicit
+    schema (JSON inference is a full extra scan at 100 TB), and the
+    oracle runs over the parquet view so any serialization mangling
+    (unicode, number formatting, null encoding) breaks parity."""
+    path = os.path.join(
+        _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "customer_json"
+    )
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    cust.coalesce(1).write.mode("overwrite").json(path)
+    js = spark.read.schema("c_custkey long, c_name string, c_mktsegment string").json(
+        path
+    )
+    return js.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_cust"), F.max("c_name").alias("last_name")
+    )

@@ -56,3 +56,51 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "salted_join",
+    tags=("A5", "B19"),
+    oracle="""
+        SELECT n.n_name, count(*) AS n_events,
+               CAST(sum(CAST(e.value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+        FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        GROUP BY n.n_name
+    """,
+)
+def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated skew join (A5/B19): the fact side's join key is
+    extremely low-cardinality (user_id % 25 — every row lands on one
+    of 25 reducer keys), so a plain shuffle join stalls on its hottest
+    key no matter the cluster size. The explicit cure when the small
+    side fits nowhere near memory: fact rows get a deterministic salt,
+    the dim side is replicated once per salt value (explode over a
+    literal range — dim_rows x N_SALTS, still tiny), and the join key
+    becomes (key, salt) — fan-out N_SALTS x on the hot keys. Salting
+    must be invisible in the result: the oracle is the unsalted join.
+    (When the dim side simply fits in memory, broadcast beats salting
+    — that form is broadcast_dim_join; AQE's skew-join handles the
+    sort-merge case. This is the explicit pattern for when neither
+    applies.)"""
+    ev = tbl(spark, sf_dir, "events").withColumns(
+        {
+            "jk": F.col("user_id") % 25,
+            "salt": F.pmod(F.col("event_id"), F.lit(_N_SALTS)).cast("int"),
+        }
+    )
+    dim = (
+        tbl(spark, sf_dir, "nation")
+        .select(
+            "n_nationkey",
+            "n_name",
+            F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1))).alias("salt"),
+        )
+    )
+    return (
+        ev.join(dim, (ev.jk == dim.n_nationkey) & (ev.salt == dim.salt))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec4("value")).cast("double").alias("total_value"),
+        )
+    )

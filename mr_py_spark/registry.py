@@ -163,6 +163,7 @@ def load_all() -> dict[str, Query]:
         tpch_like,
         tpch_more,
         udf_surface,
+        vectors,
         windows,
     )
     from mr_py_spark import streaming  # noqa: F401

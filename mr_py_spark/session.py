@@ -97,6 +97,22 @@ def harden(spark: SparkSession) -> SparkSession:
                 "spark.sql.files.maxPartitionBytes",
                 os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
             )
+        # Raise the broadcast ceiling only for AQE's *runtime* re-plan,
+        # where actual (post-filter, post-shuffle-write) sizes are
+        # known: q3's segment+date-filtered customer⋈orders measures
+        # tens of MB and converting its lineitem SMJ to broadcast cut
+        # q3 1.8x / q5 1.3x at sf1. The STATIC threshold stays at the
+        # default on purpose — raising it made the planner eagerly
+        # broadcast whole fact tables off optimistic file-size stats
+        # (measured 2-3x regressions at sf1). Runtime sizes can't lie,
+        # so 64 MB there is safe on any cluster.
+        if spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"
+        ) in ("-1", ""):
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold",
+                os.environ.get("SPARK_GRAFT_AQE_BROADCAST_THRESHOLD", "64m"),
+            )
     except Exception:
         pass
     try:

@@ -481,3 +481,48 @@ def test_stratified_sample_hash_rates(spark):
         # 4-sigma binomial margin
         margin = 4 * (rate * (1 - rate) / n_total) ** 0.5
         assert abs(got - rate) < margin, (lang, got, rate, n_total)
+
+
+def test_emb_quantize_int8_error_bound(spark):
+    """Symmetric int8 quantization invariants: reconstruction error is
+    bounded by scale/2 (round-to-nearest), scale is positive, and the
+    quantized codes are reproducible (md5 fingerprints stable across
+    two runs)."""
+    out1 = rows(spark, "emb_quantize_int8")
+    assert out1
+    for r in out1:
+        assert r.scale > 0
+        # strict <= scale/2 + tiny float slack for the x/scale*scale trip
+        assert r.max_abs_err <= r.scale / 2 * (1 + 1e-12), (r.vec_id, r.max_abs_err, r.scale)
+        assert -127 * 64 <= r.q_sum <= 127 * 64
+    out2 = rows(spark, "emb_quantize_int8")
+    assert sorted(r.q_md5 for r in out1) == sorted(r.q_md5 for r in out2)
+
+
+def test_decontaminate_ngrams_sound_and_complete(spark):
+    """Every flagged doc really shares a 6-gram with the eval set, no
+    eval doc is flagged, and every planted near-duplicate of an eval
+    doc (shared 80-char prefix => shared 6-grams) is caught."""
+    from mr_py_spark.operators.corpus_prep import _DECON_MOD, _DECON_N
+    from mr_py_spark.sources import tbl
+
+    flagged = {r.doc_id: r.n_contaminated_ngrams for r in rows(spark, "decontaminate_ngrams")}
+    assert all(d % _DECON_MOD != 0 for d in flagged)
+    assert all(n >= 1 for n in flagged.values())
+
+    docs = {
+        r.doc_id: tuple(r.text.split(" "))
+        for r in tbl(spark, SF_DIR, "documents").collect()
+    }
+    eval_ngrams = set()
+    for d, w in docs.items():
+        if d % _DECON_MOD == 0:
+            for i in range(len(w) - _DECON_N + 1):
+                eval_ngrams.add(w[i : i + _DECON_N])
+    expect = set()
+    for d, w in docs.items():
+        if d % _DECON_MOD != 0 and any(
+            w[i : i + _DECON_N] in eval_ngrams for i in range(len(w) - _DECON_N + 1)
+        ):
+            expect.add(d)
+    assert set(flagged) == expect
