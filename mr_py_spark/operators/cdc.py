@@ -5,9 +5,10 @@ full-outer-join + coalesce, shown here with an exact oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from mr_py_spark.functions import fmt_ts_us
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
@@ -74,3 +75,59 @@ def cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merge_upsert(c, updates, "c_custkey")
+
+
+@register(
+    "scd2_dim",
+    tags=("B19", "B35", "C9"),
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id),
+                                 '%Y-%m-%d %H:%M:%S.%f'),
+                        '9999-12-31 00:00:00.000000') AS valid_to,
+               CAST(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                    AS BIGINT) AS is_current
+        FROM changes
+    """,
+)
+def scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build (CDC companion): collapse
+    each user's event stream into versioned state rows — a new version
+    opens whenever event_type changes, valid_to chains to the next
+    version's valid_from, the open version is flagged current. Two
+    windows over the same (user_id; ts, event_id) sort, so the plan is
+    ONE shuffle + one in-partition sort reused by both; at 100 TB this
+    is the standard dimension-history build off a CDC feed (the upsert
+    counterpart is cdc_upsert)."""
+    ev = tbl(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    nxt = F.lead("ts").over(w)
+    return changes.select(
+        "user_id",
+        "event_type",
+        fmt_ts_us("ts").alias("valid_from"),
+        F.coalesce(fmt_ts_us(nxt), F.lit("9999-12-31 00:00:00.000000")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().cast("long").alias("is_current"),
+    )

@@ -82,3 +82,30 @@ def json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_cust"), F.max("c_name").alias("last_name")
     )
+
+
+@register(
+    "orc_source_agg",
+    tags=("A7", "B1"),
+    oracle="""
+        SELECT p_type, count(*) AS n_parts, min(p_retailprice) AS min_price
+        FROM part
+        GROUP BY p_type
+    """,
+)
+def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the part table through ORC — the third columnar
+    format the engine ingests natively (parquet is the catalog's
+    performance path, CSV/JSONL the text paths). ORC keeps types
+    end-to-end so no explicit schema is needed on re-read; the oracle
+    runs over the parquet view, so any type mangling in the ORC
+    round-trip breaks parity."""
+    path = os.path.join(
+        _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "part_orc"
+    )
+    part = tbl(spark, sf_dir, "part").select("p_partkey", "p_type", "p_retailprice")
+    part.coalesce(1).write.mode("overwrite").orc(path)
+    orc = spark.read.orc(path)
+    return orc.groupBy("p_type").agg(
+        F.count("*").alias("n_parts"), F.min("p_retailprice").alias("min_price")
+    )

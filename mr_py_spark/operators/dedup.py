@@ -372,3 +372,44 @@ def dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", "event_type", "event_id", fmt_ts_us("ts").alias("ts"), "value"
         )
     )
+
+
+@register(
+    "fuzzy_dup_pairs",
+    tags=("C2", "B29"),
+    oracle="""
+        WITH t AS (SELECT doc_id, text, substring(text, 1, 40) AS blk
+                   FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    """,
+)
+def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy duplicate pairs (C2): full Levenshtein
+    between candidate documents, candidates generated by a 40-char
+    prefix block — the same equi-join blocking as ngram_jaccard_pairs,
+    so the O(len^2) DP only runs on pairs that already share a prefix,
+    never all-pairs. Both engines implement textbook Levenshtein, so
+    the distance is oracle-comparable exactly. At 100 TB the block key
+    would be a MinHash band instead of a prefix; the join shape is
+    identical."""
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.substring("text", 1, 40).alias("blk")
+    )
+    a = docs.alias("a")
+    b = docs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.text"), F.col("b.text"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )

@@ -199,3 +199,32 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("qty_open"),
         F.col("F").alias("qty_filled"),
     )
+
+
+@register(
+    "percentile_window",
+    tags=("B34", "B35"),
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               percent_rank() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal, s_suppkey) AS pct_rank,
+               cume_dist()    OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal, s_suppkey) AS cume
+        FROM supplier
+    """,
+)
+def percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per group (B34): relative standing of
+    each supplier's balance within its nation. The ORDER BY carries a
+    unique tie-break so peer groups are singletons and both engines
+    emit the identical (rank-1)/(n-1) and rank/n doubles (exact int
+    divisions, same IEEE op). Singleton partitions (nations with one
+    supplier at small sf) exercise the percent_rank 0/0 -> 0.0 edge."""
+    s = tbl(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

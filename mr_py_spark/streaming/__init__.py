@@ -24,7 +24,7 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import dsum, fmt_ts
+from mr_py_spark.functions import dsum, fmt_ts, fmt_ts_us
 from mr_py_spark.registry import register
 from mr_py_spark.session import harden
 
@@ -189,3 +189,50 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type", "event_id")
     )
     return _drain(dedup, "append")
+
+
+@register("stream_stream_join", tags=("C8", "C9", "B24"), oracle=None)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (C8/C9): purchases matched to the
+    same user's clicks in the preceding hour, both sides watermarked so
+    the join state is bounded — the canonical attribution topology.
+    Inner stream-stream joins emit every provable match (the watermark
+    only bounds buffered state, it withholds nothing on a drained
+    bounded stream), so pytest asserts exact set equality with the
+    batch interval join over the same fixture. Scale shape: state is
+    partitioned by user_id and each side retains <= 1 hour of events
+    per the watermark — memory is O(rate x window), independent of
+    stream length."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = buys.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        fmt_ts_us("c_ts").alias("click_ts"),
+        fmt_ts_us("p_ts").alias("purchase_ts"),
+    )
+    return _drain(joined, "append")

@@ -526,3 +526,40 @@ def test_decontaminate_ngrams_sound_and_complete(spark):
         ):
             expect.add(d)
     assert set(flagged) == expect
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The drained stream-stream interval join emits exactly the batch
+    interval-join pairs: inner joins withhold nothing once the bounded
+    stream is fully processed."""
+    from mr_py_spark.functions import fmt_ts_us
+    from mr_py_spark.sources import tbl
+
+    got = sorted(map(tuple, rows(spark, "stream_stream_join")))
+
+    ev = tbl(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        buys.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            fmt_ts_us("c_ts").alias("click_ts"),
+            fmt_ts_us("p_ts").alias("purchase_ts"),
+        )
+    )
+    expect = sorted(map(tuple, batch.collect()))
+    assert got == expect and len(got) > 0
