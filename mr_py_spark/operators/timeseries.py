@@ -1,0 +1,221 @@
+"""Time-series & iterative relational shapes (SURVEY.md §2 C6 adjuncts).
+
+The reference's pattern catalog stops at windowed aggregation; real
+event-analytics workloads also need a dense date spine (gap fill),
+ordered multi-stage funnels, statistical outlier flagging, and
+recursive hierarchy traversal. Each is expressed declaratively so
+Catalyst plans it: the spine is a tiny exploded sequence that
+broadcast-joins the aggregated facts, the funnel is a chain of keyed
+min-aggregations, and recursion uses Spark 4's native WITH RECURSIVE
+(iterative distributed joins, no driver-side loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dec4
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+from mr_py_spark.sources.catalog import sql
+
+
+@register(
+    "gap_fill_daily",
+    tags=("C6", "B2"),
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1
+        ),
+        span AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+                 FROM events),
+        days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+                 FROM span)
+        SELECT strftime(days.day, '%Y-%m-%d') AS day,
+               coalesce(daily.n_events, 0)    AS n_events,
+               coalesce(daily.total_value, 0.0) AS total_value
+        FROM days LEFT JOIN daily ON daily.day = days.day
+    """,
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily rollup (C6): zero-fill days with no events so the
+    series has one row per calendar day. The facts aggregate FIRST
+    (one shuffle, output = #days rows), then left-join a date spine
+    exploded from a single min/max row — the spine is always tiny
+    (#days), so at 100 TB the join is a broadcast against an already-
+    reduced frame, never a join against raw events. Money through
+    DECIMAL per the float policy; days compared as strings."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec4("value")).cast("double").alias("total_value"),
+    )
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    days = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    return days.join(daily, "day", "left").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    tags=("C6", "B1", "B19"),
+    oracle="""
+        WITH s AS (SELECT user_id, min(ts) AS ts_signup
+                   FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS ts_click
+              FROM events e JOIN s ON s.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > s.ts_signup
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS ts_purchase
+              FROM events e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+              GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM s) AS n_signup,
+               (SELECT count(*) FROM c) AS n_click_after,
+               (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (C6): users who signed up, then clicked after
+    signing up, then purchased after that click. Each stage is a keyed
+    min-aggregation joined to the previous stage's anchor timestamp —
+    every shuffle is on user_id, so the three stages co-partition and
+    AQE collapses the later joins to broadcasts (each stage's output
+    only shrinks). No window over the full event stream is needed."""
+    ev = tbl(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("ts_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
+
+
+# Uniform-ish fixture values have no 2-sigma tail; 1.5 sigma flags a
+# real (but small) outlier set at every scale factor.
+_Z_THRESHOLD = 1.5
+
+
+@register(
+    "anomaly_zscore",
+    tags=("C6", "B4"),
+    oracle=f"""
+        WITH st AS (
+            SELECT event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) / count(*)
+                       AS mean_value,
+                   sqrt((CAST(round(sum(CAST(value AS DECIMAL(19,4))
+                                       * CAST(value AS DECIMAL(19,4))), 0) AS DOUBLE)
+                         - CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE)
+                           * CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) / count(*))
+                        / (count(*) - 1)) AS sd_value
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, st.n_events, st.mean_value, st.sd_value,
+               CAST(sum(CASE WHEN abs(e.value - st.mean_value)
+                                  > {_Z_THRESHOLD} * st.sd_value
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM events e JOIN st ON st.event_type = e.event_type
+        GROUP BY e.event_type, st.n_events, st.mean_value, st.sd_value
+    """,
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging (C6/B4): per-type mean/stddev, then
+    count events beyond 1.5 sigma. The stats frame is #event_types rows
+    and broadcasts back onto the stream — two scans, one tiny shuffle,
+    no window over raw events. Stddev follows the group_medians exact-
+    decimal reformulation (sum + integer-rounded sum-of-squares) so
+    both engines evaluate the identical IEEE expression; the outlier
+    predicate then compares bit-identical doubles on both sides."""
+    ev = tbl(spark, sf_dir, "events")
+    p19 = F.col("value").cast("decimal(19,4)")
+    s1 = F.sum(dec4("value")).cast("double")
+    s2 = F.round(F.sum(p19 * p19), 0).cast("double")
+    n = F.count(F.lit(1))
+    stats = ev.groupBy("event_type").agg(
+        n.alias("n_events"),
+        (s1 / n).alias("mean_value"),
+        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sd_value"),
+    )
+    outlier = (
+        F.abs(F.col("value") - F.col("mean_value"))
+        > F.lit(_Z_THRESHOLD) * F.col("sd_value")
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n_events", "mean_value", "sd_value")
+        .agg(F.sum(outlier).alias("n_outliers"))
+    )
+
+
+@register(
+    "recursive_hierarchy",
+    tags=("B27", "B19"),
+    oracle="""
+        WITH RECURSIVE tree(n_nationkey, n_name, depth, path) AS (
+            SELECT n_nationkey, n_name, CAST(0 AS BIGINT),
+                   CAST(n_nationkey AS VARCHAR)
+            FROM nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT c.n_nationkey, c.n_name, t.depth + 1,
+                   t.path || '/' || CAST(c.n_nationkey AS VARCHAR)
+            FROM nation c JOIN tree t ON (c.n_nationkey - 1) // 2 = t.n_nationkey
+            WHERE c.n_nationkey > 0
+        )
+        SELECT n_nationkey, n_name, depth, path FROM tree
+    """,
+)
+def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive hierarchy traversal (org-chart/BOM shape) via Spark 4
+    native WITH RECURSIVE: nation keys form a synthetic binary tree
+    (parent = (k-1) div 2), and the recursion computes each node's
+    depth and root path. Executes as iterated distributed joins — one
+    per level, O(log n) rounds for a balanced hierarchy — with no
+    driver-side loop; the same plan shape serves real parent-child
+    dimensions at any size. Depth is BIGINT on both sides (integer-
+    width alignment)."""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE tree(n_nationkey, n_name, depth, path) AS (
+            SELECT n_nationkey, n_name, CAST(0 AS BIGINT),
+                   CAST(n_nationkey AS STRING)
+            FROM nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT c.n_nationkey, c.n_name, t.depth + 1,
+                   t.path || '/' || CAST(c.n_nationkey AS STRING)
+            FROM nation c JOIN tree t ON (c.n_nationkey - 1) div 2 = t.n_nationkey
+            WHERE c.n_nationkey > 0
+        )
+        SELECT n_nationkey, n_name, depth, path FROM tree
+        """,
+    )

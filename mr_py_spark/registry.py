@@ -160,6 +160,7 @@ def load_all() -> dict[str, Query]:
         sql_surface,
         summarize,
         text,
+        timeseries,
         tpch_like,
         tpch_more,
         udf_surface,
