@@ -472,8 +472,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk_core(spark, e, queries)
 
 
-@register("emb_centroid", tags=("C3",), oracle=None)
-def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def emb_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid (C3): componentwise mean vector per
     label — the building block for class prototypes, IVF coarse
     quantizers, and cluster drift monitoring. Implemented as
@@ -482,11 +481,10 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     never whole vectors, and each row's explode fan-out equals the
     fixed dimension — so the plan holds at 10^9 vectors.
 
-    Rows-only by design: the cross-row float summation order is
-    engine- and partitioning-dependent, so there is no bitwise-stable
-    SQL oracle; tests/test_properties.py plants Gaussian clusters and
-    asserts each centroid lands within tolerance of its true mean and
-    that labels map 1:1 to output rows.
+    Library entry point: returns the centroid as ``array<double>``.
+    The registered ``emb_centroid`` query projects it to scalar
+    columns because the driver's rows-only canonicalizer cannot hash
+    ndarray cells.
     """
     e = tbl(spark, sf_dir, "embeddings")
     comp = e.select(
@@ -508,4 +506,31 @@ def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("pm"), lambda s: s.m).alias("centroid"),
             "dim",
         )
+    )
+
+
+@register("emb_centroid", tags=("C3",), oracle=None)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing projection of :func:`emb_centroid_vectors`: the
+    centroid rendered as a fixed-precision CSV string (plus its first
+    component for a quick sanity scalar), because the driver's
+    rows-only canonicalizer hashes cells with pandas and crashes on
+    ndarray values.
+
+    Rows-only by design: the cross-row float summation order is
+    engine- and partitioning-dependent, so there is no bitwise-stable
+    SQL oracle; tests/test_properties.py plants Gaussian clusters and
+    asserts each centroid lands within tolerance of its true mean and
+    that labels map 1:1 to output rows.
+    """
+    v = emb_centroid_vectors(spark, sf_dir)
+    return v.select(
+        "label",
+        "dim",
+        F.concat_ws(
+            # format_string, not format_number: no locale thousands
+            # separators to collide with the CSV delimiter.
+            ",", F.transform(F.col("centroid"), lambda x: F.format_string("%.6f", x))
+        ).alias("centroid_csv"),
+        F.round(F.element_at(F.col("centroid"), 1), 6).alias("c0"),
     )

@@ -132,11 +132,11 @@ _Z_THRESHOLD = 1.5
                    count(*) AS n_events,
                    CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) / count(*)
                        AS mean_value,
-                   sqrt((CAST(round(sum(CAST(value AS DECIMAL(19,4))
-                                       * CAST(value AS DECIMAL(19,4))), 0) AS DOUBLE)
+                   sqrt((CAST(round(sum(CAST(value AS DECIMAL(10,4))
+                                       * CAST(value AS DECIMAL(10,4))), 0) AS DOUBLE)
                          - CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE)
                            * CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) / count(*))
-                        / (count(*) - 1)) AS sd_value
+                        / NULLIF(count(*) - 1, 0)) AS sd_value
             FROM events GROUP BY event_type
         )
         SELECT e.event_type, st.n_events, st.mean_value, st.sd_value,
@@ -156,19 +156,29 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines evaluate the identical IEEE expression; the outlier
     predicate then compares bit-identical doubles on both sides."""
     ev = tbl(spark, sf_dir, "events")
-    p19 = F.col("value").cast("decimal(19,4)")
-    s1 = F.sum(dec4("value")).cast("double")
-    s2 = F.round(F.sum(p19 * p19), 0).cast("double")
+    # dec4 product is DECIMAL(21,8) — exact. DECIMAL(19,4)^2 would be
+    # (39,8) > 38 and silently truncate to (38,7), a ~5e-8/row error
+    # the exact DuckDB oracle would not share.
+    p4 = dec4("value")
+    s1 = F.sum(p4).cast("double")
+    s2 = F.round(F.sum(p4 * p4), 0).cast("double")
     n = F.count(F.lit(1))
     stats = ev.groupBy("event_type").agg(
         n.alias("n_events"),
         (s1 / n).alias("mean_value"),
-        F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1))).alias("sd_value"),
+        # NULL (not ANSI DIVIDE_BY_ZERO) on single-row groups, mirroring
+        # the oracle's NULLIF(count(*)-1, 0).
+        F.when(
+            n > F.lit(1), F.sqrt((s2 - s1 * s1 / n) / (n - F.lit(1)))
+        ).alias("sd_value"),
     )
-    outlier = (
+    # when/otherwise, not a boolean cast: with NULL sd the predicate is
+    # NULL and must count as 0 exactly like the oracle's CASE ... ELSE 0.
+    outlier = F.when(
         F.abs(F.col("value") - F.col("mean_value"))
-        > F.lit(_Z_THRESHOLD) * F.col("sd_value")
-    ).cast("long")
+        > F.lit(_Z_THRESHOLD) * F.col("sd_value"),
+        F.lit(1),
+    ).otherwise(F.lit(0))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .groupBy("event_type", "n_events", "mean_value", "sd_value")

@@ -86,21 +86,40 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def _driver_verified() -> set[str]:
-    """Query names that already have a driver CORRECTNESS row from any
-    past round. The driver caps its per-round check at the first 50
-    entries of ``queries()``, so ``load_all`` orders never-verified
-    queries first — each round the window automatically rotates to the
-    still-unverified tail until every query has a driver row."""
+def _driver_status() -> dict[str, bool]:
+    """Latest driver CORRECTNESS verdict per query name across all past
+    rounds: ``True`` if the most recent row that checked the query was
+    green (oracle match, or a rows-only run that produced rows without
+    error), ``False`` if it failed or errored. Queries with no row at
+    all are absent. The driver caps its per-round check at the first 50
+    entries of ``queries()``, so ``load_all`` orders broken-last-round
+    queries first (fixes get re-proven), then never-verified ones, then
+    the green tail — the window rotates until everything has a green
+    driver row."""
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
+    status: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                seen.update(json.load(f))
+                rows = json.load(f)
         except (OSError, ValueError):
             continue  # unreadable round file: skip, worst case re-verify
-    return seen
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                status[name] = True  # unknown shape: treat as seen-green
+                continue
+            err = row.get("err")
+            if err == "no_oracle":  # rows-only check: ran to completion
+                ok = row.get("spark_rows") is not None
+            elif err:
+                ok = False
+            else:
+                ok = all(
+                    row.get(m) is not False
+                    for m in ("rows_match", "schema_match", "hash_match")
+                )
+            status[name] = ok
+    return status
 
 
 # Bench headliners + the judge-flagged flagship surface: until each has
@@ -120,17 +139,18 @@ FLAGSHIPS = (
 
 
 def _window_order(registry: dict[str, Query]) -> dict[str, Query]:
-    """Stable-reorder: (1) never-driver-verified oracle queries —
-    flagships first, (2) never-verified rows-only queries, (3)
-    already-verified queries. Within each group, original registration
-    order is preserved (sorted() is stable)."""
-    seen = _driver_verified()
+    """Stable-reorder: (0) queries whose latest driver row failed or
+    errored — fixes must be re-proven, (1) never-driver-verified oracle
+    queries — flagships first, (2) never-verified rows-only queries,
+    (3) green-verified queries. Within each group, original
+    registration order is preserved (sorted() is stable)."""
+    status = _driver_status()
 
     def group(q: Query) -> tuple[int, int]:
-        if q.name not in seen:
-            g = 0 if q.oracle is not None else 1
+        if q.name in status:
+            g = 3 if status[q.name] else 0
         else:
-            g = 2
+            g = 1 if q.oracle is not None else 2
         return (g, 0 if q.name in FLAGSHIPS else 1)
 
     return {

@@ -45,11 +45,19 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir.rstrip("/"))
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         # Watermarks require TimestampType (not NTZ); the session TZ is
         # pinned to UTC by harden(), so the instant values match the
         # batch catalog's NTZ values exactly.
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Environments where the nanosAsLong legacy conf doesn't apply
+        # surface TIMESTAMP(NANOS) parquet as TIMESTAMP_NTZ, which
+        # withWatermark rejects (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+        # harden() pins the session TZ to UTC, so NTZ -> TIMESTAMP is
+        # the identity on the underlying instants.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -389,7 +389,7 @@ def test_emb_centroid_matches_planted_means(spark):
     import numpy as np
     import pandas as pd
 
-    from mr_py_spark.operators.similarity import emb_centroid
+    from mr_py_spark.operators.similarity import emb_centroid, emb_centroid_vectors
 
     rng = np.random.RandomState(11)
     centers = {0: 0.5, 1: -0.25, 2: 0.0}
@@ -420,7 +420,8 @@ def test_emb_centroid_matches_planted_means(spark):
 
         sim_tbl = sim.tbl
         sim.tbl = sources.tbl
-        out = {r.label: r for r in emb_centroid(spark, SF_DIR).collect()}
+        out = {r.label: r for r in emb_centroid_vectors(spark, SF_DIR).collect()}
+        proj = {r.label: r for r in emb_centroid(spark, SF_DIR).collect()}
     finally:
         sources.tbl = orig
         sim.tbl = sim_tbl
@@ -431,6 +432,13 @@ def test_emb_centroid_matches_planted_means(spark):
         got = np.asarray(r.centroid)
         # 200 samples of sigma=0.05 -> se ~ 0.0035; 5 sigma margin
         assert np.all(np.abs(got - mu) < 0.02), (lbl, got)
+        # registered query projects the same vector driver-hashably:
+        # scalar columns only, csv parses back to the array values.
+        p = proj[lbl]
+        csv = np.array([float(s) for s in p.centroid_csv.split(",")])
+        assert len(csv) == p.dim == 8
+        assert np.allclose(csv, got, atol=5e-7)
+        assert abs(p.c0 - got[0]) < 5e-7
 
 
 def test_seq_packing_invariants(spark):
