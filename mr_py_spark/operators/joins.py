@@ -119,27 +119,61 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way star join ([MRDP ch.6] job chaining — the
     reference would need 5 sequential MR jobs with materialized
-    intermediates; here it is one lazy plan, and Catalyst/CBO orders
-    the joins with dimensions broadcast)."""
-    c = tbl(spark, sf_dir, "customer")
+    intermediates; here it is one lazy plan).
+
+    Join order is chosen for scale: the most selective predicate
+    (region='ASIA', ~1/5 of nations) is applied FIRST by deriving the
+    tiny asia nation frame and broadcasting it into supplier and
+    customer, so lineitem is pruned to ASIA-supplied rows map-side (a
+    broadcast hash join, no shuffle) before its only shuffle. The old
+    formulation joined all-region customer⋈orders⋈lineitem and only
+    discarded ~80% of the shuffled rows at the final nation/region
+    joins — measured 1.9x slower at sf10 (7.4 s vs 4.0 s, SCALE.md).
+    The customer⋈orders side and the final orderkey join are left
+    declarative: AQE's runtime re-plan converts both to broadcast when
+    post-filter sizes permit (observed in the executed plan at sf10)
+    and falls back to shuffle joins at 100 TB where they would not.
+    """
+    n = tbl(spark, sf_dir, "nation")
+    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")).select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = (
+        tbl(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asia.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "c_nationkey")
+    )
     o = tbl(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts_ntz("1996-01-01 00:00:00"))
         & (F.col("o_orderdate") < ts_ntz("1998-01-01 00:00:00"))
+    ).select("o_orderkey", "o_custkey")
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    li = tbl(spark, sf_dir, "lineitem")
-    s = tbl(spark, sf_dir, "supplier")
-    n = tbl(spark, sf_dir, "nation")
-    r = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # The hint matters: without it the static planner cannot bound the
+    # supplier⋈asia join-output estimate, plans lineitem⋈supplier as
+    # SMJ, and AQE only converts after lineitem's shuffle map write
+    # (measured 15% slower at sf10, interleaved A/B). The hint asserts
+    # the region-pruned supplier dim is catalog-like (fits an executor);
+    # on a deployment where suppliers scale with the corpus, drop it
+    # and the declarative fallback above still computes correctly.
+    li_asia = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+    co = c.join(o, F.col("c_custkey") == F.col("o_custkey"))
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(
-            s,
-            (F.col("l_suppkey") == F.col("s_suppkey"))
+        li_asia.join(
+            co,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(
             F.round(
