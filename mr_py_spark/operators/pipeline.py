@@ -77,3 +77,82 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_words").alias("total_tokens"),
         F.sum("bpe_est").alias("bpe_est_tokens"),
     )
+
+
+def multi_sink_plan(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the shared-scan two-sink topology (B28 job merging).
+
+    One cached `documents` scan feeds two divergent sinks — the MRDP
+    "job merging" pattern (two MR jobs over the same input collapsed
+    into one input pass):
+
+    - sink A: the cleaned corpus (length gate) — the data product;
+    - sink B: per-(lang, source) accounting stats — the audit product.
+
+    Returns ``(source, clean, stats)`` so callers (and the plan test)
+    can persist the source and inspect that both sink plans read the
+    in-memory relation instead of re-scanning parquet. At 100 TB the
+    identical topology holds: persist to MEMORY_AND_DISK (or a
+    checkpoint) and every additional sink costs its own transform +
+    write but zero additional input scans.
+    """
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    clean = docs.filter(F.col("n_chars") >= 200)
+    stats = docs.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+    return docs, clean, stats
+
+
+@register(
+    "multi_sink_corpus",
+    tags=("B28", "A8"),
+    oracle="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clean,
+               CAST(sum(CASE WHEN n_chars >= 200 THEN n_chars ELSE 0 END) AS BIGINT)
+                   AS clean_chars
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def multi_sink_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job merging demonstrated end-to-end (B28/A8): persist the scan,
+    write BOTH sinks (clean corpus + accounting stats) as real parquet
+    writes from the single input pass, then answer from the sinks
+    alone — n_docs comes from the stats sink, n_clean/clean_chars from
+    re-reading the clean-corpus sink. The oracle computes the same
+    numbers straight from `documents`, so the driver's hash check
+    proves the merged two-sink pipeline lost nothing.
+    """
+    import os
+    import tempfile
+
+    docs, clean, stats = multi_sink_plan(spark, sf_dir)
+    docs = docs.persist()
+    # Per-process dir, overwritten each invocation (same convention as
+    # the shipped-package zip): repeated driver calls don't accumulate.
+    out = os.path.join(tempfile.gettempdir(), f"mrps_multisink_{os.getpid()}")
+    try:
+        clean.write.mode("overwrite").parquet(f"{out}/clean")
+        stats.write.mode("overwrite").parquet(f"{out}/stats")
+    finally:
+        docs.unpersist()
+    clean_rb = spark.read.parquet(f"{out}/clean")
+    stats_rb = spark.read.parquet(f"{out}/stats")
+    a = clean_rb.groupBy("lang").agg(
+        F.count("*").alias("n_clean"), F.sum("n_chars").alias("clean_chars")
+    )
+    b = stats_rb.groupBy("lang").agg(F.sum("n_docs").alias("n_docs"))
+    return b.join(a, "lang", "left").select(
+        "lang",
+        "n_docs",
+        F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
+        F.coalesce("clean_chars", F.lit(0)).alias("clean_chars"),
+    )

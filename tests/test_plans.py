@@ -131,3 +131,25 @@ def test_doc_chunks_no_shuffle(spark):
     p = plan_of(spark, "doc_chunks")
     assert "Exchange" not in p
     assert "Generate explode" in p
+
+
+def test_multi_sink_shares_one_scan(spark):
+    """B28 job merging: once the shared source is persisted, BOTH sink
+    plans read the in-memory relation — the parquet scan happens at
+    most once (at cache materialization), not once per sink."""
+    from mr_py_spark.operators.pipeline import multi_sink_plan
+
+    docs, clean, stats = multi_sink_plan(spark, SF_DIR)
+    docs = docs.persist()
+    try:
+        docs.count()  # materialize the shared scan
+        for side in (clean, stats):
+            p = side._jdf.queryExecution().executedPlan().toString()
+            # the sink reads the cache; any parquet scan text can only
+            # appear nested inside the InMemoryTableScan's description
+            assert "InMemoryTableScan" in p, p
+            assert p.index("InMemoryTableScan") < (
+                p.index("Scan parquet") if "Scan parquet" in p else len(p)
+            ), p
+    finally:
+        docs.unpersist()
