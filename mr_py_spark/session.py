@@ -88,14 +88,18 @@ def harden(spark: SparkSession) -> SparkSession:
                 "spark.sql.shuffle.partitions",
                 os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8)),
             )
-        # The 128 MB split default leaves medium local files on 1-3 cores;
-        # 16 MB splits measured 3x faster on a 110 MB lineitem (scan+agg).
-        # Only applied when the user kept the default; cluster deployments
-        # with remote storage should keep large splits (set the env).
+        # The 128 MB split default leaves medium local files on 1-3 cores.
+        # Measured across splits (SCALE.md r4): 32 MB is the sweet spot —
+        # beats 16 MB both on a 110 MB lineitem at sf0.1 (parallelism
+        # saturates by 32 cores either way, fewer tasks win) and on the
+        # 1.8 GB sf10 file (16 MB pays 3.5 task waves; 32-64 MB is 15%
+        # faster). Only applied when the user kept the default; cluster
+        # deployments with remote storage should keep large splits (set
+        # the env).
         if spark.conf.get("spark.sql.files.maxPartitionBytes") == "134217728b":
             spark.conf.set(
                 "spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "32m"),
             )
         # Raise the broadcast ceiling only for AQE's *runtime* re-plan,
         # where actual (post-filter, post-shuffle-write) sizes are

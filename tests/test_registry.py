@@ -1,8 +1,10 @@
 """Registry ordering + oracle-normalization contract.
 
 The driver verifies only the first 50 entries of ``queries()`` per
-round, so ``load_all`` must put never-driver-verified queries first
-(oracle-backed before rows-only) and rotate verified ones to the back.
+round, so ``load_all`` must order: (0) queries whose LATEST driver
+CORRECTNESS row failed or errored — fixes must be re-proven, (1)
+never-verified oracle-backed queries, (2) never-verified rows-only
+queries, (3) green-verified queries rotated to the back.
 """
 
 from __future__ import annotations
@@ -11,50 +13,73 @@ import json
 import os
 import re
 
-from mr_py_spark.registry import FLAGSHIPS, _normalize_events_oracle, load_all
+from mr_py_spark.registry import (
+    FLAGSHIPS,
+    _driver_status,
+    _normalize_events_oracle,
+    load_all,
+)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _verified() -> set[str]:
-    seen: set[str] = set()
-    for name in os.listdir(ROOT):
-        if re.fullmatch(r"CORRECTNESS_r\d+\.json", name):
-            with open(os.path.join(ROOT, name)) as f:
-                seen.update(json.load(f))
-    return seen
+def _group(name: str, oracle, status: dict[str, bool]) -> int:
+    if name in status:
+        return 3 if status[name] else 0
+    return 1 if oracle is not None else 2
 
 
-def test_unverified_queries_come_first():
+def test_window_groups_are_ordered():
+    reg = load_all()
+    status = _driver_status()
+    groups = [_group(q.name, q.oracle, status) for q in reg.values()]
+    assert groups == sorted(groups), groups
+
+
+def test_broken_queries_re_enter_window():
+    """Any query whose latest driver row was red must land inside the
+    driver's 50-entry verification window."""
     names = list(load_all())
-    seen = _verified()
-    unverified = [n for n in names if n not in seen]
-    # every unverified query precedes every verified one
-    if unverified:
-        last_unverified = max(names.index(n) for n in unverified)
-        first_verified = min(
-            (names.index(n) for n in names if n in seen), default=len(names)
-        )
-        assert last_unverified < first_verified or len(unverified) > 50
+    status = _driver_status()
+    broken = [n for n in names if status.get(n) is False]
+    assert all(names.index(n) < 50 for n in broken), broken
 
 
 def test_flagships_inside_driver_window():
     names = list(load_all())
     window = set(names[:50])
-    seen = _verified()
-    missing = [n for n in FLAGSHIPS if n not in window and n not in seen]
+    status = _driver_status()
+    missing = [
+        n for n in FLAGSHIPS if n not in window and status.get(n) is not True
+    ]
     assert not missing, f"flagships outside driver window and unverified: {missing}"
 
 
-def test_rows_only_after_oracle_within_unverified():
-    reg = load_all()
-    seen = _verified()
-    groups = [
-        (0 if q.oracle is not None else 1)
-        for q in reg.values()
-        if q.name not in seen
-    ]
-    assert groups == sorted(groups)
+def test_driver_status_reads_latest_round():
+    """A query red in an early round but green in a later one counts
+    green (and vice versa): later round files win."""
+    status = _driver_status()
+    rounds = sorted(
+        name
+        for name in os.listdir(ROOT)
+        if re.fullmatch(r"CORRECTNESS_r\d+\.json", name)
+    )
+    latest: dict[str, bool] = {}
+    for fname in rounds:
+        with open(os.path.join(ROOT, fname)) as f:
+            for qname, row in json.load(f).items():
+                err = row.get("err")
+                if err == "no_oracle":
+                    ok = row.get("spark_rows") is not None
+                elif err:
+                    ok = False
+                else:
+                    ok = all(
+                        row.get(m) is not False
+                        for m in ("rows_match", "schema_match", "hash_match")
+                    )
+                latest[qname] = ok
+    assert status == latest
 
 
 def test_events_oracles_truncated_to_micros():
