@@ -109,12 +109,33 @@ def stream_agg_complete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "complete")
 
 
-@register("stream_tumbling_window", tags=("C6", "C8"), oracle=None)
+@register(
+    "stream_tumbling_window",
+    tags=("C6", "C8"),
+    oracle="""
+        WITH agg AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS bucket,
+               n_events, total_value
+        FROM agg
+        WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 30 MINUTE
+                                            FROM events)
+    """,
+)
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows with a 30-minute watermark, append mode
-    (C6+C8). Late data beyond the watermark is dropped and only closed
-    windows emit, so the trailing window is withheld — rows-only here;
-    pytest asserts emitted rows are a prefix of the batch result."""
+    (C6+C8). On a fully-drained bounded stream the emitted set is
+    EXACTLY the windows whose end <= final watermark (= max event ts
+    minus the 30-minute delay): the final no-data micro-batch closes
+    everything the watermark passed, and the trailing window(s) are
+    withheld. That makes C8's late-data semantics oracle-checkable in
+    plain SQL — the batch windowed aggregate filtered to closed
+    windows (verified exact at sf0.001 and sf0.01); pytest additionally
+    asserts the emitted rows are a prefix of the batch result."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "30 minutes")
@@ -125,14 +146,49 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "append")
 
 
-@register("stream_session_window", tags=("C7", "C8"), oracle=None)
+@register(
+    "stream_session_window",
+    tags=("C7", "C8"),
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             >= INTERVAL 30 MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT user_id, ts, value,
+                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE)
+                       AS session_value,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end
+            FROM numbered GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_start, n_events, session_value
+        FROM sessions
+        WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based session windows on the stream (C7): the identical
-    `session_window` expression as the batch operator, under a
-    watermark; sessions close when the watermark passes their gap.
-    Rows-only (the trailing sessions are withheld by the watermark);
-    pytest asserts the emitted sessions are a subset of the batch
-    result."""
+    `session_window` expression as the batch operator, under a 1-hour
+    watermark; a session emits once the watermark passes its end
+    (last event + 30-minute gap). On a drained bounded stream that is
+    a deterministic set, so the oracle is the batch gaps-and-islands
+    session build (same SQL as the batch `session_window` oracle)
+    filtered to sessions closed by the final watermark — verified
+    exact at sf0.001/sf0.01; pytest additionally asserts the emitted
+    sessions are a subset of the batch result."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -199,15 +255,27 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(dedup, "append")
 
 
-@register("stream_stream_join", tags=("C8", "C9", "B24"), oracle=None)
+@register(
+    "stream_stream_join",
+    tags=("C8", "C9", "B24"),
+    oracle="""
+        SELECT b.user_id, c.event_id AS click_id, b.event_id AS purchase_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') b
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON b.user_id = c.user_id
+         AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (C8/C9): purchases matched to the
     same user's clicks in the preceding hour, both sides watermarked so
     the join state is bounded — the canonical attribution topology.
     Inner stream-stream joins emit every provable match (the watermark
     only bounds buffered state, it withholds nothing on a drained
-    bounded stream), so pytest asserts exact set equality with the
-    batch interval join over the same fixture. Scale shape: state is
+    bounded stream), so the oracle is simply the batch interval join —
+    exact set equality, also pytest-asserted. Scale shape: state is
     partitioned by user_id and each side retains <= 1 hour of events
     per the watermark — memory is O(rate x window), independent of
     stream length."""
