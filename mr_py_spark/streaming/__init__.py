@@ -240,17 +240,27 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(out, "update")
 
 
-@register("stream_dedup", tags=("C9",), oracle=None)
+@register(
+    "stream_dedup",
+    tags=("C9",),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup with bounded state (C9):
     dropDuplicatesWithinWatermark on (user_id, event_type) — state for
     a key is dropped once the watermark passes it, so memory is bounded
-    by key-arrival rate x watermark horizon, not stream length."""
+    by key-arrival rate x watermark horizon, not stream length.
+
+    The emitted KEY SET on a drained bounded stream is deterministic
+    (one row per distinct key; the fixture fits one micro-batch so no
+    key re-emits after state expiry) and oracle-checked against SQL
+    DISTINCT. WHICH physical row survives per key is arrival-order-
+    dependent, so the projection excludes event_id on purpose."""
     ev = _events_stream(spark, sf_dir)
     dedup = (
         ev.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type", "event_id")
+        .select("user_id", "event_type")
     )
     return _drain(dedup, "append")
 
