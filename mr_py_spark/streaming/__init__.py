@@ -8,11 +8,12 @@ completion synchronously with an availableNow-style drain into a
 memory sink, then returned as a DataFrame for the harness.
 
 Notes:
-- `stream_agg_complete` is oracle-checked: complete-mode output over a
-  fully-drained bounded stream must equal the batch aggregate exactly.
-- Append-mode windows (`stream_tumbling_window`) are rows-only: the
-  watermark intentionally withholds the trailing window(s) — pytest
-  asserts the emitted prefix matches the batch result.
+- Every query here is oracle-checked: on a fully-drained bounded
+  stream the emitted set is deterministic — complete-mode aggregates
+  equal the batch answer, append-mode windows/sessions emit exactly
+  what the final watermark closed, inner interval joins emit every
+  provable match, and dedup emits the distinct key set — each
+  expressible as plain SQL over the same fixture.
 - The memory sink is a test/dev harness device; production sinks are
   kafka/parquet/foreachBatch and take the identical plan.
 """
@@ -208,32 +209,56 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "append")
 
 
-@register("stream_stateful_counts", tags=("C9",), oracle=None)
+@register(
+    "stream_stateful_counts",
+    tags=("C9",),
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY user_id
+    """,
+)
 def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState
     (C9): a per-user running (count, total) kept in explicit state
     across micro-batches — the building block for bespoke operators
     Spark's built-in aggs can't express (e.g. decaying counters,
-    per-key ML state). Rows-only; pytest asserts the final state
-    equals the batch groupBy."""
+    per-key ML state).
+
+    The running total is accumulated as scaled long (4 implied
+    decimals), mirroring the repo-wide dec4 policy: integer addition
+    is order-independent, so the final state is bitwise-identical to
+    the batch/DuckDB DECIMAL(10,4) sum no matter how rows split
+    across micro-batches — which is what makes this oracle-checkable.
+    Update-mode emits one row per key per touching batch; the drained
+    bounded fixture fits one batch, so the sink holds exactly the
+    final per-user states."""
+    import numpy as np
     import pandas as pd
 
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
 
     def update(key, pdfs, state) -> "Iterator[pd.DataFrame]":
-        n, total = state.get if state.exists else (0, 0.0)
+        n, scaled = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            scaled += int(
+                np.rint(pdf["value"].to_numpy() * 10000).astype("int64").sum()
+            )
+        state.update((n, scaled))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [scaled / 10000.0],
+            }
         )
 
     out = ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, scaled long",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
