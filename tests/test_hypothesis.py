@@ -57,3 +57,43 @@ def test_dedup_idempotent(spark, rows):
     twice = once.dropDuplicates(["t"])
     assert sorted((r.t) for r in once.collect()) == sorted(r.t for r in twice.collect())
     assert once.count() == df.select("t").distinct().count()
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        # 4-decimal money values as the fixtures carry them: a double
+        # that is the nearest-representable of i/10000
+        st.integers(-10_000_000, 10_000_000).map(lambda i: i / 10000.0),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_dec4_policy_bitwise_vs_duckdb(spark, vals):
+    """The repo-wide float policy (CLAUDE.md): money math through
+    DECIMAL(10,4) must make Spark and DuckDB sums/averages BITWISE
+    equal on arbitrary 4-decimal inputs, independent of row order —
+    this is the invariant every compared oracle relies on."""
+    import duckdb
+
+    from mr_py_spark.functions import davg, dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    row = df.agg(
+        dsum("v").alias("s"), davg("v").alias("a")
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    o_s, o_a = con.execute(
+        """SELECT CAST(sum(CAST(v AS DECIMAL(10,4))) AS DOUBLE),
+                  CAST(sum(CAST(v AS DECIMAL(10,4))) AS DOUBLE) / count(*)
+           FROM t"""
+    ).fetchone()
+
+    assert row.s == o_s, (row.s, o_s)
+    assert row.a == o_a, (row.a, o_a)
