@@ -19,11 +19,14 @@ those carry pytest property tests instead (SURVEY.md §5).
 from __future__ import annotations
 
 import glob
+import hashlib
+import inspect
 import json
 import os
 import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -86,40 +89,116 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
-def _driver_status() -> dict[str, bool]:
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class DriverRow(NamedTuple):
+    """The most recent driver CORRECTNESS row for one query."""
+
+    ok: bool  # green (oracle match, or rows-only run that produced rows)
+    rnd: int  # round number the row came from (CORRECTNESS_r{rnd}.json)
+    rows_only: bool  # that row was a rows-only (err == "no_oracle") check
+
+
+def _round_of(path: str) -> int:
+    m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else 0
+
+
+def _driver_status() -> dict[str, DriverRow]:
     """Latest driver CORRECTNESS verdict per query name across all past
-    rounds: ``True`` if the most recent row that checked the query was
-    green (oracle match, or a rows-only run that produced rows without
-    error), ``False`` if it failed or errored. Queries with no row at
-    all are absent. The driver caps its per-round check at the first 50
-    entries of ``queries()``, so ``load_all`` orders broken-last-round
-    queries first (fixes get re-proven), then never-verified ones, then
-    the green tail — the window rotates until everything has a green
-    driver row."""
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    status: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    rounds. The driver caps its per-round check at the first 50 entries
+    of ``queries()``, so ``load_all`` uses this (plus the fingerprint
+    sidecar) to rotate the verification window — see _window_order."""
+    status: dict[str, DriverRow] = {}
+    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue  # unreadable round file: skip, worst case re-verify
+        if not isinstance(rows, dict):
+            continue  # unexpected shape: skip, worst case re-verify
+        rnd = _round_of(path)
         for name, row in rows.items():
             if not isinstance(row, dict):
-                status[name] = True  # unknown shape: treat as seen-green
+                # unknown shape: treat as seen-green so it rotates normally
+                status[name] = DriverRow(True, rnd, False)
                 continue
             err = row.get("err")
             if err == "no_oracle":  # rows-only check: ran to completion
                 ok = row.get("spark_rows") is not None
+                rows_only = True
             elif err:
-                ok = False
+                ok, rows_only = False, False
             else:
                 ok = all(
                     row.get(m) is not False
                     for m in ("rows_match", "schema_match", "hash_match")
                 )
-            status[name] = ok
+                rows_only = False
+            status[name] = DriverRow(ok, rnd, rows_only)
     return status
+
+
+_FP_PATH = os.path.join(_ROOT, ".fingerprints.json")
+
+
+def _fingerprint(q: Query) -> str:
+    """Content hash of a query's implementation + oracle. A green driver
+    row only proves the code that existed when the row was recorded; a
+    fingerprint change after that round means the query is unproven
+    again and must re-enter the verification window."""
+    try:
+        src = inspect.getsource(q.fn)
+    except (OSError, TypeError):  # no source file (REPL-defined etc.)
+        src = f"{q.fn.__module__}.{q.fn.__qualname__}"
+    h = hashlib.sha256()
+    h.update(src.encode())
+    h.update(b"\x00")
+    h.update((q.oracle or "").encode())
+    return h.hexdigest()[:16]
+
+
+def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:
+    """Per query, the round at which its CURRENT (fn source, oracle)
+    fingerprint first appeared, per the ``.fingerprints.json`` sidecar.
+    New/changed fingerprints are stamped with the upcoming round (max
+    recorded CORRECTNESS round + 1), so a query edited after its last
+    green row sorts as never-verified. Bootstrap (no sidecar yet) trusts
+    prior history: everything stamps at round 0. The sidecar is
+    re-written only when something changed (atomic tmp+rename); write
+    failures degrade to in-memory behavior."""
+    try:
+        with open(_FP_PATH) as f:
+            sidecar = json.load(f)
+        if not isinstance(sidecar, dict):
+            sidecar = {}
+        bootstrap = False
+    except (OSError, ValueError):
+        sidecar, bootstrap = {}, True
+    rounds = [_round_of(p) for p in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))]
+    upcoming = max(rounds, default=0) + 1
+    out: dict[str, int] = {}
+    dirty = False
+    for name, q in registry.items():
+        fp = _fingerprint(q)
+        prev = sidecar.get(name)
+        if isinstance(prev, dict) and prev.get("fp") == fp:
+            out[name] = int(prev.get("round", 0))
+        else:
+            out[name] = 0 if bootstrap else upcoming
+            sidecar[name] = {"fp": fp, "round": out[name]}
+            dirty = True
+    if dirty:
+        try:
+            tmp = _FP_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(sidecar, f, indent=1, sort_keys=True)
+            os.replace(tmp, _FP_PATH)
+        except OSError:
+            pass  # read-only checkout: ordering still correct this process
+    return out
 
 
 # Bench headliners + the judge-flagged flagship surface: until each has
@@ -139,24 +218,34 @@ FLAGSHIPS = (
 
 
 def _window_order(registry: dict[str, Query]) -> dict[str, Query]:
-    """Stable-reorder: (0) queries whose latest driver row failed or
-    errored — fixes must be re-proven, (1) never-driver-verified oracle
-    queries — flagships first, (2) never-verified rows-only queries,
-    (3) green-verified queries. Within each group, original
-    registration order is preserved (sorted() is stable)."""
+    """Stable-reorder so the driver's 50-entry verification window never
+    stagnates: (0) queries whose latest driver row failed or errored —
+    fixes must be re-proven, (1) unproven oracle queries — never
+    driver-verified, oracle-upgraded since their last (rows-only) green
+    row, or edited since their last green row (fingerprint sidecar) —
+    flagships first, (2) unproven rows-only queries, (3) green-verified
+    queries rotated by least-recently-verified round (flagships first:
+    the bench headliners re-prove every round). Ties preserve original
+    registration order (sorted() is stable)."""
     status = _driver_status()
+    fp_round = _fingerprint_rounds(registry)
 
-    def group(q: Query) -> tuple[int, int]:
-        if q.name in status:
-            g = 3 if status[q.name] else 0
+    def key(q: Query) -> tuple[int, int, int]:
+        unproven = 1 if q.oracle is not None else 2
+        row = status.get(q.name)
+        if row is None:
+            g, rot = unproven, 0
+        elif not row.ok:
+            g, rot = 0, 0
+        elif row.rows_only and q.oracle is not None:
+            g, rot = 1, 0  # oracle added after the green rows-only row
+        elif fp_round.get(q.name, 0) > row.rnd:
+            g, rot = unproven, 0  # edited after the green row
         else:
-            g = 1 if q.oracle is not None else 2
-        return (g, 0 if q.name in FLAGSHIPS else 1)
+            g, rot = 3, row.rnd  # least-recently-verified first
+        return (g, 0 if q.name in FLAGSHIPS else 1, rot)
 
-    return {
-        q.name: q
-        for q in sorted(registry.values(), key=group)
-    }
+    return {q.name: q for q in sorted(registry.values(), key=key)}
 
 
 def load_all() -> dict[str, Query]:

@@ -3,8 +3,11 @@
 The driver verifies only the first 50 entries of ``queries()`` per
 round, so ``load_all`` must order: (0) queries whose LATEST driver
 CORRECTNESS row failed or errored — fixes must be re-proven, (1)
-never-verified oracle-backed queries, (2) never-verified rows-only
-queries, (3) green-verified queries rotated to the back.
+unproven oracle-backed queries (never verified, oracle-upgraded since
+their last rows-only green row, or edited since their last green row),
+(2) unproven rows-only queries, (3) green-verified queries rotated by
+least-recently-verified round so regressions in the tail are caught
+within a few rounds instead of never (verdict r4 item 1).
 """
 
 from __future__ import annotations
@@ -15,7 +18,9 @@ import re
 
 from mr_py_spark.registry import (
     FLAGSHIPS,
+    DriverRow,
     _driver_status,
+    _fingerprint_rounds,
     _normalize_events_oracle,
     load_all,
 )
@@ -23,17 +28,42 @@ from mr_py_spark.registry import (
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _group(name: str, oracle, status: dict[str, bool]) -> int:
-    if name in status:
-        return 3 if status[name] else 0
-    return 1 if oracle is not None else 2
+def _group(q, status, fp_round) -> int:
+    unproven = 1 if q.oracle is not None else 2
+    row = status.get(q.name)
+    if row is None:
+        return unproven
+    if not row.ok:
+        return 0
+    if row.rows_only and q.oracle is not None:
+        return 1
+    if fp_round.get(q.name, 0) > row.rnd:
+        return unproven
+    return 3
 
 
 def test_window_groups_are_ordered():
     reg = load_all()
     status = _driver_status()
-    groups = [_group(q.name, q.oracle, status) for q in reg.values()]
+    fp_round = _fingerprint_rounds(reg)
+    groups = [_group(q, status, fp_round) for q in reg.values()]
     assert groups == sorted(groups), groups
+
+
+def test_green_tail_rotates_least_recently_verified_first():
+    """Within the trusted-green tail (non-flagship), a query whose last
+    driver row is older must sort before one verified more recently —
+    this is what keeps the 50-entry window moving over all 130+
+    queries instead of freezing on registration order."""
+    reg = load_all()
+    status = _driver_status()
+    fp_round = _fingerprint_rounds(reg)
+    tail_rounds = [
+        status[q.name].rnd
+        for q in reg.values()
+        if _group(q, status, fp_round) == 3 and q.name not in FLAGSHIPS
+    ]
+    assert tail_rounds == sorted(tail_rounds), tail_rounds
 
 
 def test_broken_queries_re_enter_window():
@@ -41,45 +71,110 @@ def test_broken_queries_re_enter_window():
     driver's 50-entry verification window."""
     names = list(load_all())
     status = _driver_status()
-    broken = [n for n in names if status.get(n) is False]
+    broken = [n for n in names if n in status and not status[n].ok]
     assert all(names.index(n) < 50 for n in broken), broken
 
 
+def test_oracle_upgraded_queries_re_enter_window():
+    """A query whose latest green driver row was rows-only but which now
+    carries an oracle is unproven: the driver has never run its SQL
+    side. It must sort into the window (verdict r4: stream_stateful_
+    counts sat at position 134 and would never have been proven)."""
+    reg = load_all()
+    names = list(reg)
+    status = _driver_status()
+    upgraded = [
+        n
+        for n, q in reg.items()
+        if q.oracle is not None
+        and n in status
+        and status[n].ok
+        and status[n].rows_only
+    ]
+    assert all(names.index(n) < 50 for n in upgraded), upgraded
+
+
+def test_edited_queries_re_enter_window(tmp_path, monkeypatch):
+    """A fingerprint recorded after a query's last green round marks it
+    unproven (the green row proved older code)."""
+    import mr_py_spark.registry as regmod
+
+    reg = load_all()
+    status = _driver_status()
+    # pick any trusted-green non-flagship query
+    victim = next(
+        n
+        for n, q in reg.items()
+        if n in status
+        and status[n].ok
+        and not (status[n].rows_only and q.oracle is not None)
+        and n not in FLAGSHIPS
+    )
+    fp_round = _fingerprint_rounds(reg)
+    forged = dict(fp_round, **{victim: status[victim].rnd + 1})
+    monkeypatch.setattr(regmod, "_fingerprint_rounds", lambda _reg: forged)
+    names = list(regmod._window_order(regmod.REGISTRY))
+    assert names.index(victim) < 50, (victim, names.index(victim))
+
+
+def test_fingerprint_sidecar_stable_across_loads():
+    """Two consecutive loads with unchanged code must agree — the
+    sidecar only moves when source or oracle text changes."""
+    reg = load_all()
+    assert _fingerprint_rounds(reg) == _fingerprint_rounds(reg)
+
+
 def test_flagships_inside_driver_window():
+    """Bench headliners re-prove every round: always inside the window."""
     names = list(load_all())
     window = set(names[:50])
-    status = _driver_status()
-    missing = [
-        n for n in FLAGSHIPS if n not in window and status.get(n) is not True
-    ]
-    assert not missing, f"flagships outside driver window and unverified: {missing}"
+    missing = [n for n in FLAGSHIPS if n not in window]
+    assert not missing, f"flagships outside driver window: {missing}"
 
 
 def test_driver_status_reads_latest_round():
     """A query red in an early round but green in a later one counts
-    green (and vice versa): later round files win."""
+    green (and vice versa): later round files win; the recorded round
+    number is the latest file's."""
     status = _driver_status()
     rounds = sorted(
         name
         for name in os.listdir(ROOT)
         if re.fullmatch(r"CORRECTNESS_r\d+\.json", name)
     )
-    latest: dict[str, bool] = {}
+    latest: dict[str, DriverRow] = {}
     for fname in rounds:
+        rnd = int(re.search(r"r(\d+)", fname).group(1))
         with open(os.path.join(ROOT, fname)) as f:
             for qname, row in json.load(f).items():
                 err = row.get("err")
                 if err == "no_oracle":
-                    ok = row.get("spark_rows") is not None
+                    ok, rows_only = row.get("spark_rows") is not None, True
                 elif err:
-                    ok = False
+                    ok, rows_only = False, False
                 else:
                     ok = all(
                         row.get(m) is not False
                         for m in ("rows_match", "schema_match", "hash_match")
                     )
-                latest[qname] = ok
+                    rows_only = False
+                latest[qname] = DriverRow(ok, rnd, rows_only)
     assert status == latest
+
+
+def test_driver_status_survives_list_shaped_round_file(tmp_path, monkeypatch):
+    """A list-shaped CORRECTNESS file must be skipped, not crash
+    load_all (ADVICE r4, registry.py)."""
+    import mr_py_spark.registry as regmod
+
+    bad = tmp_path / "CORRECTNESS_r99.json"
+    bad.write_text(json.dumps([{"name": "x"}]))
+    good = tmp_path / "CORRECTNESS_r01.json"
+    good.write_text(json.dumps({"q": {"err": None, "rows_match": True,
+                                      "schema_match": True, "hash_match": True}}))
+    monkeypatch.setattr(regmod, "_ROOT", str(tmp_path))
+    status = regmod._driver_status()
+    assert status == {"q": DriverRow(True, 1, False)}
 
 
 def test_events_oracles_truncated_to_micros():
