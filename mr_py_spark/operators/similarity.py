@@ -509,28 +509,83 @@ def emb_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("emb_centroid", tags=("C3",), oracle=None)
-def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-facing projection of :func:`emb_centroid_vectors`: the
-    centroid rendered as a fixed-precision CSV string (plus its first
-    component for a quick sanity scalar), because the driver's
-    rows-only canonicalizer hashes cells with pandas and crashes on
-    ndarray values.
+#: Fixed-point scale for the oracle-checked centroid: 24 fractional
+#: bits ~= float32's own ulp at |x| <= 1, so the quantization is below
+#: the data's native precision.
+_CENTROID_SCALE = float(1 << 24)
 
-    Rows-only by design: the cross-row float summation order is
-    engine- and partitioning-dependent, so there is no bitwise-stable
-    SQL oracle; tests/test_properties.py plants Gaussian clusters and
-    asserts each centroid lands within tolerance of its true mean and
-    that labels map 1:1 to output rows.
+
+@register(
+    "emb_centroid",
+    tags=("C3",),
+    oracle=f"""
+        WITH comp AS (
+            SELECT label,
+                   unnest(embedding) AS x,
+                   unnest(generate_series(0, len(embedding) - 1)) AS pos
+            FROM embeddings
+        ), per AS (
+            SELECT label, pos,
+                   CAST(sum(CAST(round(CAST(x AS DOUBLE) * {_CENTROID_SCALE!r})
+                                 AS BIGINT)) AS DOUBLE)
+                       / {_CENTROID_SCALE!r} / count(*) AS m
+            FROM comp GROUP BY label, pos
+        )
+        SELECT label,
+               count(*) AS dim,
+               string_agg(printf('%.6f', m), ',' ORDER BY pos) AS centroid_csv,
+               arg_min(printf('%.6f', m), pos) AS c0
+        FROM per GROUP BY label
+    """,
+)
+def emb_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing fixed-point centroid (C3): per-label componentwise
+    mean, oracle-checked bitwise (verdict r4 item 2). The library entry
+    point :func:`emb_centroid_vectors` keeps the pure-double mean; this
+    query instead quantizes each component to 24 fractional bits —
+    ``round(x * 2^24)`` is an exact dyadic product of the float32 value
+    and both engines round ties half-away-from-zero — then sums as
+    integers (order-free, exact: |sum| < 2^53 at any realistic label
+    cardinality since 2^24 * 1e8 rows ~= 2^51) and performs the same
+    two IEEE divisions. Every compared double is therefore
+    bit-identical by construction; the ``round`` here is a quantizer on
+    exact products, not a rounding of a compared double (policy in
+    mr_py_spark/functions). The centroid is rendered as a
+    fixed-precision CSV string because the driver's canonicalizer
+    cannot hash array cells; %.6f on identical doubles is tie-free
+    (no binary double sits exactly on a .5e-6 decimal boundary).
+
+    Scale shape: posexplode -> groupBy(label, pos) carries scalar
+    partial sums only, fan-out = fixed dim — holds at 10^9 vectors.
     """
-    v = emb_centroid_vectors(spark, sf_dir)
-    return v.select(
-        "label",
-        "dim",
-        F.concat_ws(
-            # format_string, not format_number: no locale thousands
-            # separators to collide with the CSV delimiter.
-            ",", F.transform(F.col("centroid"), lambda x: F.format_string("%.6f", x))
-        ).alias("centroid_csv"),
-        F.round(F.element_at(F.col("centroid"), 1), 6).alias("c0"),
+    e = tbl(spark, sf_dir, "embeddings")
+    comp = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    per = comp.groupBy("label", "pos").agg(
+        F.sum(
+            F.round(F.col("x").cast("double") * F.lit(_CENTROID_SCALE)).cast("long")
+        ).alias("s"),
+        F.count("*").alias("n"),
+    ).withColumn(
+        "m", F.col("s").cast("double") / F.lit(_CENTROID_SCALE) / F.col("n")
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    # format_string, not format_number: no locale
+                    # thousands separators to collide with the delimiter.
+                    F.struct("pos", F.format_string("%.6f", "m").alias("f"))
+                )
+            ).alias("pf"),
+            F.count("*").alias("dim"),
+        )
+        .select(
+            "label",
+            "dim",
+            F.concat_ws(
+                ",", F.transform(F.col("pf"), lambda s: s.f)
+            ).alias("centroid_csv"),
+            F.element_at(F.col("pf"), 1).getField("f").alias("c0"),
+        )
     )

@@ -152,7 +152,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("C7", "C8"),
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, event_id, ts, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                                 ORDER BY ts, event_id)
                              >= INTERVAL 30 MINUTE
@@ -162,7 +162,8 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ), numbered AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   sum(new_session) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                        AS session_id
             FROM flagged
@@ -177,7 +178,12 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id, session_start, n_events, session_value
         FROM sessions
-        WHERE session_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+        -- Spark tracks the watermark at millisecond precision (max event
+        -- time floored to ms); mirror that floor so a session ending in
+        -- the sub-millisecond gap is withheld by both engines.
+        WHERE session_end <= (SELECT time_bucket(INTERVAL 1 MILLISECOND, max(ts))
+                                     - INTERVAL 1 HOUR
+                              FROM events)
     """,
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,8 +249,12 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, scaled = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
+            # Half-AWAY-from-zero, matching CAST(x AS DECIMAL(10,4))
+            # semantics in both engines (np.rint is half-to-even and
+            # would diverge on exact .5 ties after x10000).
+            v = pdf["value"].to_numpy() * 10000
             scaled += int(
-                np.rint(pdf["value"].to_numpy() * 10000).astype("int64").sum()
+                (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype("int64").sum()
             )
         state.update((n, scaled))
         yield pd.DataFrame(

@@ -347,18 +347,56 @@ def test_media_features_shape_and_determinism(spark):
     a = rows(spark, "media_features")
     b = rows(spark, "media_features")
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
-    for r in a[:50]:
-        assert 64 <= r.width < 128 and 64 <= r.height < 128
-        assert 0 <= r.frame_idx <= 2
+    for r in a:
+        if r.fmt in ("bmp", "gif"):
+            assert 4 <= r.width <= 16 and 4 <= r.height <= 10
+            assert r.n_frames == 1 and r.frame_idx == 0
+        else:
+            assert r.fmt == "wav"
+            assert r.width is None and r.height is None
+            assert 1 <= r.n_frames <= 2048
+            assert 0 <= r.frame_idx <= 2
 
 
-def test_decode_media_stub_contract():
-    from mr_py_spark.operators.multimodal import decode_media
+def test_decode_media_roundtrips_planted_payloads():
+    """decode_media is a real header parser: BMP/GIF/WAV files built by
+    synth_media (and a hand-built multi-chunk WAV) parse back to their
+    generation parameters; unknown containers raise."""
+    import struct
 
-    feats = decode_media(b"hello world")
-    assert set(feats) == {"width", "height", "n_frames"}
+    from mr_py_spark.operators.multimodal import decode_media, synth_media
+
+    for doc_id, text in [(0, "abc" * 50), (1, "xyz"), (2, "q" * 5000), (3, ""),
+                         (4, "gif body"), (5, "stereo " * 400)]:
+        feats = decode_media(synth_media(doc_id, text))
+        assert set(feats) == {"fmt", "width", "height", "n_frames",
+                              "sample_rate", "byte_entropy"}
+        kind = doc_id % 3
+        if kind in (0, 1):
+            assert feats["fmt"] == ("bmp", "gif")[kind]
+            assert feats["width"] == 4 + doc_id % 13
+            assert feats["height"] == 4 + doc_id % 7
+            assert feats["n_frames"] == 1
+        else:
+            n = min(len(text.encode()) or 1, 2048)
+            assert feats["fmt"] == "wav"
+            assert feats["sample_rate"] == 8000
+            assert feats["n_frames"] == n
+        assert feats["byte_entropy"] >= 0.0
+
+    # WAV with an extra odd-length chunk before fmt/data: the chunk walk
+    # must skip it (word alignment) and still find the real metadata.
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    std = synth_media(2, "hello")
+    tail = junk + std[12:]
+    riff = b"RIFF" + struct.pack("<I", 4 + len(tail)) + b"WAVE" + tail
+    feats = decode_media(riff)
+    assert feats["fmt"] == "wav" and feats["n_frames"] == 5
+
     with pytest.raises(NotImplementedError):
         decode_media(b"")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG\r\n\x1a\nnot-supported")
 
 
 def test_rollup_grand_total_consistent(spark):
@@ -437,8 +475,9 @@ def test_emb_centroid_matches_planted_means(spark):
         p = proj[lbl]
         csv = np.array([float(s) for s in p.centroid_csv.split(",")])
         assert len(csv) == p.dim == 8
-        assert np.allclose(csv, got, atol=5e-7)
-        assert abs(p.c0 - got[0]) < 5e-7
+        # %.6f rendering (5e-7) + 2^-24 fixed-point quantization (3e-8)
+        assert np.allclose(csv, got, atol=6e-7)
+        assert abs(float(p.c0) - got[0]) < 6e-7
 
 
 def test_seq_packing_invariants(spark):
