@@ -21,6 +21,7 @@ Notes:
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,6 +63,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+#: RocksDB-backed state store: the 100 TB answer for stateful streaming
+#: (state spills to local disk + changelog instead of executor heap, so
+#: per-key state survives key cardinalities far beyond memory). Opt in
+#: with SPARK_GRAFT_STATE_STORE=rocksdb; results are provider-
+#: independent (asserted by tests/test_streaming_state_store.py).
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def _drain(df: DataFrame, mode: str) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink.
 
@@ -72,6 +83,10 @@ def _drain(df: DataFrame, mode: str) -> DataFrame:
     aggregates by construction; production topologies use kafka/parquet/
     foreachBatch sinks instead of memory."""
     spark = df.sparkSession
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
     name = f"mrps_stream_{next(_qid)}"
     q = (
         df.writeStream.outputMode(mode)

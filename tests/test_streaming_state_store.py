@@ -1,0 +1,51 @@
+"""State-store provider parity (verdict r4 item 5): every stateful
+streaming query must drain to IDENTICAL results under the default
+HDFS-backed (in-memory) provider and the RocksDB provider — the
+backend Spark ships for state that exceeds executor memory, which is
+the one remaining 100 TB scale risk in C8/C9. Provider choice is an
+execution detail; any row difference means state semantics leaked into
+results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mr_py_spark.registry import load_all
+from mr_py_spark.streaming import _ROCKSDB_PROVIDER
+from tests.conftest import SF_DIR
+
+REG = load_all()
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+#: Every streaming query that keeps keyed state across micro-batches:
+#: built-in agg (complete), windowed agg + watermark (append), session
+#: windows, dropDuplicatesWithinWatermark, applyInPandasWithState, and
+#: the stream-stream interval join's buffered-rows state.
+STATEFUL = (
+    "stream_agg_complete",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_stateful_counts",
+    "stream_dedup",
+    "stream_stream_join",
+)
+
+
+def _rows(spark, name):
+    return sorted(map(tuple, REG[name].fn(spark, SF_DIR).collect()))
+
+
+@pytest.mark.parametrize("name", STATEFUL)
+def test_rocksdb_state_store_parity(spark, name):
+    baseline = _rows(spark, name)  # default HDFSBackedStateStoreProvider
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    try:
+        spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+        rocks = _rows(spark, name)
+    finally:
+        spark.conf.unset(_PROVIDER_KEY) if old is None else spark.conf.set(
+            _PROVIDER_KEY, old
+        )
+    assert rocks == baseline
