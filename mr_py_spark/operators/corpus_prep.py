@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mr_py_spark.functions import words
@@ -298,4 +298,73 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.groupBy("lang", "bucket").applyInPandas(
         pack, "doc_id long, lang string, bucket int, n_tokens long, pack_seq long"
+    )
+
+
+@register(
+    "boilerplate_ngrams",
+    tags=("C5", "C2"),
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))) AS g
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+        ), freq AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= 5
+        ), tot AS (
+            SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+        ), hits AS (
+            SELECT doc_id, count(*) AS n_common
+            FROM grams JOIN freq USING (g) GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_grams,
+               coalesce(h.n_common, 0) AS n_common,
+               round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / t.n_grams, 4)
+                   AS boilerplate_frac
+        FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (C5/C2, CCNet-style): for
+    each document, the fraction of its distinct word trigrams that
+    occur in >= 5 documents corpus-wide — headers, footers, templates,
+    and licence blocks score high and get stripped or down-weighted
+    before training.
+
+    Scale shape: ONE scan, zero joins. Distinct trigrams explode once;
+    a window count partitioned by the gram annotates each occurrence
+    with its corpus-wide document frequency (first shuffle), then a
+    doc_id aggregate folds total and >=threshold counts per document
+    (second shuffle). The naive three-CTE formulation (the oracle's)
+    would scan the corpus three times and join the gram stream back to
+    itself; the window form ships each gram occurrence exactly twice
+    and never materializes a join. Nothing is per-pair, and the gram
+    partitions are bounded by document frequency — a skewed ubiquitous
+    gram means a large count(), not a blowup. The fraction is a ratio
+    of identical integers, so both engines perform the same IEEE
+    division before the 4 dp display rounding (plan pinned in
+    tests/test_plans.py)."""
+    docs = tbl(spark, sf_dir, "documents")
+    ws = words(F.lower("text"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+        ),
+    )
+    grams = docs.select("doc_id", F.explode(F.array_distinct(tri)).alias("g"))
+    flagged = grams.withColumn("df", F.count("*").over(W.partitionBy("g")))
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("df") >= 5, 1).otherwise(0)).alias("n_common"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_common",
+        F.round(F.col("n_common").cast("double") / F.col("n_grams"), 4).alias(
+            "boilerplate_frac"
+        ),
     )

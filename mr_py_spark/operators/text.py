@@ -260,6 +260,88 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_filter",
+    tags=("C5",),
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ), b AS (
+            SELECT doc_id, ws,
+                   CASE WHEN len(ws) > 1
+                        THEN list_transform(generate_series(1, len(ws) - 1),
+                                            i -> ws[i] || ' ' || ws[i + 1])
+                        ELSE [] END AS bg
+            FROM w
+        ), m AS (
+            SELECT doc_id,
+                   len(ws) AS n_words,
+                   round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+                       AS dup_word_frac,
+                   CASE WHEN len(bg) > 0
+                        THEN round(CAST(list_max(list_transform(list_distinct(bg),
+                                   x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+                                   / len(bg), 4)
+                   END AS top_bigram_frac
+            FROM b
+        )
+        SELECT doc_id, n_words, dup_word_frac, top_bigram_frac,
+               (dup_word_frac <= 0.55 AND top_bigram_frac <= 0.05) AS keep
+        FROM m
+    """,
+)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering (C5): per-document duplicate-
+    word fraction and most-frequent-bigram fraction, plus the keep
+    verdict — the standard heuristics for dropping boilerplate/spam
+    documents from a pretraining corpus (Rae et al. 2021 apply the
+    same shape to duplicate lines and top n-grams).
+
+    Pure higher-order array expressions: one scan, zero shuffles, no
+    Python — fan-out is per-document, so the plan is embarrassingly
+    parallel at any corpus size. The top-bigram count is O(L·U) per
+    document (U = distinct bigrams); documents are length-bounded by
+    upstream chunking, so this beats the explode + groupBy(doc_id,
+    bigram) formulation, which would shuffle every bigram occurrence
+    just to compute a per-doc max. Fractions are ratios of identical
+    integers, so both engines perform the same IEEE division (bitwise-
+    equal before the 4 dp display rounding)."""
+    docs = tbl(spark, sf_dir, "documents")
+    ws = words(F.col("text"))
+    n_words = F.size(ws)
+    bg = F.when(
+        n_words > 1,
+        F.zip_with(
+            F.slice(ws, 1, n_words - 1),
+            F.slice(ws, 2, n_words - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    arrays = docs.select("doc_id", ws.alias("ws"), bg.alias("bg"))
+    n = F.size("ws")
+    dup_frac = F.round(
+        F.lit(1.0) - F.size(F.array_distinct("ws")).cast("double") / n, 4
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bg")),
+            lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
+        )
+    )
+    top_frac = F.when(
+        F.size("bg") > 0, F.round(top_cnt.cast("double") / F.size("bg"), 4)
+    )
+    return arrays.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        dup_frac.alias("dup_word_frac"),
+        top_frac.alias("top_bigram_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= 0.55) & (F.col("top_bigram_frac") <= 0.05),
+    )
+
+
+@register(
     "doc_fingerprint",
     tags=("C5",),
     oracle="""

@@ -125,6 +125,19 @@ def test_q21_single_lineitem_shuffle(spark):
     assert "BroadcastHashJoin [l_suppkey" in p
 
 
+def test_boilerplate_ngrams_single_scan_no_join(spark):
+    """Cross-doc boilerplate scoring must be the window formulation:
+    one corpus scan, a gram-keyed exchange for the document-frequency
+    window, a doc_id exchange for the fold — and NO join (the naive
+    three-CTE form scans the corpus three times and self-joins the
+    gram stream)."""
+    p = plan_of(spark, "boilerplate_ngrams")
+    assert p.count("Scan parquet") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning(g#") == 1, p
+    assert p.count("Exchange hashpartitioning(doc_id#") == 1, p
+
+
 def test_doc_chunks_no_shuffle(spark):
     """Window chunking is scan + generate only — no exchange at any
     corpus size (the fan-out is per-row, never keyed)."""
