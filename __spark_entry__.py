@@ -36,8 +36,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query — all
     streaming queries included (a drained bounded stream's emission
-    set is deterministic SQL). The 12 absent here (seeded sampling,
-    LSH-family dedup, ANN tier, sketches, media stubs) are
+    set is deterministic SQL). The 10 absent here (seeded sampling,
+    LSH-family dedup, ANN tier, sketches, shuffle) are
     nondeterministic-by-design or engine-specific and carry pytest
     property tests instead (SURVEY.md §5)."""
     return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

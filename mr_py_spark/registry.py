@@ -180,7 +180,7 @@ def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:
     rounds = [_round_of(p) for p in glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))]
     upcoming = max(rounds, default=0) + 1
     out: dict[str, int] = {}
-    dirty = False
+    dirty: dict[str, dict] = {}
     for name, q in registry.items():
         fp = _fingerprint(q)
         prev = sidecar.get(name)
@@ -188,13 +188,26 @@ def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:
             out[name] = int(prev.get("round", 0))
         else:
             out[name] = 0 if bootstrap else upcoming
-            sidecar[name] = {"fp": fp, "round": out[name]}
-            dirty = True
+            dirty[name] = {"fp": fp, "round": out[name]}
     if dirty:
+        # Merge into a FRESH read of the sidecar so a process holding
+        # stale imports (e.g. a driver run spanning a source edit, where
+        # getsource slices the new file at old line offsets) can only
+        # touch the entries it thinks changed — never clobber the rest.
+        # Rounds are only ever raised (post-bootstrap), so the worst
+        # stale outcome is a spurious re-verification, not a missed one.
         try:
+            try:
+                with open(_FP_PATH) as f:
+                    current = json.load(f)
+                if not isinstance(current, dict):
+                    current = {}
+            except (OSError, ValueError):
+                current = {}
+            current.update(dirty)
             tmp = _FP_PATH + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(sidecar, f, indent=1, sort_keys=True)
+                json.dump(current, f, indent=1, sort_keys=True)
             os.replace(tmp, _FP_PATH)
         except OSError:
             pass  # read-only checkout: ordering still correct this process

@@ -230,6 +230,35 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, "append")
 
 
+def quantize4(v):
+    """Scaled-long (4 implied decimals) quantization matching
+    CAST(x AS DECIMAL(10,4)) in BOTH engines: half-AWAY-from-zero
+    (np.rint is half-to-even), applied to the value's SHORTEST DECIMAL
+    REPRESENTATION — Spark casts via BigDecimal.valueOf(double) and
+    DuckDB equivalently, so x = 0.00015 (binary ~1.4999999999999999e-4)
+    must quantize to 2 even though the float product 10000*x < 1.5.
+    The vectorized floor(|y|+0.5) path is exact except within FP noise
+    of a .5 tie; those few elements take the exact Decimal(repr(x))
+    path (pinned adversarially vs DuckDB in tests/test_hypothesis.py).
+    Ships to workers inside pandas closures — numpy imported locally."""
+    import numpy as np
+
+    y = v * 10000.0
+    a = np.abs(y)
+    base = np.floor(a + 0.5)
+    frac = a - np.floor(a)
+    near = np.abs(frac - 0.5) <= 1e-12 * np.maximum(a, 1.0)
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal(1)
+        for i in np.flatnonzero(near):
+            base[i] = float(
+                abs(Decimal(repr(v[i])) * 10000).quantize(one, rounding=ROUND_HALF_UP)
+            )
+    return (base * np.sign(y)).astype("int64")
+
+
 @register(
     "stream_stateful_counts",
     tags=("C9",),
@@ -255,7 +284,6 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Update-mode emits one row per key per touching batch; the drained
     bounded fixture fits one batch, so the sink holds exactly the
     final per-user states."""
-    import numpy as np
     import pandas as pd
 
     ev = _events_stream(spark, sf_dir).select("user_id", "value")
@@ -264,13 +292,7 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, scaled = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # Half-AWAY-from-zero, matching CAST(x AS DECIMAL(10,4))
-            # semantics in both engines (np.rint is half-to-even and
-            # would diverge on exact .5 ties after x10000).
-            v = pdf["value"].to_numpy() * 10000
-            scaled += int(
-                (np.floor(np.abs(v) + 0.5) * np.sign(v)).astype("int64").sum()
-            )
+            scaled += int(quantize4(pdf["value"].to_numpy()).sum())
         state.update((n, scaled))
         yield pd.DataFrame(
             {

@@ -97,3 +97,46 @@ def test_dec4_policy_bitwise_vs_duckdb(spark, vals):
 
     assert row.s == o_s, (row.s, o_s)
     assert row.a == o_a, (row.a, o_a)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    vals=st.lists(
+        # adversarial mix: exact .5 ties after x10000, negatives, and
+        # arbitrary 4-decimal money values
+        st.one_of(
+            st.integers(-2_000_000, 2_000_000).map(lambda i: (i + 0.5) / 10000.0),
+            st.integers(-10_000_000, 10_000_000).map(lambda i: i / 10000.0),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_stateful_quantizer_matches_decimal_cast(vals):
+    """stream_stateful_counts accumulates scaled-long state with a
+    quantizer that must match CAST(x AS DECIMAL(10,4)) bitwise in both
+    engines: half-AWAY-from-zero (ADVICE r4: np.rint's half-to-even
+    diverges on .5 ties) applied to the shortest decimal repr (the
+    engines' cast semantics — a raw float multiply rounds 0.00015 the
+    wrong way). Pin the implementation to DuckDB's cast on adversarial
+    tie inputs."""
+    import duckdb
+    import numpy as np
+
+    from mr_py_spark.streaming import quantize4
+
+    ours = quantize4(np.asarray(vals, dtype="float64"))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, x) for i, x in enumerate(vals)]
+    )
+    oracle = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(CAST(v AS DECIMAL(10,4)) * 10000 AS BIGINT) "
+            "FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert ours.tolist() == oracle
