@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mr_py_spark.functions import words
@@ -333,32 +333,60 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     and licence blocks score high and get stripped or down-weighted
     before training.
 
-    Scale shape: ONE scan, zero joins. Distinct trigrams explode once;
-    a window count partitioned by the gram annotates each occurrence
-    with its corpus-wide document frequency (first shuffle), then a
-    doc_id aggregate folds total and >=threshold counts per document
-    (second shuffle). The naive three-CTE formulation (the oracle's)
-    would scan the corpus three times and join the gram stream back to
-    itself; the window form ships each gram occurrence exactly twice
-    and never materializes a join. Nothing is per-pair, and the gram
-    partitions are bounded by document frequency — a skewed ubiquitous
-    gram means a large count(), not a blowup. The fraction is a ratio
-    of identical integers, so both engines perform the same IEEE
-    division before the 4 dp display rounding (plan pinned in
-    tests/test_plans.py)."""
+    Scale shape: groupBy + join-back, NOT a gram-partitioned window.
+    Document frequency is `grams.groupBy("g").count()` — partial
+    aggregation folds each task's occurrences of a gram before the
+    exchange, so a ubiquitous gram ("all rights reserved" in a large
+    fraction of billions of docs) ships one partial row per task, never
+    a single multi-billion-row partition. The >=5 survivors then
+    re-annotate the gram stream via a LEFT equi-join on g: the probe
+    side of a skewed key is splittable (AQE skew-join splits stream
+    partitions; the build side holds exactly one row per gram), whereas
+    a `count() over (partition by g)` window pins every occurrence of
+    the hot gram into ONE task — WindowExec partitions cannot be split,
+    the straggler/spill scale-killer verdict r5 flagged. The price is a
+    second corpus scan (the gram subtree feeds both the count and the
+    join); two linear scans beat one unsplittable sort at 100 TB, and
+    the zipf-skew A/B in SCALE.md measures the crossover. A doc_id
+    aggregate then folds total and common counts per document. The
+    fraction is a ratio of identical integers, so both engines perform
+    the same IEEE division before the 4 dp display rounding (plan
+    pinned in tests/test_plans.py).
+
+    Short documents: a doc with < 3 words has no trigram. Unguarded,
+    ``F.sequence(1, size-2)`` would produce a DESCENDING sequence
+    (e.g. [1, 0, -1]) and ``element_at`` would throw
+    INVALID_ARRAY_INDEX; the guard yields an empty array, which
+    ``explode`` drops — matching the oracle, whose generate_series
+    returns empty and silently drops such docs."""
     docs = tbl(spark, sf_dir, "documents")
     ws = words(F.lower("text"))
-    tri = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+    tri = F.when(
+        F.size(ws) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(ws, i),
+                F.element_at(ws, i + 1),
+                F.element_at(ws, i + 2),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     grams = docs.select("doc_id", F.explode(F.array_distinct(tri)).alias("g"))
-    flagged = grams.withColumn("df", F.count("*").over(W.partitionBy("g")))
-    per_doc = flagged.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        F.sum(F.when(F.col("df") >= 5, 1).otherwise(0)).alias("n_common"),
+    common = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 5)
+        .select("g", F.lit(1).alias("is_common"))
+    )
+    per_doc = (
+        grams.join(common, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_common"), F.lit(0))).alias("n_common"),
+        )
     )
     return per_doc.select(
         "doc_id",

@@ -4,11 +4,13 @@ Design: media (image/audio/video) are opaque `binary` payload columns
 with a typed metadata struct alongside — they join, group, filter, and
 partition like any other column; only decode/feature steps touch the
 bytes, via Arrow-batched `mapInPandas`. No media libs exist in this
-container (TESTDATA has no binary fixture either), so the payload here
-is derived deterministically from documents.text and the decode step
-is an explicitly-marked deterministic stub — the Spark-side plumbing
-(schema, batching, partitioning, UDF signatures) is the real,
-tested part.
+container (TESTDATA has no binary fixture either), so `synth_media`
+builds real BMP/GIF/WAV containers deterministically from
+documents.text, and the decode step is a dependency-free header
+parser (magic probe -> width/height/duration/channels) — real bytes
+in, real metadata out, oracle-checked via SQL over the deterministic
+generator parameters. `NotImplementedError` remains only for unknown
+container magic (correct behavior for an opaque blob, not a stub).
 """
 
 from __future__ import annotations

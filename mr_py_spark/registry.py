@@ -111,7 +111,12 @@ def _driver_status() -> dict[str, DriverRow]:
     of ``queries()``, so ``load_all`` uses this (plus the fingerprint
     sidecar) to rotate the verification window — see _window_order."""
     status: dict[str, DriverRow] = {}
-    for path in sorted(glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json"))):
+    # Sort by parsed round number, not lexically: zero-padded two-digit
+    # names invert at r100 ("r100" < "r99" lexically), which would let
+    # stale rows silently win the later-round-wins fold.
+    for path in sorted(
+        glob.glob(os.path.join(_ROOT, "CORRECTNESS_r*.json")), key=_round_of
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)

@@ -253,8 +253,12 @@ def quantize4(v):
 
         one = Decimal(1)
         for i in np.flatnonzero(near):
+            # repr(float(x)), not repr(x): numpy >= 2.0 reprs scalars as
+            # 'np.float64(x)', which Decimal rejects.
             base[i] = float(
-                abs(Decimal(repr(v[i])) * 10000).quantize(one, rounding=ROUND_HALF_UP)
+                abs(Decimal(repr(float(v[i]))) * 10000).quantize(
+                    one, rounding=ROUND_HALF_UP
+                )
             )
     return (base * np.sign(y)).astype("int64")
 

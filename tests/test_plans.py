@@ -125,16 +125,23 @@ def test_q21_single_lineitem_shuffle(spark):
     assert "BroadcastHashJoin [l_suppkey" in p
 
 
-def test_boilerplate_ngrams_single_scan_no_join(spark):
-    """Cross-doc boilerplate scoring must be the window formulation:
-    one corpus scan, a gram-keyed exchange for the document-frequency
-    window, a doc_id exchange for the fold — and NO join (the naive
-    three-CTE form scans the corpus three times and self-joins the
-    gram stream)."""
+def test_boilerplate_ngrams_skew_safe_join_back(spark):
+    """Cross-doc boilerplate scoring must be the groupBy + join-back
+    formulation, NOT a count-over-window partitioned by gram: window
+    partitions are unsplittable, so a ubiquitous trigram at corpus
+    scale would pin billions of rows into one task. Required shape:
+    document frequency via partial-aggregated groupBy(g) (skew-immune),
+    survivors re-attached via an AQE-splittable LEFT equi-join on g,
+    and NO Window over g anywhere."""
     p = plan_of(spark, "boilerplate_ngrams")
-    assert p.count("Scan parquet") == 1, p
-    assert "Join" not in p, p
-    assert p.count("Exchange hashpartitioning(g#") == 1, p
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+    # partial agg (the free combiner) feeds the gram-frequency exchange
+    assert p.count("HashAggregate") >= 4, p  # partial+final for df and per-doc
+    # the join-back is a LEFT equi-join on g (broadcast when the
+    # common-gram set is small, sort-merge/shuffled-hash + AQE skew
+    # split otherwise — both fine; a cartesian/nested-loop never is)
+    assert "LeftOuter" in p, p
     assert p.count("Exchange hashpartitioning(doc_id#") == 1, p
 
 

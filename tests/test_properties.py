@@ -610,3 +610,26 @@ def test_stream_stream_join_equals_batch(spark):
     )
     expect = sorted(map(tuple, batch.collect()))
     assert got == expect and len(got) > 0
+
+
+def test_boilerplate_ngrams_short_docs(spark, tmp_path):
+    """Documents with < 3 words have no trigram: the guarded sequence
+    must yield an empty array (unguarded, F.sequence(1, size-2) goes
+    DESCENDING and element_at throws INVALID_ARRAY_INDEX), and such
+    docs are silently dropped — exactly what the oracle's
+    generate_series does. A 3-word doc contributes exactly 1 gram."""
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en"),
+            (2, "one", "en"),
+            (3, "two words", "en"),
+            (4, "exactly three words", "en"),
+            (5, "a longer doc with several words here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in REG["boilerplate_ngrams"].fn(spark, str(tmp_path)).collect()}
+    assert set(out) == {4, 5}  # <3-word docs dropped, no crash
+    assert out[4].n_grams == 1 and out[4].n_common == 0
+    assert out[5].n_grams == 5  # 7 words -> 5 distinct trigrams
