@@ -73,7 +73,10 @@ _ROCKSDB_PROVIDER = (
 )
 
 
-def _drain(df: DataFrame, mode: str) -> DataFrame:
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+def _drain(df: DataFrame, mode: str, require_rocksdb: bool = False) -> DataFrame:
     """Run a bounded streaming query to completion into a memory sink.
 
     The sink's temp view is dropped before returning (it pins the full
@@ -81,12 +84,19 @@ def _drain(df: DataFrame, mode: str) -> DataFrame:
     session would otherwise accumulate) — the materialized rows are
     re-wrapped as a local DataFrame. Streaming results here are small
     aggregates by construction; production topologies use kafka/parquet/
-    foreachBatch sinks instead of memory."""
+    foreachBatch sinks instead of memory.
+
+    ``require_rocksdb``: transformWithState only runs on the RocksDB
+    provider; the conf is read at query START, so it is set here and
+    restored after the drain (never left behind on an externally-owned
+    session)."""
     spark = df.sparkSession
-    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
-        )
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
+    force = require_rocksdb or (
+        os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb"
+    )
+    if force:
+        spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
     name = f"mrps_stream_{next(_qid)}"
     q = (
         df.writeStream.outputMode(mode)
@@ -98,6 +108,11 @@ def _drain(df: DataFrame, mode: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+        if require_rocksdb:  # env-var opt-in stays session-wide on purpose
+            if prev_provider is None:
+                spark.conf.unset(_PROVIDER_KEY)
+            else:
+                spark.conf.set(_PROVIDER_KEY, prev_provider)
     sink = spark.table(name)
     rows, schema = sink.collect(), sink.schema
     spark.catalog.dropTempView(name)
@@ -314,6 +329,85 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf="NoTimeout",
     )
     return _drain(out, "update")
+
+
+def _tws_available() -> bool:
+    """`transformWithState` (Spark 4.x's successor to
+    `applyInPandasWithState`) drives its stateful-processor protocol
+    over protobuf: the JVM spawns a long-lived Python "driver worker"
+    that imports `google.protobuf` at startup and crashes the query if
+    it is absent (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE,
+    reproduced in this container). protobuf is not part of PySpark's
+    hard dependencies and is not installed here, so the query registers
+    exactly when it can run — a documented capability gate, same policy
+    as the Avro source (operators/csv_source.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+if _tws_available():  # pragma: no cover - protobuf absent in this container
+
+    @register(
+        "stream_stateful_counts_tws",
+        tags=("C9",),
+        oracle="""
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+            FROM events
+            GROUP BY user_id
+        """,
+    )
+    def stream_stateful_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The same per-user running (count, total) as
+        ``stream_stateful_counts``, on Spark 4.x's `transformWithState`
+        API (`transformWithStateInPandas`) — the successor to
+        `applyInPandasWithState` and the 100 TB design point: state
+        variables are named and typed (value/list/map states, TTL,
+        timers, initial state) and the operator REQUIRES the RocksDB
+        state-store provider, i.e. per-key state lives on executor disk
+        + changelog rather than heap. `_drain` sets the provider for
+        this query and restores the session conf afterwards.
+
+        Both APIs stay registered deliberately where available:
+        `applyInPandasWithState` is the stable/legacy surface, this is
+        the migration target; the shared oracle proves they agree
+        bitwise (scaled-long accumulation, same dec4 policy)."""
+        import pandas as pd
+        from pyspark.sql.streaming import StatefulProcessor
+
+        ev = _events_stream(spark, sf_dir).select("user_id", "value")
+
+        class RunningCounts(StatefulProcessor):
+            # Defined inside the query fn so cloudpickle ships it by value.
+            def init(self, handle) -> None:
+                self._state = handle.getValueState("counts", "n long, scaled long")
+
+            def handleInputRows(self, key, rows, timerValues):
+                prev = self._state.get() if self._state.exists() else None
+                n, scaled = prev if prev is not None else (0, 0)
+                for pdf in rows:
+                    n += len(pdf)
+                    scaled += int(quantize4(pdf["value"].to_numpy()).sum())
+                self._state.update((n, scaled))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "total_value": [scaled / 10000.0],
+                    }
+                )
+
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningCounts(),
+            outputStructType="user_id long, n_events long, total_value double",
+            outputMode="update",
+            timeMode="none",
+        )
+        return _drain(out, "update", require_rocksdb=True)
 
 
 @register(

@@ -49,3 +49,21 @@ def test_rocksdb_state_store_parity(spark, name):
             _PROVIDER_KEY, old
         )
     assert rocks == baseline
+
+
+def test_transform_with_state_capability_gated(spark):
+    """`stream_stateful_counts_tws` (transformWithStateInPandas, the
+    Spark 4.x successor API) registers exactly when its protobuf
+    dependency is importable — the JVM-side Python driver worker
+    imports google.protobuf at startup and crashes the query without
+    it. Where available it must match the applyInPandasWithState
+    result bitwise (shared oracle, shared scaled-long accumulation)."""
+    from mr_py_spark.streaming import _tws_available
+
+    reg = load_all()
+    if not _tws_available():
+        assert "stream_stateful_counts_tws" not in reg
+        pytest.skip("python protobuf not installed in this container (documented)")
+    got = sorted(map(tuple, reg["stream_stateful_counts_tws"].fn(spark, SF_DIR).collect()))
+    base = sorted(map(tuple, reg["stream_stateful_counts"].fn(spark, SF_DIR).collect()))
+    assert got == base
