@@ -14,6 +14,8 @@ partitioned directory tree and get partition pruning for free.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,34 @@ TABLES = (
     "embeddings",
 )
 
+def _catalog_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame | None:
+    """Opt-in CBO path (verdict r5 item 5): when SPARK_GRAFT_USE_CATALOG
+    names a database populated by ``stats.register_stats_tables``,
+    ``tbl`` serves ``spark.table(db.name)`` so every registered query
+    reads through the catalog and the static planner sees ANALYZE'd
+    row-count/NDV statistics — the deployed form of the hint-free q5
+    plan SCALE.md measured beating the broadcast hint at sf10.
+
+    Safety: the table's registered Location must point at THIS sf_dir's
+    parquet (a db ANALYZE'd at sf0.01 must never serve an sf0.1 query);
+    any mismatch, missing table, or lookup error falls back to the
+    parquet path. ``events`` is excluded — its TIMESTAMP(NANOS) column
+    needs the nanosAsLong normalization below, which a bare catalog
+    read bypasses."""
+    db = os.environ.get("SPARK_GRAFT_USE_CATALOG")
+    if not db or name == "events":
+        return None
+    expected = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        detail = spark.sql(f"DESCRIBE FORMATTED {db}.{name}").collect()
+        loc = next((r.data_type for r in detail if r.col_name == "Location"), None)
+        if loc is None or not loc.rstrip("/").endswith(expected):
+            return None
+        return spark.table(f"{db}.{name}")
+    except Exception:
+        return None
+
+
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table with normalized types.
 
@@ -43,14 +73,16 @@ def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    cache: dict[tuple[str, str], DataFrame] = spark.__dict__.setdefault(
+    cache: dict[tuple[str, str, str], DataFrame] = spark.__dict__.setdefault(
         "_mrps_tbl_cache", {}
     )
-    key = (sf_dir.rstrip("/"), name)
+    key = (os.environ.get("SPARK_GRAFT_USE_CATALOG", ""), sf_dir.rstrip("/"), name)
     if key in cache:
         return cache[key]
     harden(spark)  # nanosAsLong + UTC + AQE; driver sessions lack these
-    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = _catalog_table(spark, sf_dir, name)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) surfaced as long via nanosAsLong: truncate to
         # micros (matching DuckDB's read of the same file) as TIMESTAMP_NTZ.

@@ -128,3 +128,32 @@ def test_nohint_results_match_registered_q5(spark, stats_db):
             map(tuple, q5_local_supplier_nohint(spark, stats_db).collect())
         )
     assert got == expect
+
+
+def test_catalog_opt_in_routes_tbl_through_stats_db(spark, stats_db, monkeypatch):
+    """SPARK_GRAFT_USE_CATALOG=<db> makes tbl() serve catalog tables
+    (so registered queries get ANALYZE'd stats) with two guarantees:
+    identical results, and location-checked fallback — a db ANALYZE'd
+    at sf0.01 must never serve another sf_dir, and events always takes
+    the parquet+nanos path."""
+    from mr_py_spark.sources import tbl
+    from tests.conftest import SF_DIR
+
+    expect = sorted(map(tuple, REG["q5_local_supplier"].fn(spark, SF01).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_USE_CATALOG", stats_db)
+    spark.__dict__.pop("_mrps_tbl_cache", None)  # drop env-less cached plans
+    try:
+        li = tbl(spark, SF01, "lineitem")
+        p = li._jdf.queryExecution().executedPlan().toString()
+        assert stats_db in p, p  # catalog route actually taken
+        got = sorted(map(tuple, REG["q5_local_supplier"].fn(spark, SF01).collect()))
+        assert got == expect
+        # wrong sf_dir -> location check falls back to the parquet path
+        other = tbl(spark, SF_DIR, "lineitem")
+        po = other._jdf.queryExecution().executedPlan().toString()
+        assert stats_db not in po and SF_DIR in po, po
+        # events is always the parquet+nanos-normalization path
+        ev = tbl(spark, SF01, "events")
+        assert dict(ev.dtypes)["ts"].startswith("timestamp")
+    finally:
+        spark.__dict__.pop("_mrps_tbl_cache", None)
