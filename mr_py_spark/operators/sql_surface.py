@@ -174,6 +174,18 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Ambiguity guard: the fixture's ns timestamps make exact purchase/
     signup ts collisions effectively impossible, so 'at-or-before' is
     well-defined on both sides.
+
+    100 TB: the single exchange keys on user_id, whose per-key row
+    count is human-bounded (a user's events, not the corpus), so the
+    unsplittable window partition is safe here — unlike a gram- or
+    token-keyed window. For a standing event warehouse, bucket both
+    inputs by user_id and sort within buckets by ts
+    (``write_bucketed`` in sources/sinks.py): the union of two
+    bucketed scans preserves the distribution and the window's
+    exchange+sort disappears entirely, making repeated as-of joins
+    scan-bound. A degenerate key (one synthetic user owning billions
+    of rows) should be pre-split by a time-epoch salt carried into
+    the union tag instead.
     """
     from pyspark.sql import Window as W
 

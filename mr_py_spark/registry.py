@@ -247,6 +247,7 @@ def _window_order(registry: dict[str, Query]) -> dict[str, Query]:
     registration order (sorted() is stable)."""
     status = _driver_status()
     fp_round = _fingerprint_rounds(registry)
+    latest_round = max((r.rnd for r in status.values()), default=0)
 
     def key(q: Query) -> tuple[int, int, int]:
         unproven = 1 if q.oracle is not None else 2
@@ -261,7 +262,16 @@ def _window_order(registry: dict[str, Query]) -> dict[str, Query]:
             g, rot = unproven, 0  # edited after the green row
         else:
             g, rot = 3, row.rnd  # least-recently-verified first
-        return (g, 0 if q.name in FLAGSHIPS else 1, rot)
+        # Flagship priority only while the flagship is itself stale:
+        # one that went green in the LATEST recorded round would
+        # otherwise re-prove every round, permanently consuming window
+        # slots the least-recently-verified tail needs to rotate
+        # through (r5 measured 9 such slots). Fingerprint stamping
+        # still catches flagship edits (category `unproven` above), so
+        # nothing proven can silently rot — it just rotates on the
+        # same LRV schedule as everything else once freshly verified.
+        flagship_now = q.name in FLAGSHIPS and not (g == 3 and rot >= latest_round)
+        return (g, 0 if flagship_now else 1, rot)
 
     return {q.name: q for q in sorted(registry.values(), key=key)}
 

@@ -124,12 +124,26 @@ def test_fingerprint_sidecar_stable_across_loads():
     assert _fingerprint_rounds(reg) == _fingerprint_rounds(reg)
 
 
-def test_flagships_inside_driver_window():
-    """Bench headliners re-prove every round: always inside the window."""
+def test_flagships_inside_driver_window_unless_fresh():
+    """Bench headliners outrank other entries for the window whenever
+    they are stale — but one verified green in the LATEST recorded
+    round rotates on the normal LRV schedule instead of consuming a
+    slot every round (slots the stale tail needs; see _window_order)."""
     names = list(load_all())
     window = set(names[:50])
-    missing = [n for n in FLAGSHIPS if n not in window]
-    assert not missing, f"flagships outside driver window: {missing}"
+    status = _driver_status()
+    latest = max((r.rnd for r in status.values()), default=0)
+    missing = [
+        n
+        for n in FLAGSHIPS
+        if n not in window
+        and not (
+            (row := status.get(n)) is not None
+            and row.ok
+            and row.rnd >= latest
+        )
+    ]
+    assert not missing, f"stale flagships outside driver window: {missing}"
 
 
 def test_driver_status_reads_latest_round():
