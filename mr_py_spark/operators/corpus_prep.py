@@ -396,3 +396,51 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boilerplate_frac"
         ),
     )
+
+
+# Content-hash split thresholds: 8 lowercase hex chars are uniform in
+# [0, 16^8); a fixed-width lexicographic compare equals the numeric
+# compare, so both engines draw the identical boundary with zero
+# int-conversion (DuckDB cannot cast a hex substring to int directly).
+# int(0.98 * 16**8) = 0xfae147ae, int(0.99 * 16**8) = 0xfd70a3d7.
+_SPLIT_TRAIN = "fae147ae"  # < this: train (98%)
+_SPLIT_VAL = "fd70a3d7"  # < this: val (1%); else test (1%)
+
+
+@register(
+    "corpus_split",
+    tags=("C5", "B12"),
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN substring(sha256(text), 1, 8) < '{_SPLIT_TRAIN}'
+                         THEN 'train'
+                    WHEN substring(sha256(text), 1, 8) < '{_SPLIT_VAL}'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+)
+def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-stable train/val/test split (C5/B12):
+    98/1/1 assigned by the first 8 hex chars of sha256(text) against
+    fixed thresholds. Keying on CONTENT rather than doc_id makes the
+    split leakage-proof by construction — byte-identical duplicates
+    (and re-crawls that reassign ids) always land in the same split,
+    so no test document can have a training-set twin; combine with
+    near-dedup upstream for fuzzy leakage. Hash-based, never RNG: the
+    assignment is reproducible across engines, runs, partitioning,
+    and cluster width, which corpus versioning requires.
+
+    Scale shape: shuffle-free scan + project — one embarrassingly
+    parallel stage at any corpus size; the split column is a pure
+    row-local expression, so it pushes into the same whole-stage
+    codegen span as the scan and costs one sha256 per row."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = F.substring(F.sha2(F.col("text"), 256), 1, 8)
+    return docs.select(
+        "doc_id",
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
