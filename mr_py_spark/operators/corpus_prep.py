@@ -444,3 +444,67 @@ def corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "split_leakage_audit",
+    tags=("C5", "C1"),
+    oracle=f"""
+        WITH naive AS (
+            SELECT md5(array_to_string(
+                       list_slice(string_split(text, ' '), 1, 8), ' '))
+                       AS prefix_md5,
+                   CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_SPLIT_TRAIN}' THEN 'train'
+                        WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                             < '{_SPLIT_VAL}' THEN 'val'
+                        ELSE 'test' END AS split_naive
+            FROM documents
+        )
+        SELECT prefix_md5,
+               count(*) AS n_copies,
+               CAST(count(DISTINCT split_naive) AS BIGINT) AS n_splits
+        FROM naive
+        GROUP BY prefix_md5
+        HAVING count(*) > 1
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit (C5/C1): under a NAIVE id-keyed split
+    (hash of doc_id, the obvious-but-wrong implementation), find every
+    group of near-duplicate candidates — documents sharing an 8-word
+    prefix fingerprint, the same blocking key ``dedup_prefix`` uses —
+    and report each group's split spread under that naive
+    assignment. A group with ``n_splits > 1`` is a test document with
+    a training-set near-twin — eval contamination; emitting the full
+    multi-copy census (not only the leaking rows) keeps the result
+    non-degenerate at small fixture scale, where a 98/1/1 split makes
+    straddles rare. ``corpus_split`` keys on sha256(text) precisely so
+    EXACT duplicates can never straddle a split (property-tested in
+    tests/test_properties.py with planted duplicates); near-dup
+    leakage additionally needs near-dedup (``dedup_minhash``) upstream
+    of the split, which this audit quantifies the need for.
+
+    Scale shape: one groupBy on a 32-char fingerprint with partial
+    aggregation; the distinct-split count per group is bounded by 3
+    and prefix-group sizes by the corpus near-dup rate — no skew
+    hazard, no window, no join."""
+    docs = tbl(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    naive = docs.select(
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 8))
+        ).alias("prefix_md5"),
+        F.when(bucket < _SPLIT_TRAIN, "train")
+        .when(bucket < _SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split_naive"),
+    )
+    return (
+        naive.groupBy("prefix_md5")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.countDistinct("split_naive").alias("n_splits"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

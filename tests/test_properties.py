@@ -633,3 +633,30 @@ def test_boilerplate_ngrams_short_docs(spark, tmp_path):
     assert set(out) == {4, 5}  # <3-word docs dropped, no crash
     assert out[4].n_grams == 1 and out[4].n_common == 0
     assert out[5].n_grams == 5  # 7 words -> 5 distinct trigrams
+
+
+def test_corpus_split_content_keyed_never_leaks(spark, tmp_path):
+    """Planted byte-identical duplicates always land in the same split
+    under corpus_split (content-keyed), whatever their doc_ids — the
+    invariant split_leakage_audit shows the naive id-keyed split lacks.
+    Also pins the 98/1/1 thresholds: every assignment is one of the
+    three labels and train dominates."""
+    import pandas as pd
+
+    from mr_py_spark.registry import load_all
+
+    reg = load_all()
+    texts = [f"document body number {i} with shared tail words" for i in range(200)]
+    # 100 duplicated texts spread over distant doc_id ranges
+    rows_ = [(i, texts[i % 100]) for i in range(200)] + [
+        (10_000 + i, texts[i]) for i in range(100)
+    ]
+    pdf = pd.DataFrame(rows_, columns=["doc_id", "text"])
+    out = str(tmp_path / "documents.parquet")
+    pdf.to_parquet(out)
+    res = reg["corpus_split"].fn(spark, str(tmp_path)).toPandas()
+    assert set(res["split"]) <= {"train", "val", "test"}
+    assert (res["split"] == "train").mean() > 0.8
+    joined = res.merge(pdf, on="doc_id")
+    n_splits = joined.groupby("text")["split"].nunique()
+    assert (n_splits == 1).all(), "content-keyed split scattered duplicates"
