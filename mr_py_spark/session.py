@@ -138,10 +138,17 @@ def get_spark(app_name: str = "mr_py_spark", cpus: int | None = None) -> SparkSe
     """
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    # Shuffle partitioning: default = core count (right for the sub-GB
+    # driver/bench fixtures where 200 over-parallelizes). Above sf~10 a
+    # single local machine needs more: per-partition shuffle volume
+    # should stay a few hundred MB, so override with
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS (SCALE.md sf100 A/B) — the same
+    # sizing a cluster deployment does with 2-3x total cores.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # static conf: must be set at session build; bucketed-table tests
