@@ -295,11 +295,26 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 4 hyperplanes -> 16 buckets. For cos-sim s, a neighbor differs on each
-# bit with prob acos(s)/pi, so at 4 bits a s=0.7 neighbor is ~1 bit away
-# and 1-bit multiprobe recovers it; more planes would need multiple hash
-# tables (L repetitions) to hold recall, which is the production knob.
-_N_PLANES = 4
+# >= 4 hyperplanes -> >= 16 buckets. For cos-sim s, a neighbor differs
+# on each bit with prob acos(s)/pi, so at 4 bits a s=0.7 neighbor is ~1
+# bit away and 1-bit multiprobe recovers it. Like the IVF nlist, the
+# plane count grows with the corpus so the average bucket stays near
+# _LSH_BUCKET_ROWS (r6: 16 fixed buckets at 2M vectors = 125k-row
+# buckets in the candidate join); each extra plane halves bucket size
+# but also dilutes single-table recall — beyond the 12-plane clamp a
+# production deployment adds L hash-table repetitions instead, which
+# is the standard recall knob.
+_N_PLANES = 4  # floor; all test scale factors stay at 4 (<= 64k rows)
+_LSH_BUCKET_ROWS = 4096
+
+
+def _n_planes(n: int) -> int:
+    import math
+
+    target_buckets = max(1, n // _LSH_BUCKET_ROWS)
+    if target_buckets <= 16:
+        return _N_PLANES
+    return min(12, math.ceil(math.log2(target_buckets)))
 
 
 @register("knn_rplsh_topk", tags=("C3", "C2"), oracle=None)
@@ -318,18 +333,18 @@ def knn_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    rng = np.random.RandomState(7)
-    planes = rng.standard_normal((64, _N_PLANES))
-    b_planes = _bc(spark, planes)
-
     e = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_planes = _n_planes(_table_rows(e, sf_dir, "embeddings"))
+    rng = np.random.RandomState(7)
+    planes = rng.standard_normal((64, n_planes))
+    b_planes = _bc(spark, planes)
 
     def bucketize(batches):
         pl = b_planes.value
         for pdf in batches:
             m = np.asarray(list(pdf["embedding"]), dtype=np.float32)
             bits = (m.astype(np.float64) @ pl) > 0
-            key = (bits * (1 << np.arange(_N_PLANES))).sum(axis=1).astype(np.int64)
+            key = (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "bucket": key}
             )
@@ -346,7 +361,7 @@ def knn_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(_N_PLANES)
+                    for i in range(n_planes)
                 ],
             )
         ).alias("bucket"),
@@ -370,19 +385,32 @@ def knn_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NLIST = 16  # fixed centroid count -> assignment cost O(n * _NLIST), any n
-_N_PROBE = 6
+_IVF_BUCKET_ROWS = 4096  # target bucket size: nlist scales as n/this
+_N_PROBE = 6  # floor; scales with nlist so probed-fraction stays put
 _IVF_TRAIN_CAP = 100_000  # k-means fits on a bounded prefix, not the corpus
 
 
-def _ivf_centroids(spark: SparkSession, e: DataFrame) -> DataFrame:
-    """_NLIST spherical centroids: seeded k-means (pyspark.ml) on a
+def _ivf_nlist(n: int) -> int:
+    """Centroid count sized so the average bucket holds about
+    _IVF_BUCKET_ROWS vectors: a FIXED nlist makes bucket size — and
+    therefore the candidate join's per-probe fan-out — grow linearly
+    with the corpus, which is exactly the degradation an inverted
+    file exists to avoid (sf100 measured 16 fixed centroids at 2M
+    vectors = 125k-row buckets, SCALE.md round 6). Clamped: >= 16 so
+    small fixtures keep their tested behavior, <= 4096 so the
+    centroid broadcast stays bounded (4096 x 64 doubles = 2 MB)."""
+    return max(16, min(4096, round(n / _IVF_BUCKET_ROWS)))
+
+
+def _ivf_centroids(spark: SparkSession, e: DataFrame, nlist: int) -> list:
+    """``nlist`` spherical centroids: seeded k-means (pyspark.ml) on a
     bounded prefix of the corpus, then L2-normalized so dot product ==
     cosine during assignment (spherical-k-means style). Falls back to
-    the first _NLIST vectors (already unit-norm) if pyspark.ml is
-    unavailable. The centroid set is FIXED SIZE, so broadcasting it and
-    cross-scoring every vector against it is O(n * _NLIST) with a
-    bounded broadcast — independent of corpus size."""
+    the first ``nlist`` vectors (already unit-norm) if pyspark.ml is
+    unavailable. k-means|| init is quadratic-ish in k, so large
+    centroid counts switch to seeded random init — bucketing quality,
+    not cluster quality, is what IVF needs. Returns a plain list: the
+    set is bounded (<= 4096), so it rides a broadcast variable."""
     try:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -390,43 +418,77 @@ def _ivf_centroids(spark: SparkSession, e: DataFrame) -> DataFrame:
         train = e.limit(_IVF_TRAIN_CAP).select(
             array_to_vector(F.col("v")).alias("features")
         )
-        model = KMeans(k=_NLIST, seed=7, maxIter=8).fit(train)
+        model = KMeans(
+            k=nlist,
+            seed=7,
+            maxIter=8,
+            initMode="k-means||" if nlist <= 64 else "random",
+        ).fit(train)
         cents = [[float(x) for x in c] for c in model.clusterCenters()]
     except Exception:
-        cents = [[float(x) for x in r.v] for r in e.orderBy("vec_id").limit(_NLIST).collect()]
+        cents = [[float(x) for x in r.v] for r in e.orderBy("vec_id").limit(nlist).collect()]
     normed = []
     for c in cents:
         n = sum(x * x for x in c) ** 0.5
         normed.append([x / n for x in c] if n > 0 else c)
-    return spark.createDataFrame(
-        list(enumerate(normed)), "cid long, cv array<double>"
-    )
+    return normed
 
 
 def _ivf_topk_core(
-    spark: SparkSession, e: DataFrame, queries: DataFrame, k: int = 5
+    spark: SparkSession,
+    e: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """IVF search over corpus ``e`` (vec_id, v) for ``queries`` (q_id,
     qv): assign every vector to its nearest centroid, probe the
-    _N_PROBE nearest buckets per query, equi-join on bucket id."""
-    cent = _ivf_centroids(spark, e)
+    nearest buckets per query, equi-join on bucket id. ``n_hint``
+    skips the sizing count() when the caller already knows the corpus
+    size (e.g. from parquet footer metadata)."""
+    import numpy as np
+    import pandas as pd
 
-    # assignment: vector -> nearest centroid (bounded broadcast cross)
-    w1 = W.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cid"))
-    assigned = (
-        e.join(F.broadcast(cent), how="cross")
-        .select("vec_id", "v", "cid", dot("v", "cv").alias("csim"))
-        .withColumn("rn", F.row_number().over(w1))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("cid").alias("bucket"))
+    n_corpus = n_hint if n_hint is not None else e.count()
+    nlist = min(_ivf_nlist(n_corpus), max(1, n_corpus))
+    cents = _ivf_centroids(spark, e, nlist)
+    cent = spark.createDataFrame(
+        list(enumerate(cents)), "cid long, cv array<double>"
     )
 
+    # assignment: vector -> nearest centroid. A vectorized argmax over
+    # the broadcast centroid matrix — one pass, NO shuffle. The former
+    # broadcast-cross + row_number() window shuffled n * nlist rows
+    # (vector payload included) just to pick each row's max: 32 GB of
+    # exchange at sf100 (SCALE.md round 6). np.argmax takes the first
+    # maximum, matching the old ORDER BY csim DESC, cid ASC tiebreak.
+    b_cmat = _bc(spark, np.asarray(cents, dtype=np.float64))
+
+    def assign(batches):
+        cmat = np.asarray(b_cmat.value, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["v"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "bucket": (m @ cmat.T).argmax(axis=1).astype(np.int64),
+                }
+            )
+
+    assigned = e.mapInPandas(assign, "vec_id long, v array<double>, bucket long")
+
+    # probe count scales with nlist so the probed fraction of the
+    # corpus stays roughly constant as both grow.
+    n_probe = max(_N_PROBE, nlist // 16)
     wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         queries.join(F.broadcast(cent), how="cross")
         .select("q_id", "qv", "cid", dot("qv", "cv").alias("csim"))
         .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _N_PROBE)
+        .filter(F.col("rn") <= n_probe)
         .select("q_id", "qv", F.col("cid").alias("bucket"))
     )
 
@@ -450,18 +512,25 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     numpy brute force on a skewed synthetic corpus.
 
     Index build (one pass, all joins keyed):
-      centroids  = _NLIST seeded spherical k-means centers learned on a
-                   bounded prefix (see _ivf_centroids) — fixed count,
-                   so the assignment broadcast is bounded at any n
-      assignment = each vector -> nearest centroid id (broadcast
-                   centroids x vectors, window top-1)
-    Search: each query probes its _N_PROBE nearest centroids' buckets
-    only — candidate generation is an equi-join on centroid_id, so the
-    join fan-out is n_queries * avg_bucket * nprobe. This is the
-    structure that replaces the brute-force cross join at 10^9 vectors.
-    The only nested-loop join in the plan is the broadcast of the
-    _NLIST-row centroid frame (bounded; exempt from the no-cross-join
-    invariant, asserted in tests/test_plans.py).
+      centroids  = n/4096 seeded spherical k-means centers (clamped to
+                   [16, 4096], see _ivf_nlist) learned on a bounded
+                   prefix — sized so the AVERAGE BUCKET stays ~4096
+                   vectors at any corpus size, keeping candidate-join
+                   fan-out bounded (r6: fixed 16 centroids at 2M
+                   vectors meant 125k-row buckets and 3x the runtime)
+      assignment = each vector -> nearest centroid id via a vectorized
+                   argmax against the broadcast centroid matrix inside
+                   mapInPandas — one pass, ZERO shuffle (r6: the old
+                   broadcast-cross + window shuffled n*nlist payload
+                   rows, 32 GB at sf100)
+    Search: each query probes its nprobe (= max(6, nlist/16)) nearest
+    centroids' buckets only — candidate generation is an equi-join on
+    centroid_id, so the join fan-out is n_queries * 4096 * nprobe.
+    This is the structure that replaces the brute-force cross join at
+    10^9 vectors. The only nested-loop join in the plan is the
+    broadcast of the bounded (<= 4096-row) centroid frame on the
+    probe side (exempt from the no-cross-join invariant, asserted in
+    tests/test_plans.py).
     """
     e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
     queries = (
@@ -469,7 +538,9 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("vec_id", "q_id")
         .withColumnRenamed("v", "qv")
     )
-    return _ivf_topk_core(spark, e, queries)
+    return _ivf_topk_core(
+        spark, e, queries, n_hint=_table_rows(e, sf_dir, "embeddings")
+    )
 
 
 def emb_centroid_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
