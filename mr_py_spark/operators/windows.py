@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mr_py_spark.functions import davg, dec4, dsum
+from mr_py_spark.operators.similarity import _bc
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
@@ -219,7 +220,15 @@ def percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique tie-break so peer groups are singletons and both engines
     emit the identical (rank-1)/(n-1) and rank/n doubles (exact int
     divisions, same IEEE op). Singleton partitions (nations with one
-    supplier at small sf) exercise the percent_rank 0/0 -> 0.0 edge."""
+    supplier at small sf) exercise the percent_rank 0/0 -> 0.0 edge.
+
+    Scale note: like ``ranking_window``, this partitions on a
+    tiny-cardinality key (25 nations), so each window partition is
+    1/25th of the corpus in one unsplittable task. percent_rank and
+    cume_dist are (rank-1)/(n-1) and rank/n, so at 10^9 rows the
+    distributed two-pass formulation of ``ranking_window_scaled``
+    (range partition + offset ranks + per-group totals) produces them
+    with the same metadata-sized histogram and no WindowExec."""
     s = tbl(spark, sf_dir, "supplier")
     w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
     return s.select(
@@ -227,4 +236,118 @@ def percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_nationkey",
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "ranking_window_scaled",
+    tags=("B34", "B16"),
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               rank()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk,
+               dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS drnk,
+               ntile(4)     OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+        FROM customer
+    """,
+)
+def ranking_window_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ranking_window``'s exact result (same oracle, bitwise) with
+    NO WindowExec: the distributed two-pass rank (B34 x B16).
+
+    Why: ``rank() over (partition by c_mktsegment ...)`` pins each
+    segment — 1/5th of ALL customers — into one unsplittable window
+    task; at 10^9 customers that is a single-task sort of 200M rows,
+    the same straggler class as the gram-keyed window verdict r5
+    flagged. Full-ranking-within-few-groups is inherently a total
+    order problem, so it gets the total-order-sort treatment:
+
+      1. `repartitionByRange` on (segment, acctbal desc, custkey) —
+         Spark samples range bounds; every partition holds a
+         contiguous slice of the global order and CAN be split by
+         raising the partition count (unlike a window partition).
+      2. A bounded histogram job counts rows per (physical partition,
+         segment): numPartitions x |segments| rows collected to the
+         driver — metadata-sized at any corpus size (the same scale
+         class as range-bound sampling itself; documented alongside
+         the IVF-centroid bounded-collect exemption).
+      3. Per partition, a mapInPandas pass emits local row numbers
+         plus the broadcast offset of earlier partitions within the
+         segment. The ORDER BY carries the unique c_custkey
+         tiebreak, so peer groups are singletons and rank ==
+         dense_rank == row_number; ntile(4) is computed from the
+         per-segment totals with SQL's ceil-first-tiles rule.
+
+    Determinism note: both actions (histogram + final) recompute the
+    same range-shuffle lineage; Spark's RangePartitioner samples with
+    a lineage-fixed seed, so the bounds — and hence pid/segment
+    offsets — agree across the two jobs. The oracle equality check
+    would catch any violation."""
+    import pandas as pd
+
+    c = tbl(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = c.repartitionByRange(
+        n_parts,
+        F.col("c_mktsegment"),
+        F.col("c_acctbal").desc(),
+        F.col("c_custkey"),
+    ).sortWithinPartitions(
+        "c_mktsegment", F.col("c_acctbal").desc(), "c_custkey"
+    )
+    hist = (
+        part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "c_mktsegment")
+        .count()
+        .collect()
+    )
+    seg_total: dict[str, int] = {}
+    for r in hist:
+        seg_total[r["c_mktsegment"]] = seg_total.get(r["c_mktsegment"], 0) + r["count"]
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(hist, key=lambda r: (r["c_mktsegment"], r["pid"])):
+        offsets[(r["pid"], r["c_mktsegment"])] = running.get(r["c_mktsegment"], 0)
+        running[r["c_mktsegment"]] = (
+            running.get(r["c_mktsegment"], 0) + r["count"]
+        )
+    b_meta = _bc(spark, (offsets, seg_total))
+
+    def add_ranks(batches):
+        offs, totals = b_meta.value
+        seen: dict[str, int] = {}
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            ranks = []
+            tiles = []
+            for seg in pdf["c_mktsegment"]:
+                base = offs.get((pid, seg), 0)
+                seen[seg] = seen.get(seg, 0) + 1
+                r = base + seen[seg]
+                ranks.append(r)
+                n = totals[seg]
+                q, rem = divmod(n, 4)
+                big = rem * (q + 1)
+                if q == 0 or r <= big:
+                    tiles.append((r - 1) // (q + 1) + 1)
+                else:
+                    tiles.append(rem + (r - big - 1) // q + 1)
+            yield pd.DataFrame(
+                {
+                    "c_custkey": pdf["c_custkey"],
+                    "c_mktsegment": pdf["c_mktsegment"],
+                    "rnk": ranks,
+                    "drnk": ranks,
+                    "quartile": tiles,
+                }
+            )
+
+    return part.withColumn("pid", F.spark_partition_id()).mapInPandas(
+        add_ranks,
+        "c_custkey long, c_mktsegment string, rnk long, drnk long, quartile long",
     )

@@ -173,3 +173,13 @@ def test_multi_sink_shares_one_scan(spark):
             ), p
     finally:
         docs.unpersist()
+
+
+def test_ranking_window_scaled_has_no_window_exec(spark):
+    """The distributed two-pass rank must contain NO WindowExec (its
+    entire point: window partitions cannot be split, range partitions
+    can) and must carry the range exchange that makes it a splittable
+    total-order plan."""
+    p = plan_of(spark, "ranking_window_scaled")
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
