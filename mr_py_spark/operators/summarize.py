@@ -318,3 +318,48 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "inverted_index_sharded",
+    tags=("B6",),
+    oracle="""
+        SELECT term,
+               doc_id % 16 AS shard,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids,
+               count(*) AS df_shard
+        FROM (
+            SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS term, doc_id
+            FROM documents
+        )
+        WHERE term <> ''
+        GROUP BY term, doc_id % 16
+    """,
+)
+def inverted_index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded inverted index — ``inverted_index``'s 100 TB form (B6).
+
+    The plain index materializes each term's full posting list in ONE
+    aggregation buffer row; a stopword's list at web scale is billions
+    of doc ids in a single buffer on a single task — the aggregation
+    twin of the unsplittable window partition. Production indexes
+    shard the posting space: grouping by (term, doc_id % 16) bounds
+    every buffer at 1/16th of the worst list and spreads a hot term
+    over 16 tasks; readers merge shards (already id-sorted) with a
+    streaming k-way concat, and the shard count is the scale dial —
+    at 10^9-doc corpora you size it so term-shard lists fit a buffer,
+    exactly how Lucene/ES segment posting data. Same one-shuffle
+    partial-agg plan shape as the plain index."""
+    docs = tbl(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(words(F.lower("text"))).alias("term"), "doc_id")
+        .filter(F.col("term") != "")
+        .distinct()
+        .groupBy("term", (F.col("doc_id") % 16).alias("shard"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("doc_id")).cast("array<string>"), ","
+            ).alias("doc_ids"),
+            F.count("*").alias("df_shard"),
+        )
+    )
