@@ -21,7 +21,20 @@ from mr_py_spark.functions import dec4
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
-_N_SALTS = 8
+def _n_salts(spark: SparkSession) -> int:
+    """Salt fan-out sized to the session's shuffle parallelism: the
+    point of salting is to spread each hot key over every reducer, so
+    a FIXED salt count under-parallelizes the moment the cluster is
+    wider than it (8 salts on 1000 executors = 0.8% utilization on a
+    5-key aggregate). shuffle.partitions is the deployment's own
+    statement of reducer width; clamp [8, 1024] keeps small-session
+    behavior stable and bounds the dim-replication factor in
+    salted_join (dim_rows x salts)."""
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        width = 8
+    return max(8, min(1024, width))
 
 
 @register(
@@ -47,7 +60,8 @@ def salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salting must be invisible in the result.
     """
     ev = tbl(spark, sf_dir, "events")
-    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(_N_SALTS)))
+    n_salts = _n_salts(spark)
+    salted = ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(n_salts)))
     partial = salted.groupBy("event_type", "salt").agg(
         F.count("*").alias("pn"),
         F.sum(dec4("value")).alias("pv"),
@@ -82,10 +96,11 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     — that form is broadcast_dim_join; AQE's skew-join handles the
     sort-merge case. This is the explicit pattern for when neither
     applies.)"""
+    n_salts = _n_salts(spark)
     ev = tbl(spark, sf_dir, "events").withColumns(
         {
             "jk": F.col("user_id") % 25,
-            "salt": F.pmod(F.col("event_id"), F.lit(_N_SALTS)).cast("int"),
+            "salt": F.pmod(F.col("event_id"), F.lit(n_salts)).cast("int"),
         }
     )
     dim = (
@@ -93,7 +108,7 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_nationkey",
             "n_name",
-            F.explode(F.sequence(F.lit(0), F.lit(_N_SALTS - 1))).alias("salt"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("salt"),
         )
     )
     return (
