@@ -480,9 +480,12 @@ def _ivf_topk_core(
 
     assigned = e.mapInPandas(assign, "vec_id long, v array<double>, bucket long")
 
-    # probe count scales with nlist so the probed fraction of the
-    # corpus stays roughly constant as both grow.
-    n_probe = max(_N_PROBE, nlist // 16)
+    # probe count scales with nlist so the probed FRACTION stays
+    # roughly constant (~25%) as both grow: at 150k synthetic
+    # clustered vectors (nlist 37), recall@5 measured 0.744/0.796/
+    # 0.844 at 6/9/12 probes with flat runtime (SCALE.md r6) — the
+    # fraction, not the count, is what recall tracks.
+    n_probe = max(_N_PROBE, nlist // 4)
     wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         queries.join(F.broadcast(cent), how="cross")
@@ -523,7 +526,7 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    mapInPandas — one pass, ZERO shuffle (r6: the old
                    broadcast-cross + window shuffled n*nlist payload
                    rows, 32 GB at sf100)
-    Search: each query probes its nprobe (= max(6, nlist/16)) nearest
+    Search: each query probes its nprobe (= max(6, nlist/4)) nearest
     centroids' buckets only — candidate generation is an equi-join on
     centroid_id, so the join fan-out is n_queries * 4096 * nprobe.
     This is the structure that replaces the brute-force cross join at
