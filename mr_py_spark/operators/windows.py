@@ -351,3 +351,83 @@ def ranking_window_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         add_ranks,
         "c_custkey long, c_mktsegment string, rnk long, drnk long, quartile long",
     )
+
+
+@register(
+    "percentile_window_scaled",
+    tags=("B34", "B16"),
+    oracle="""
+        SELECT s_suppkey, s_nationkey,
+               percent_rank() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal, s_suppkey) AS pct_rank,
+               cume_dist()    OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal, s_suppkey) AS cume
+        FROM supplier
+    """,
+)
+def percentile_window_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``percentile_window``'s exact result with NO WindowExec — the
+    two-pass range-partition rank of ``ranking_window_scaled`` applied
+    to percent_rank/cume_dist (B34 x B16), closing that docstring's
+    promise with driver-comparable code. The ORDER BY's unique
+    s_suppkey tiebreak makes peer groups singletons, so
+    percent_rank = (rank-1)/(n-1) (0/0 -> 0.0 on singleton nations)
+    and cume_dist = rank/n — one exact IEEE division each from the
+    offset rank and the per-nation totals in the metadata histogram,
+    identical in both engines."""
+    import pandas as pd
+
+    s = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    part = s.repartitionByRange(
+        n_parts, F.col("s_nationkey"), F.col("s_acctbal"), F.col("s_suppkey")
+    ).sortWithinPartitions("s_nationkey", "s_acctbal", "s_suppkey")
+    hist = (
+        part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "s_nationkey")
+        .count()
+        .collect()
+    )
+    totals: dict[int, int] = {}
+    for r in hist:
+        totals[r["s_nationkey"]] = totals.get(r["s_nationkey"], 0) + r["count"]
+    offsets: dict[tuple[int, int], int] = {}
+    running: dict[int, int] = {}
+    for r in sorted(hist, key=lambda r: (r["s_nationkey"], r["pid"])):
+        offsets[(r["pid"], r["s_nationkey"])] = running.get(r["s_nationkey"], 0)
+        running[r["s_nationkey"]] = running.get(r["s_nationkey"], 0) + r["count"]
+    b_meta = _bc(spark, (offsets, totals))
+
+    def add_pcts(batches):
+        offs, tot = b_meta.value
+        seen: dict[int, int] = {}
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            pct = []
+            cume = []
+            for nk in pdf["s_nationkey"]:
+                nk = int(nk)
+                seen[nk] = seen.get(nk, 0) + 1
+                r = offs.get((pid, nk), 0) + seen[nk]
+                n = tot[nk]
+                pct.append(0.0 if n == 1 else (r - 1) / (n - 1))
+                cume.append(r / n)
+            yield pd.DataFrame(
+                {
+                    "s_suppkey": pdf["s_suppkey"],
+                    "s_nationkey": pdf["s_nationkey"],
+                    "pct_rank": pct,
+                    "cume": cume,
+                }
+            )
+
+    return part.withColumn("pid", F.spark_partition_id()).mapInPandas(
+        add_pcts,
+        "s_suppkey long, s_nationkey long, pct_rank double, cume double",
+    )

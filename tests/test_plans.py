@@ -183,3 +183,9 @@ def test_ranking_window_scaled_has_no_window_exec(spark):
     p = plan_of(spark, "ranking_window_scaled")
     assert "Window" not in p, p
     assert "rangepartitioning" in p.lower(), p
+
+
+def test_percentile_window_scaled_has_no_window_exec(spark):
+    p = plan_of(spark, "percentile_window_scaled")
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
