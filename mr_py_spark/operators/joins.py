@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from mr_py_spark.functions import davg, dec4, dsum, fmt_ts, ts_ntz
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
+from mr_py_spark.util import shuffle_width
 
 
 @register(
@@ -327,7 +328,7 @@ def merge_join_copartitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes the shuffle for every future join on the key — the 100 TB
     answer for repeatedly-joined fact tables.
     """
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = shuffle_width(spark)
     o = (
         tbl(spark, sf_dir, "orders")
         .repartition(n_parts, "o_orderkey")

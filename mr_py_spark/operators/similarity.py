@@ -24,22 +24,7 @@ from pyspark.sql import functions as F
 from mr_py_spark.functions import dot
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
-
-
-class _LocalBroadcast:
-    """Closure-captured fallback when no SparkContext exists (Spark
-    Connect): cloudpickle ships the value inside the UDF instead of a
-    torrent broadcast — same semantics, higher serialization cost."""
-
-    def __init__(self, value):
-        self.value = value
-
-
-def _bc(spark: SparkSession, value):
-    try:
-        return spark.sparkContext.broadcast(value)
-    except Exception:
-        return _LocalBroadcast(value)
+from mr_py_spark.util import _LocalBroadcast, bc as _bc, shuffle_width
 
 
 # Block-grid size for the exact kNN self-join: a block pair is an
@@ -278,7 +263,7 @@ def knn_selfjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more than they level. Small grids (fewer pairs than that cap)
     # can't be leveled any further by repartitioning, and AQE's
     # coalescing of the tiny shuffle is the cheaper schedule.
-    cores = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cores = shuffle_width(spark)
     if B * B >= 2 * cores:
         q = q.repartition(2 * cores, "qb", "cb")
         c = c.repartition(2 * cores, "qb", "cb")
@@ -528,9 +513,16 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                    rows, 32 GB at sf100)
     Search: each query probes its nprobe (= max(6, nlist/4)) nearest
     centroids' buckets only — candidate generation is an equi-join on
-    centroid_id, so the join fan-out is n_queries * 4096 * nprobe.
-    This is the structure that replaces the brute-force cross join at
-    10^9 vectors. The only nested-loop join in the plan is the
+    centroid_id with fan-out n_queries * 4096 * nprobe. Honest
+    asymptotics: because nprobe scales with nlist to hold the probed
+    FRACTION at ~25%, per-query candidate work is Θ(n/4) — a 4x
+    constant-factor win over brute force plus the structural win that
+    the work is a bucketed equi-join (shuffle-partitionable, no
+    cross join) instead of an all-pairs nested loop. Sub-linear
+    per-query cost at a fixed recall target would need L repeated
+    hash tables / a probe CAP with multi-probe, which is the
+    documented knob if 25% probing is too hot at 10^9 vectors
+    (recall/runtime trade-off ledger in SCALE.md r6). The only nested-loop join in the plan is the
     broadcast of the bounded (<= 4096-row) centroid frame on the
     probe side (exempt from the no-cross-join invariant, asserted in
     tests/test_plans.py).

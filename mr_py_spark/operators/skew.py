@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from mr_py_spark.functions import dec4
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
+from mr_py_spark.util import shuffle_width
 
 def _n_salts(spark: SparkSession) -> int:
     """Salt fan-out sized to the session's shuffle parallelism: the
@@ -30,11 +31,7 @@ def _n_salts(spark: SparkSession) -> int:
     statement of reducer width; clamp [8, 1024] keeps small-session
     behavior stable and bounds the dim-replication factor in
     salted_join (dim_rows x salts)."""
-    try:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        width = 8
-    return max(8, min(1024, width))
+    return max(8, min(1024, shuffle_width(spark, default=8)))
 
 
 @register(

@@ -10,13 +10,48 @@ with spill support.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mr_py_spark.functions import davg, dec4, dsum
-from mr_py_spark.operators.similarity import _bc
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
+from mr_py_spark.util import bc as _bc, shuffle_width
+
+
+def _partition_histogram(part: DataFrame, key: str):
+    """Offsets/totals metadata for the two-pass distributed ranks.
+
+    ``part`` MUST already be persisted: this collect is the action
+    that materializes it, pinning every row's physical partition so
+    the later rank-emission pass reads the exact placement the
+    offsets were counted in. (Without the persist the two actions
+    would re-execute the repartitionByRange shuffle independently,
+    and RangePartitioner's reservoir sampling is seeded per-execution
+    — once a partition exceeds the ~100-row sample size the two jobs
+    could draw different bounds and silently shift every subsequent
+    rank in a segment.) The histogram itself is numPartitions x
+    |groups| rows — metadata-sized at any corpus size (documented
+    bounded-collect exemption, CLAUDE.md).
+
+    Returns (offsets {(pid, group): rows_before}, totals {group: n}).
+    """
+    hist = (
+        part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", key)
+        .count()
+        .collect()
+    )
+    totals: dict = {}
+    for r in hist:
+        totals[r[key]] = totals.get(r[key], 0) + r["count"]
+    offsets: dict = {}
+    running: dict = {}
+    for r in sorted(hist, key=lambda r: (r[key], r["pid"])):
+        offsets[(r["pid"], r[key])] = running.get(r[key], 0)
+        running[r[key]] = running.get(r[key], 0) + r["count"]
+    return offsets, totals
 
 
 @register(
@@ -277,41 +312,33 @@ def ranking_window_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
          dense_rank == row_number; ntile(4) is computed from the
          per-segment totals with SQL's ceil-first-tiles rule.
 
-    Determinism note: both actions (histogram + final) recompute the
-    same range-shuffle lineage; Spark's RangePartitioner samples with
-    a lineage-fixed seed, so the bounds — and hence pid/segment
-    offsets — agree across the two jobs. The oracle equality check
-    would catch any violation."""
+    Determinism: the range-partitioned frame is persisted and
+    materialized by the histogram collect, so the rank-emission pass
+    reads the very partition placement the offsets were counted in —
+    RangePartitioner's per-execution sampling can never put a row in
+    a different partition between the two passes (see
+    ``_partition_histogram``). The cache entry (a 3-column
+    projection) is left to the session's CacheManager/LRU; repeated
+    calls with the same plan reuse the same entry rather than
+    growing it.
+
+    NOTE: building this DataFrame eagerly runs two Spark jobs (the
+    range shuffle + the histogram collect) — callers that only want
+    the plan (e.g. test_plans.plan_of) still pay them."""
     import pandas as pd
 
     c = tbl(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = c.repartitionByRange(
-        n_parts,
+        shuffle_width(spark),
         F.col("c_mktsegment"),
         F.col("c_acctbal").desc(),
         F.col("c_custkey"),
     ).sortWithinPartitions(
         "c_mktsegment", F.col("c_acctbal").desc(), "c_custkey"
-    )
-    hist = (
-        part.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid", "c_mktsegment")
-        .count()
-        .collect()
-    )
-    seg_total: dict[str, int] = {}
-    for r in hist:
-        seg_total[r["c_mktsegment"]] = seg_total.get(r["c_mktsegment"], 0) + r["count"]
-    offsets: dict[tuple[int, str], int] = {}
-    running: dict[str, int] = {}
-    for r in sorted(hist, key=lambda r: (r["c_mktsegment"], r["pid"])):
-        offsets[(r["pid"], r["c_mktsegment"])] = running.get(r["c_mktsegment"], 0)
-        running[r["c_mktsegment"]] = (
-            running.get(r["c_mktsegment"], 0) + r["count"]
-        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    offsets, seg_total = _partition_histogram(part, "c_mktsegment")
     b_meta = _bc(spark, (offsets, seg_total))
 
     def add_ranks(batches):
@@ -374,30 +401,25 @@ def percentile_window_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank = (rank-1)/(n-1) (0/0 -> 0.0 on singleton nations)
     and cume_dist = rank/n — one exact IEEE division each from the
     offset rank and the per-nation totals in the metadata histogram,
-    identical in both engines."""
+    identical in both engines.
+
+    Determinism + eager-build behavior: same persist-once contract as
+    ``ranking_window_scaled`` (see its docstring and
+    ``_partition_histogram``) — two Spark jobs run at
+    DataFrame-construction time and the partitioned frame stays
+    cached for the rank-emission pass."""
     import pandas as pd
 
     s = tbl(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     part = s.repartitionByRange(
-        n_parts, F.col("s_nationkey"), F.col("s_acctbal"), F.col("s_suppkey")
-    ).sortWithinPartitions("s_nationkey", "s_acctbal", "s_suppkey")
-    hist = (
-        part.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid", "s_nationkey")
-        .count()
-        .collect()
-    )
-    totals: dict[int, int] = {}
-    for r in hist:
-        totals[r["s_nationkey"]] = totals.get(r["s_nationkey"], 0) + r["count"]
-    offsets: dict[tuple[int, int], int] = {}
-    running: dict[int, int] = {}
-    for r in sorted(hist, key=lambda r: (r["s_nationkey"], r["pid"])):
-        offsets[(r["pid"], r["s_nationkey"])] = running.get(r["s_nationkey"], 0)
-        running[r["s_nationkey"]] = running.get(r["s_nationkey"], 0) + r["count"]
+        shuffle_width(spark),
+        F.col("s_nationkey"), F.col("s_acctbal"), F.col("s_suppkey")
+    ).sortWithinPartitions(
+        "s_nationkey", "s_acctbal", "s_suppkey"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    offsets, totals = _partition_histogram(part, "s_nationkey")
     b_meta = _bc(spark, (offsets, totals))
 
     def add_pcts(batches):
