@@ -125,9 +125,12 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate mining (C2/C3): all pairs with
-    sim >= 0.9. Exact all-pairs is the oracle baseline; at scale the
-    same threshold query runs over IVF buckets (see knn_ivf_topk) or
-    random-projection LSH buckets."""
+    sim >= 0.9. This exact form is the ORACLE BASELINE ONLY — the plan
+    is an all-pairs broadcast nested loop, O(n^2) at any cluster
+    width. The registered scale form with the same semantics is
+    ``cosine_near_dup_pairs_lsh`` (banded random-hyperplane buckets,
+    equi-join candidates, exact verify; recall >= 0.9 property-tested
+    against this query's pair set)."""
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -144,6 +147,145 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim_raw") >= 0.9)
         .select("id_a", "id_b", F.round("sim_raw", 6).alias("sim"), "same_label")
+    )
+
+
+_NDP_THRESHOLD = 0.9  # the registered pair-mining threshold
+_NDP_BUCKET_ROWS = 4096  # per-band bucket target on far-dominated corpora
+
+
+def _rp_bands(n: int) -> tuple[int, int]:
+    """Banded random-hyperplane LSH shape for threshold pair mining.
+
+    r sign bits per band give 2^r buckets; r grows with the corpus so
+    a far-pair-dominated corpus (random pairs agree per bit with prob
+    ~0.5) keeps the average band bucket near _NDP_BUCKET_ROWS rows.
+    The band count b is then solved for recall: a boundary pair at
+    sim == 0.9 agrees per bit with prob q = 1 - acos(0.9)/pi ~ 0.856,
+    collides in one band with prob q^r, and must collide in at least
+    one of b bands with prob >= 0.95:
+
+        b = ceil(ln 0.05 / ln(1 - q^r))
+
+    r=8 -> b=9 (72 planes, fixtures); the r=16 ceiling -> b=35 (560
+    planes, 65536 buckets/band at 10^8+ vectors). Banding is the knob
+    that keeps recall at scale — unlike single-table multiprobe,
+    whose recall decays as planes grow (see knn_rplsh_topk notes).
+    """
+    import math
+
+    q = 1.0 - math.acos(_NDP_THRESHOLD) / math.pi
+    r = max(8, min(16, math.ceil(math.log2(max(n / _NDP_BUCKET_ROWS, 2.0)))))
+    b = math.ceil(math.log(0.05) / math.log(1.0 - q**r))
+    return r, b
+
+
+@register("cosine_near_dup_pairs_lsh", tags=("C2", "C3"), oracle=None)
+def cosine_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale form of ``cosine_near_dup_pairs``: same semantics (all
+    pairs with cosine sim >= 0.9, exact sims, same output schema) with
+    banded random-hyperplane LSH candidate generation instead of the
+    O(n^2) nested loop.
+
+    Plan (every join an equi-join; no cartesian, plan-asserted):
+      1. one mapInPandas pass signs r*b seeded random projections and
+         emits b (vec_id, band, key) rows per vector — fan-out b,
+         zero shuffle;
+      2. candidates = self-equi-join on (band, key) with id_a < id_b,
+         then pair distinct (a true near-dup pair can collide in
+         several bands);
+      3. exact verify: join the two vectors back by id and keep pairs
+         with dot >= 0.9 — so PRECISION IS EXACT (output is a subset
+         of the exact query's pairs) and only recall is probabilistic
+         (>= 0.95 by the _rp_bands design, property-tested >= 0.9
+         against the exact pair set in tests/test_properties.py).
+
+    Rows-only by design: the emitted SUBSET depends on the seeded
+    planes, so no engine-independent SQL oracle exists; correctness is
+    anchored by the precision-exactness + recall property tests (the
+    shipped fixtures have ZERO pairs at the 0.9 threshold at every sf,
+    so the property test plants a synthetic near-dup corpus through
+    ``_near_dup_pairs_lsh_core`` — an empty-result fixture run would
+    be vacuous).
+    Shuffle profile at 10^9 vectors: n*b signature rows keyed by
+    (band, key) — bounded buckets by construction on the far-pair
+    mass; genuinely dense near-dup clusters enlarge their own buckets
+    only in proportion to the true output size."""
+    e = tbl(spark, sf_dir, "embeddings")
+    return _near_dup_pairs_lsh_core(
+        spark, e, _table_rows(e, sf_dir, "embeddings")
+    )
+
+
+def _near_dup_pairs_lsh_core(
+    spark: SparkSession, e: DataFrame, n: int, dim: int = 64
+) -> DataFrame:
+    """Banded-LSH threshold pair mining over any (vec_id, label,
+    embedding) frame — see ``cosine_near_dup_pairs_lsh``."""
+    import numpy as np
+    import pandas as pd
+
+    r, b = _rp_bands(n)
+    rng = np.random.RandomState(11)
+    planes = rng.standard_normal((dim, r * b))
+    b_planes = _bc(spark, planes)
+
+    def band_keys(batches):
+        pl = b_planes.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            bits = (m @ pl) > 0  # (rows, r*b)
+            keys = (
+                bits.reshape(len(pdf), b, r)
+                * (1 << np.arange(r, dtype=np.int64))
+            ).sum(axis=2)  # (rows, b)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), b),
+                    "band": np.tile(np.arange(b, dtype=np.int64), len(pdf)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    sig = e.select("vec_id", "embedding").mapInPandas(
+        band_keys, "vec_id long, band long, key long"
+    )
+    cand = (
+        sig.alias("a")
+        .join(sig.alias("b"), ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    av = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    bv = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("sim_raw", dot("va", "vb"))
+        .filter(F.col("sim_raw") >= F.lit(_NDP_THRESHOLD))
+        .select(
+            "id_a",
+            "id_b",
+            F.round("sim_raw", 6).alias("sim"),
+            (F.col("label_a") == F.col("label_b")).cast("int").alias("same_label"),
+        )
     )
 
 

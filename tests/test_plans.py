@@ -189,3 +189,12 @@ def test_percentile_window_scaled_has_no_window_exec(spark):
     p = plan_of(spark, "percentile_window_scaled")
     assert "Window" not in p, p
     assert "rangepartitioning" in p.lower(), p
+
+
+def test_near_dup_lsh_has_no_cartesian(spark):
+    """The scale form of threshold pair mining must generate
+    candidates via the (band, key) equi-self-join — never the exact
+    query's all-pairs nested loop."""
+    p = plan_of(spark, "cosine_near_dup_pairs_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

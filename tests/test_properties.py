@@ -660,3 +660,55 @@ def test_corpus_split_content_keyed_never_leaks(spark, tmp_path):
     joined = res.merge(pdf, on="doc_id")
     n_splits = joined.groupby("text")["split"].nunique()
     assert (n_splits == 1).all(), "content-keyed split scattered duplicates"
+
+
+def test_near_dup_lsh_recall_and_exact_precision(spark):
+    """cosine_near_dup_pairs_lsh on a PLANTED near-dup corpus (the
+    shipped fixtures have zero pairs at the 0.9 threshold at every sf,
+    so a fixture-based recall assertion would be vacuous): recall of
+    the exact pair set >= 0.9, and precision exact — every emitted
+    pair really has sim >= 0.9 because candidates are verified with
+    the exact dot product."""
+    import numpy as np
+
+    from mr_py_spark.operators.similarity import _near_dup_pairs_lsh_core
+
+    rng = np.random.RandomState(5)
+    base = rng.standard_normal((300, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [base]
+    # plant 100 near-dups at controlled cosines straddling the
+    # threshold: v = cos(t)*u + sin(t)*w with w a unit vector
+    # orthogonal to u, so sim(u, v) == cos(t) exactly
+    targets = np.linspace(0.85, 0.995, 100)
+    planted = []
+    for i, s in enumerate(targets):
+        u = base[i]
+        w = rng.standard_normal(64)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        planted.append(s * u + np.sqrt(1 - s * s) * w)
+    vecs.append(np.asarray(planted))
+    m = np.vstack(vecs).astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    sims = m @ m.T
+    iu = np.triu_indices(len(m), k=1)
+    exact = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])
+    }
+    assert len(exact) >= 60  # the planted pairs above threshold
+
+    e = spark.createDataFrame(
+        [(int(i), int(i) % 7, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in _near_dup_pairs_lsh_core(spark, e, len(m)).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"banded-LSH pair recall {recall:.3f}"
+    missed_precision = got - exact
+    assert not missed_precision, f"non-near-dup pairs emitted: {missed_precision}"
