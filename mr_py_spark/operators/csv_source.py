@@ -111,49 +111,53 @@ def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _avro_available() -> bool:
-    """Avro is an EXTERNAL Spark module (spark-avro_*.jar), not part of
-    the core distribution; this container ships only the avro core
-    libraries, so the format is typically absent here. Detect the jar
-    so the query registers exactly when it can run — a documented,
-    capability-gated source rather than a guaranteed-red driver row."""
-    import glob
-
-    roots = []
-    try:
-        import pyspark
-
-        roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
-    except ImportError:  # pragma: no cover
-        pass
-    if os.environ.get("SPARK_HOME"):
-        roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
-    return any(glob.glob(os.path.join(r, "spark-avro*.jar")) for r in roots)
+_AVRO_SUPPLIER_SCHEMA = {
+    "type": "record",
+    "name": "supplier",
+    "fields": [
+        {"name": "s_suppkey", "type": "long"},
+        {"name": "s_nationkey", "type": "int"},
+        {"name": "s_acctbal", "type": "double"},
+    ],
+}
 
 
-if _avro_available():  # pragma: no cover - jar absent in this container
+@register(
+    "avro_source_agg",
+    tags=("A7", "B1"),
+    oracle="""
+        SELECT s_nationkey, count(*) AS n_supp, max(s_acctbal) AS max_bal
+        FROM supplier
+        GROUP BY s_nationkey
+    """,
+)
+def avro_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the supplier table through Avro — the row-oriented
+    binary interchange format (Kafka/streaming ingest lingua franca).
 
-    @register(
-        "avro_source_agg",
-        tags=("A7", "B1"),
-        oracle="""
-            SELECT s_nationkey, count(*) AS n_supp, max(s_acctbal) AS max_bal
-            FROM supplier
-            GROUP BY s_nationkey
-        """,
+    spark-avro's jar is an external module absent from this container,
+    so the READ path is this repo's own container-spec implementation
+    (sources/avro_py.py): a binaryFile scan distributes files, an
+    Arrow-batched mapInPandas decodes blocks — no external jar, same
+    explicit-schema discipline as the CSV/JSON sources, oracle-checked
+    against the parquet view. The fixture write collects the supplier
+    DIMENSION table on the driver (bounded by definition — suppliers,
+    not facts; the 100 TB write path stays parquet via the catalog
+    sinks, avro_py.write_avro is a fixture device)."""
+    from mr_py_spark.sources.avro_py import read_avro, write_avro
+
+    path = os.path.join(
+        _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "supplier_avro"
     )
-    def avro_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Round-trip the supplier table through Avro — the row-oriented
-        binary interchange format (Kafka/streaming ingest lingua
-        franca). Registered only when spark-avro is deployed."""
-        path = os.path.join(
-            _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "supplier_avro"
-        )
-        supp = tbl(spark, sf_dir, "supplier").select(
-            "s_suppkey", "s_nationkey", "s_acctbal"
-        )
-        supp.coalesce(1).write.mode("overwrite").format("avro").save(path)
-        av = spark.read.format("avro").load(path)
-        return av.groupBy("s_nationkey").agg(
-            F.count("*").alias("n_supp"), F.max("s_acctbal").alias("max_bal")
-        )
+    supp = tbl(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+    write_avro(
+        os.path.join(path, "part-0.avro"),
+        _AVRO_SUPPLIER_SCHEMA,
+        (r.asDict() for r in supp.collect()),
+    )
+    av = read_avro(spark, path, _AVRO_SUPPLIER_SCHEMA)
+    return av.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"), F.max("s_acctbal").alias("max_bal")
+    )

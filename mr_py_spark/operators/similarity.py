@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 from mr_py_spark.functions import dot
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
-from mr_py_spark.util import _LocalBroadcast, bc as _bc, shuffle_width
+from mr_py_spark.util import (
+    _LocalBroadcast,
+    bc as _bc,
+    shuffle_width,
+    table_rows as _table_rows,
+)
 
 
 # Block-grid size for the exact kNN self-join: a block pair is an
@@ -42,18 +47,6 @@ def _knn_blocks(n: int) -> int:
     return max(4, min(64, round(n / _BLOCK_ROWS)))
 
 
-def _table_rows(df: DataFrame, sf_dir: str, name: str) -> int:
-    """Row count for grid sizing — parquet footer metadata when the
-    fixture is a single file (milliseconds, no Spark job), else one
-    count() job. Only a sizing heuristic, so staleness is harmless."""
-    try:
-        import pyarrow.parquet as pq
-
-        return pq.ParquetFile(
-            f"{sf_dir.rstrip('/')}/{name}.parquet"
-        ).metadata.num_rows
-    except Exception:
-        return df.count()
 
 
 # ~B^2 pairs of (n/B)-row blocks: n/B near 1500 keeps a pair's tile at

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from mr_py_spark.functions import davg, dec4, dsum, ts_ntz, words
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
+from mr_py_spark.util import scale_form_threshold, table_rows
 
 
 @register(
@@ -270,19 +271,52 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics (the posting list IS the output), so collect_set is
     justified; posting lists are rendered as comma-joined text for a
     representation-stable value hash.
-    """
+
+    Size-adaptive: above ``scale_form_threshold()`` docs the default
+    name switches to a two-level aggregation that range-shards
+    doc_ids first — each stage-1 buffer holds (and SORTS) at most
+    1/16th of a hot term's postings, and the final pass only
+    concatenates the 16 pre-sorted shard strings in shard order
+    (range shards, not hash, so the concat IS the global doc_id
+    order). Output stays bitwise-identical; the inherently list-sized
+    final row is the caller's own asked-for output, not an
+    aggregation buffer doing O(list log list) work. The sharded
+    OUTPUT contract (one row per term-shard, the Lucene/ES layout) is
+    ``inverted_index_sharded``."""
     docs = tbl(spark, sf_dir, "documents")
-    return (
+    postings = (
         docs.select(F.explode(words(F.lower("text"))).alias("term"), "doc_id")
         .filter(F.col("term") != "")
         .distinct()
-        .groupBy("term")
-        .agg(
+    )
+    if table_rows(docs, sf_dir, "documents") <= scale_form_threshold():
+        return postings.groupBy("term").agg(
             F.array_join(
                 F.sort_array(F.collect_set("doc_id")).cast("array<string>"), ","
             ).alias("doc_ids"),
             F.count("*").alias("df"),
         )
+    # big-n path: range-shard, aggregate per shard, merge in shard order
+    hi = docs.agg(F.max("doc_id")).collect()[0][0] or 0  # 1-row metadata job
+    width = max(1, (int(hi) + 16) // 16)
+    shards = (
+        postings.groupBy("term", F.floor(F.col("doc_id") / width).alias("shard"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("doc_id")).cast("array<string>"), ","
+            ).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    return shards.groupBy("term").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("shard", "s"))),
+                lambda x: x["s"],
+            ),
+            ",",
+        ).alias("doc_ids"),
+        F.sum("n").alias("df"),
     )
 
 

@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 from mr_py_spark.functions import davg, dec4, dsum
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
-from mr_py_spark.util import bc as _bc, shuffle_width
+from mr_py_spark.util import (
+    bc as _bc,
+    scale_form_threshold,
+    shuffle_width,
+    table_rows,
+)
 
 
 def _partition_histogram(part: DataFrame, key: str):
@@ -93,8 +98,17 @@ def topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ranking_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / ntile per group (B34)."""
+    """rank / dense_rank / ntile per group (B34).
+
+    Size-adaptive: above ``scale_form_threshold()`` rows (default
+    50M, env SPARK_GRAFT_SCALE_ROWS) the few-segment WindowExec would
+    pin ~n/5 rows into one unsplittable sort task, so the default name
+    dispatches to the bitwise-identical two-pass range-partition plan
+    of ``ranking_window_scaled`` (same oracle, both driver-green).
+    Below it, the single window is correct and cheaper."""
     c = tbl(spark, sf_dir, "customer")
+    if table_rows(c, sf_dir, "customer") > scale_form_threshold():
+        return ranking_window_scaled(spark, sf_dir)
     w = W.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return c.select(
         "c_custkey",
@@ -263,8 +277,12 @@ def percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist are (rank-1)/(n-1) and rank/n, so at 10^9 rows the
     distributed two-pass formulation of ``ranking_window_scaled``
     (range partition + offset ranks + per-group totals) produces them
-    with the same metadata-sized histogram and no WindowExec."""
+    with the same metadata-sized histogram and no WindowExec — the
+    default name dispatches there above ``scale_form_threshold()``
+    rows (same oracle, bitwise-identical output)."""
     s = tbl(spark, sf_dir, "supplier")
+    if table_rows(s, sf_dir, "supplier") > scale_form_threshold():
+        return percentile_window_scaled(spark, sf_dir)
     w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
     return s.select(
         "s_suppkey",

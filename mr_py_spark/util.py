@@ -29,6 +29,41 @@ def bc(spark: SparkSession, value):
         return _LocalBroadcast(value)
 
 
+def table_rows(df, sf_dir: str, name: str) -> int:
+    """Row count for size-adaptive plan selection — parquet footer
+    metadata when the fixture is a single file (milliseconds, no Spark
+    job), else one count() job. Only a sizing heuristic, so staleness
+    is harmless."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            f"{sf_dir.rstrip('/')}/{name}.parquet"
+        ).metadata.num_rows
+    except Exception:
+        return df.count()
+
+
+# Row count above which the dual-form operators (inverted_index,
+# ranking_window, percentile_window) auto-select their scale-safe
+# plan. Below it the single-window / single-buffer plan is both
+# correct and faster (no histogram pass, no extra shuffle); above it
+# the unsplittable-task risk dominates. Both forms stay registered
+# under their own names regardless — the dispatch only changes what
+# the DEFAULT name plans. Tests pin the env override low to drive the
+# big-n path on the small fixtures and assert bitwise-equal output.
+_SCALE_FORM_ROWS = 50_000_000
+
+
+def scale_form_threshold() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", _SCALE_FORM_ROWS))
+    except (TypeError, ValueError):
+        return _SCALE_FORM_ROWS
+
+
 def shuffle_width(spark: SparkSession, default: int = 32) -> int:
     """The session's declared reducer width, parse-hardened.
 

@@ -198,3 +198,32 @@ def test_near_dup_lsh_has_no_cartesian(spark):
     p = plan_of(spark, "cosine_near_dup_pairs_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scale_form_dispatch(spark, monkeypatch):
+    """The dual-form default names must auto-select their scale-safe
+    plan above the SPARK_GRAFT_SCALE_ROWS threshold, with bitwise-
+    identical output: ranking/percentile windows lose their WindowExec
+    and inverted_index bounds its per-buffer posting sort to range
+    shards merged in shard order."""
+    from mr_py_spark.operators import summarize, windows
+
+    def rows_of(df):
+        cols = df.columns
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    small = {
+        name: rows_of(REG[name].fn(spark, SF_DIR))
+        for name in ("ranking_window", "percentile_window", "inverted_index")
+    }
+    monkeypatch.setenv("SPARK_GRAFT_SCALE_ROWS", "1")
+    for name in ("ranking_window", "percentile_window"):
+        df = REG[name].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in p, name
+        assert rows_of(df) == small[name], name
+    df = REG["inverted_index"].fn(spark, SF_DIR)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    # two aggregation levels: (term, shard) then term
+    assert "shard" in p
+    assert rows_of(df) == small["inverted_index"]
