@@ -36,3 +36,55 @@ def test_mllib_minhash_lsh_recalls_planted_dups(spark):
     planted = _planted_pairs(spark)
     recall = len(planted & found) / len(planted)
     assert recall >= 0.8, f"MLlib MinHashLSH recall {recall:.2f}"
+
+
+def test_ivf_recall_on_zipf_cluster_corpus(spark):
+    """IVF recall on a NON-DEGENERATE corpus (verdict r6: the fixture's
+    replicated vectors inflate recall to 1.0 and hid the probe-fraction
+    decay that round 6 fixed). 50k vectors in 200 zipf-sized clusters,
+    no duplicates, fixed seeds; nprobe is the production nlist/4
+    formula — this test fails if the probed fraction ever decays with
+    corpus size again (recall collapses toward the cluster-mass of a
+    few buckets) while passing on the current constant-fraction
+    design."""
+    import numpy as np
+    import pandas as pd
+
+    from mr_py_spark.operators.similarity import _ivf_topk_core
+
+    rng = np.random.RandomState(17)
+    n, dim, n_clusters = 50_000, 64, 200
+    # zipf-sized clusters: a few huge, a long small tail (power law)
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.1
+    sizes = np.maximum(1, (n * w / w.sum()).astype(int))
+    sizes[0] += n - sizes.sum()  # exact total
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = np.vstack(
+        [
+            centers[i] + 0.25 * rng.standard_normal((s, dim))
+            for i, s in enumerate(sizes)
+        ]
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "v": list(map(list, m))})
+    e = spark.createDataFrame(pdf)
+    n_q = 50
+    q = spark.createDataFrame(
+        pdf.iloc[:n_q].rename(columns={"vec_id": "q_id", "v": "qv"})
+    )
+    approx = {
+        (r.q_id, r.nn_id)
+        for r in _ivf_topk_core(spark, e, q, n_hint=n).collect()
+    }
+
+    sims = m[:n_q] @ m.T
+    sims[np.arange(n_q), np.arange(n_q)] = -np.inf
+    brute = {
+        (qi, int(ni))
+        for qi in range(n_q)
+        for ni in np.argsort(-sims[qi], kind="stable")[:5]
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.8, f"zipf-corpus IVF recall@5 {recall:.3f}"
