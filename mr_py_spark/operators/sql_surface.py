@@ -167,9 +167,16 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest signup at-or-
     before it, per user. Spark lacks a native ASOF; the scalable
-    expression is union-tag + a running `last(ignorenulls)` window —
-    one shuffle on (user_id), one in-partition sort, no range
+    expression is tag + a running `last(ignorenulls)` window — one
+    shuffle on (user_id), one in-partition sort, no range
     cross-product. (DuckDB's native ASOF JOIN is the oracle.)
+
+    Both join sides live in the same events table, so rather than the
+    textbook two-scans-plus-union the tag is a conditional projection
+    over ONE scan (pushed `event_type IN (purchase, signup)` filter):
+    signup rows carry their ts in `signup_ts`, purchase rows carry
+    NULL there and their id in `event_id`. Halves the scan I/O of the
+    union form and feeds the same window bitwise-identically.
 
     Ambiguity guard: the fixture's ns timestamps make exact purchase/
     signup ts collisions effectively impossible, so 'at-or-before' is
@@ -178,30 +185,24 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: the single exchange keys on user_id, whose per-key row
     count is human-bounded (a user's events, not the corpus), so the
     unsplittable window partition is safe here — unlike a gram- or
-    token-keyed window. For a standing event warehouse, bucket both
-    inputs by user_id and sort within buckets by ts
-    (``write_bucketed`` in sources/sinks.py): the union of two
-    bucketed scans preserves the distribution and the window's
-    exchange+sort disappears entirely, making repeated as-of joins
-    scan-bound. A degenerate key (one synthetic user owning billions
-    of rows) should be pre-split by a time-epoch salt carried into
-    the union tag instead.
+    token-keyed window. For a standing event warehouse, bucket the
+    events table by user_id (``write_bucketed`` in sources/sinks.py):
+    the bucketed scan already satisfies the window's required
+    clustering, so the exchange disappears and repeated as-of joins
+    are scan-bound — proven by plan assertion in
+    tests/test_sinks.py (test_asof_over_bucketed_no_exchange). A
+    degenerate key (one synthetic user owning billions of rows)
+    should be pre-split by a time-epoch salt carried into the tag
+    instead.
     """
     from pyspark.sql import Window as W
 
     ev = tbl(spark, sf_dir, "events")
-    purchases = ev.filter(F.col("event_type") == "purchase")
-    signups = ev.filter(F.col("event_type") == "signup")
-
-    tagged = purchases.select(
-        "event_id", "user_id", "ts", F.lit(None).cast("timestamp_ntz").alias("signup_ts")
-    ).unionByName(
-        signups.select(
-            F.lit(None).cast("long").alias("event_id"),
-            "user_id",
-            "ts",
-            F.col("ts").alias("signup_ts"),
-        )
+    tagged = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("event_id"),
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
     )
     # signup rows sort before purchase rows at identical ts (is_purchase asc)
     w = (

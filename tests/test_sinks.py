@@ -25,6 +25,56 @@ def test_partitioned_write_roundtrip(spark, tmp_path):
     assert one.count() == expected
 
 
+def test_asof_over_bucketed_no_exchange(spark):
+    """The asof_join docstring's durable-warehouse claim, proven: over
+    an events table bucketed by user_id, the as-of window needs no
+    exchange — the plan is scan + in-partition sort + window, so the
+    repeated-join cost is scan-bound."""
+    from pyspark.sql import Window as W
+
+    from mr_py_spark.operators.sql_surface import asof_join
+
+    ev = tbl(spark, SF_DIR, "events")
+    write_bucketed(ev, "t_events_b", "user_id", 4)
+    b = spark.table("t_events_b")
+    tagged = b.filter(F.col("event_type").isin("purchase", "signup")).select(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("event_id"),
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias("signup_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.col("event_id").isNotNull().cast("int"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        tagged.withColumn("last_signup", F.last("signup_ts", ignorenulls=True).over(w))
+        .filter(F.col("event_id").isNotNull())
+        .select("event_id", "user_id", F.col("last_signup").alias("signup_ts"))
+    )
+    out.collect()  # execute so the AQE-final plan is inspected
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    # same answer as the registered shuffle form
+    expected = {
+        (r.event_id, r.user_id, r.signup_ts)
+        for r in asof_join(spark, SF_DIR)
+        .select("event_id", "user_id", "signup_ts")
+        .collect()
+    }
+    got = {
+        (r.event_id, r.user_id, r.signup_ts)
+        for r in out.select(
+            "event_id",
+            "user_id",
+            F.date_format("signup_ts", "yyyy-MM-dd HH:mm:ss").alias("signup_ts"),
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_bucketed_join_skips_shuffle(spark):
     orders = tbl(spark, SF_DIR, "orders")
     lineitem = tbl(spark, SF_DIR, "lineitem")
