@@ -282,6 +282,45 @@ def _near_dup_pairs_lsh_core(
     )
 
 
+@register("cosine_dup_clusters", tags=("C2", "C3"), oracle=None)
+def cosine_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup (C2/C3): banded-LSH threshold pairs
+    (``cosine_near_dup_pairs_lsh``) -> connected components
+    (convergence-checked min-label propagation shared with the
+    MinHash path, dedup.connected_components) -> survivor election
+    (min vec_id per cluster). The embedding-side mirror of
+    ``dedup_clusters``: what a pipeline actually RUNS to drop
+    semantic near-dups — pair mining alone still leaves the choice
+    of which copies to keep.
+
+    Rows-only by design (the pair stage is seeded-LSH); cluster
+    correctness on a planted near-dup corpus is property-tested
+    against the transitive closure of the exact pair set
+    (tests/test_properties.py). On the shipped fixtures (zero pairs
+    at the 0.9 threshold) every vector is its own singleton cluster.
+
+    100 TB shape: pairs are equi-join-bucketed (no cartesian, plan-
+    asserted), CC rounds are one keyed shuffle each with O(component
+    diameter) rounds — near-dup components are shallow in practice —
+    and the survivor agg is a single groupBy on the label key."""
+    from mr_py_spark.operators.dedup import connected_components
+
+    e = tbl(spark, sf_dir, "embeddings")
+    pairs = cosine_near_dup_pairs_lsh(spark, sf_dir).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    nodes = e.select(F.col("vec_id").alias("doc_id"))
+    return (
+        connected_components(nodes, pairs)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.min("doc_id").alias("survivor"),
+        )
+        .select(F.col("label").alias("cluster_id"), "cluster_size", "survivor")
+    )
+
+
 @register(
     "knn_selfjoin",
     tags=("C3",),

@@ -259,6 +259,110 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HH_DENOM = 800  # heavy hitter = item with cnt * _HH_DENOM >= total item count
+_HH_K = 2 * _HH_DENOM  # Misra-Gries counters per partition (2x safety margin)
+
+
+def heavy_hitter_candidates(items: DataFrame, col: str, k: int = _HH_K) -> DataFrame:
+    """Pass 1 of the two-pass exact heavy hitters: per-partition
+    Misra-Gries summaries over a single-column frame, returned as a
+    candidate-key frame (may contain cross-partition duplicates —
+    callers ``.distinct()``).
+
+    Guarantee (unconditional, any distribution): the union of
+    per-partition MG candidate sets with k counters is a superset of
+    every item whose GLOBAL count > N/k. Pigeonhole: count(x) > N/k
+    implies count_p(x) > N_p/k in at least one partition p, and an MG
+    summary with k counters under-counts any item by at most
+    N_p/(k+1) [Misra-Gries 1982; the batch-merge rule and its
+    additive error bound: Agarwal et al., "Mergeable Summaries",
+    PODS 2012], so x survives partition p's summary.
+
+    Vectorized: per Arrow batch one C-side ``value_counts``; the
+    Python merge loop is over the BATCH VOCABULARY, not rows.
+    Eviction is the PODS'12 merge rule — subtract the (k+1)-th
+    largest counter, drop non-positives. Output is <= numPartitions*k
+    rows (metadata-sized at any corpus scale) produced with zero
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def mg(batches):
+        d: dict = {}
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                d[item] = d.get(item, 0) + int(c)
+            if len(d) > k:
+                vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+                t = np.partition(vals, len(d) - k - 1)[len(d) - k - 1]
+                d = {i: c - t for i, c in d.items() if c > t}
+        yield pd.DataFrame({col: pd.Series(list(d.keys()), dtype="object")})
+
+    return items.mapInPandas(mg, f"{col} string")
+
+
+@register(
+    "heavy_hitters",
+    tags=("C5", "B37"),
+    oracle=f"""
+        WITH g AS (
+            SELECT unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bigram
+            FROM (SELECT string_split(lower(text), ' ') AS w FROM documents)
+        )
+        SELECT bigram, count(*) AS cnt
+        FROM g
+        GROUP BY bigram
+        HAVING count(*) * {_HH_DENOM} >= (SELECT count(*) FROM g)
+    """,
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent-item mining without shuffling the long tail
+    (C5/B37): every bigram occurring in at least 1/800 of all bigram
+    positions, with its EXACT count — the corpus-level boilerplate /
+    stock-phrase census a pretraining pipeline runs before filtering.
+
+    Two passes, the classic sketch-then-verify shape:
+      1. candidates: per-partition Misra-Gries (``heavy_hitter_
+         candidates``) — provable superset of the true heavy hitters,
+         <= numPartitions*k rows, no shuffle;
+      2. verify: broadcast-semi-join the candidate set against the
+         exploded bigrams, exact groupBy count of CANDIDATES ONLY,
+         keep cnt * 800 >= N (integer compare, no float threshold).
+    Superset + exact recount + identical threshold => the result set
+    EQUALS the naive global GROUP BY ... HAVING, so a plain SQL
+    oracle applies even though a sketch is involved.
+
+    100 TB shape: a full-vocabulary groupBy shuffles the entire
+    exploded token stream (the long tail dominates); here the only
+    wide exchange carries candidate rows alone — the tail dies at the
+    map side in the semi-join. The third scan (the 1-row total N)
+    touches only the text column lengths; a production variant would
+    fold partition totals into the pass-1 summaries. On the driver
+    fixture (31-word vocab) the sketch never evicts; eviction and the
+    superset guarantee under a 20k-word zipf vocabulary are
+    property-tested in tests/test_properties.py."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = words(F.lower("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    grams = docs.select(F.explode(bigrams).alias("bigram"))
+    cands = heavy_hitter_candidates(grams, "bigram").distinct()
+    total = docs.select((F.size(w) - F.lit(1)).alias("m")).agg(
+        F.sum("m").alias("n")
+    )
+    return (
+        grams.join(F.broadcast(cands), "bigram", "left_semi")
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))  # 1-row aggregate: bounded
+        .filter(F.col("cnt") * _HH_DENOM >= F.col("n"))
+        .select("bigram", "cnt")
+    )
+
+
 @register(
     "repetition_filter",
     tags=("C5",),

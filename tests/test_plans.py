@@ -227,3 +227,32 @@ def test_scale_form_dispatch(spark, monkeypatch):
     # two aggregation levels: (term, shard) then term
     assert "shard" in p
     assert rows_of(df) == small["inverted_index"]
+
+
+def test_heavy_hitters_semi_prunes_before_agg(spark):
+    """heavy_hitters' only full-width exchange must carry candidate
+    rows alone: the exploded bigram stream is pruned by a broadcast
+    LeftSemi join BEFORE the counting aggregate, the candidate frame
+    is MapInPandas-built (no shuffle on the raw stream), and the
+    1-row total join is the bounded broadcast cross CLAUDE.md exempts
+    — no data-dependent cartesian."""
+    p = plan_of(spark, "heavy_hitters")
+    semi = p.find("BroadcastHashJoin")
+    assert semi != -1 and "LeftSemi" in p
+    assert "MapInPandas" in p
+    # the count agg consumes the semi-join output, not the raw stream:
+    # partial_count must appear above (earlier in the printed tree
+    # than) the semi join
+    agg = p.find("partial_count")
+    assert agg != -1 and agg < semi, p[:1200]
+    assert "CartesianProduct" not in p
+    scan = next(line for line in p.splitlines() if "ReadSchema" in line)
+    assert "struct<text:string>" in scan, f"scan not pruned to text: {scan}"
+
+
+def test_cosine_dup_clusters_no_cartesian(spark):
+    """The embedding-dedup capstone inherits the LSH pair miner's
+    equi-join-only guarantee; CC rounds are keyed equi-joins too."""
+    p = plan_of(spark, "cosine_dup_clusters")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

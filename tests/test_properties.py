@@ -712,3 +712,112 @@ def test_near_dup_lsh_recall_and_exact_precision(spark):
     assert recall >= 0.9, f"banded-LSH pair recall {recall:.3f}"
     missed_precision = got - exact
     assert not missed_precision, f"non-near-dup pairs emitted: {missed_precision}"
+
+
+def test_heavy_hitter_candidates_superset_under_eviction(spark):
+    """heavy_hitters' pass-1 guarantee on a corpus where the sketch
+    actually evicts (the shipped fixture's 31-word vocab never fills
+    k counters, so fixture parity alone would be vacuous): under a
+    20k-word zipf vocabulary with k=64 counters, the union of
+    per-partition Misra-Gries candidates (a) stays metadata-sized,
+    (b) evicts most of the vocabulary, and (c) still contains EVERY
+    true heavy hitter — so the exact-recount pass 2 reproduces the
+    naive GROUP BY ... HAVING bit-for-bit."""
+    from collections import Counter
+
+    import numpy as np
+
+    from mr_py_spark.operators.text import heavy_hitter_candidates
+
+    rng = np.random.RandomState(11)
+    k, parts = 64, 8
+    toks = [f"w{min(int(v), 20000)}" for v in rng.zipf(1.3, 40000)]
+    exact = Counter(toks)
+    n = len(toks)
+    heavy = {w for w, c in exact.items() if c * k >= n}
+    assert heavy, "degenerate draw: no heavy hitters planted"
+
+    items = spark.createDataFrame([(t,) for t in toks], "g string").repartition(parts)
+    cands = {r.g for r in heavy_hitter_candidates(items, "g", k=k).collect()}
+
+    assert len(cands) <= parts * k  # bounded summary
+    assert len(cands) < len(exact) / 4, (
+        f"no eviction: {len(cands)} candidates vs {len(exact)} vocab"
+    )
+    assert heavy <= cands, f"missed heavy hitters: {heavy - cands}"
+    # pass-2 semantics: exact recount of candidates + same threshold
+    # == the naive global HAVING
+    recount = {w: exact[w] for w in cands if exact[w] * k >= n}
+    assert recount == {w: c for w, c in exact.items() if c * k >= n}
+
+
+def test_cosine_dup_clusters_refine_exact_closure(spark):
+    """cosine_dup_clusters on a planted near-dup corpus: emitted
+    clusters must REFINE the transitive closure of the exact >= 0.9
+    pair set (precision is exact, so LSH can only under-merge), every
+    vector must appear exactly once, and >= 80% of the vectors that
+    have at least one exact near-dup must land in a non-singleton
+    cluster (recall)."""
+    import numpy as np
+
+    from mr_py_spark.operators.dedup import connected_components
+    from mr_py_spark.operators.similarity import _near_dup_pairs_lsh_core
+
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    planted = []
+    for i in range(60):  # two extra copies each for the first 30 bases
+        u = base[i % 30]
+        w = rng.standard_normal(64)
+        w -= (w @ u) * u
+        w /= np.linalg.norm(w)
+        s = 0.94 + 0.05 * rng.rand()
+        planted.append(s * u + np.sqrt(1 - s * s) * w)
+    m = np.vstack([base, planted]).astype(np.float32).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    sims = m @ m.T
+    iu = np.triu_indices(len(m), k=1)
+    exact_pairs = [
+        (int(a), int(b))
+        for a, b in zip(iu[0][sims[iu] >= 0.9], iu[1][sims[iu] >= 0.9])
+    ]
+    # union-find over the exact closure
+    parent = list(range(len(m)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in exact_pairs:
+        parent[find(a)] = find(b)
+    exact_root = {i: find(i) for i in range(len(m))}
+    dup_vertices = {v for p in exact_pairs for v in p}
+    assert len(dup_vertices) >= 60
+
+    e = spark.createDataFrame(
+        [(int(i), int(i) % 7, [float(x) for x in row]) for i, row in enumerate(m)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    pairs = _near_dup_pairs_lsh_core(spark, e, len(m)).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    nodes = e.select(F.col("vec_id").alias("doc_id"))
+    labels = connected_components(nodes, pairs).collect()
+
+    assert len(labels) == len(m)
+    assert len({r.doc_id for r in labels}) == len(m)  # each vector once
+    by_cluster: dict = {}
+    for r in labels:
+        by_cluster.setdefault(r.label, []).append(r.doc_id)
+    for members in by_cluster.values():
+        roots = {exact_root[d] for d in members}
+        assert len(roots) == 1, f"cluster merges distinct exact components: {members}"
+    clustered = {
+        d for members in by_cluster.values() if len(members) > 1 for d in members
+    }
+    recall = len(clustered & dup_vertices) / len(dup_vertices)
+    assert recall >= 0.8, f"cluster recall {recall:.3f}"
