@@ -265,9 +265,12 @@ _HH_K = 2 * _HH_DENOM  # Misra-Gries counters per partition (2x safety margin)
 
 def heavy_hitter_candidates(items: DataFrame, col: str, k: int = _HH_K) -> DataFrame:
     """Pass 1 of the two-pass exact heavy hitters: per-partition
-    Misra-Gries summaries over a single-column frame, returned as a
-    candidate-key frame (may contain cross-partition duplicates —
-    callers ``.distinct()``).
+    Misra-Gries summaries over a single-column frame. Candidate rows
+    carry the item in ``col`` (cross-partition duplicates possible —
+    callers ``.distinct()``); one extra NULL-keyed sentinel row per
+    partition carries the partition's item count in ``part_n``, so
+    the global total N = sum(part_n) comes out of the SAME scan
+    instead of a second pass over the data.
 
     Guarantee (unconditional, any distribution): the union of
     per-partition MG candidate sets with k counters is a superset of
@@ -281,24 +284,32 @@ def heavy_hitter_candidates(items: DataFrame, col: str, k: int = _HH_K) -> DataF
     Vectorized: per Arrow batch one C-side ``value_counts``; the
     Python merge loop is over the BATCH VOCABULARY, not rows.
     Eviction is the PODS'12 merge rule — subtract the (k+1)-th
-    largest counter, drop non-positives. Output is <= numPartitions*k
-    rows (metadata-sized at any corpus scale) produced with zero
-    shuffle."""
+    largest counter, drop non-positives. Output is <= numPartitions *
+    (k+1) rows (metadata-sized at any corpus scale) produced with
+    zero shuffle."""
     import numpy as np
     import pandas as pd
 
     def mg(batches):
         d: dict = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             for item, c in pdf[col].value_counts().items():
                 d[item] = d.get(item, 0) + int(c)
             if len(d) > k:
                 vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
                 t = np.partition(vals, len(d) - k - 1)[len(d) - k - 1]
                 d = {i: c - t for i, c in d.items() if c > t}
-        yield pd.DataFrame({col: pd.Series(list(d.keys()), dtype="object")})
+        keys = list(d.keys())
+        yield pd.DataFrame(
+            {
+                col: pd.Series(keys + [None], dtype="object"),
+                "part_n": [0] * len(keys) + [n],
+            }
+        )
 
-    return items.mapInPandas(mg, f"{col} string")
+    return items.mapInPandas(mg, f"{col} string, part_n long")
 
 
 @register(
@@ -322,10 +333,14 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, with its EXACT count — the corpus-level boilerplate /
     stock-phrase census a pretraining pipeline runs before filtering.
 
-    Two passes, the classic sketch-then-verify shape:
-      1. candidates: per-partition Misra-Gries (``heavy_hitter_
-         candidates``) — provable superset of the true heavy hitters,
-         <= numPartitions*k rows, no shuffle;
+    Exactly two scans, the classic sketch-then-verify shape:
+      1. candidates + total: ONE pass of per-partition Misra-Gries
+         (``heavy_hitter_candidates``) — a provable superset of the
+         true heavy hitters in <= numPartitions*(k+1) rows with the
+         partition totals riding along as sentinel rows, no shuffle.
+         The bounded summary is persisted so its two consumers (the
+         candidate broadcast and the 1-row total N) don't re-run the
+         corpus scan;
       2. verify: broadcast-semi-join the candidate set against the
          exploded bigrams, exact groupBy count of CANDIDATES ONLY,
          keep cnt * 800 >= N (integer compare, no float threshold).
@@ -336,12 +351,12 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: a full-vocabulary groupBy shuffles the entire
     exploded token stream (the long tail dominates); here the only
     wide exchange carries candidate rows alone — the tail dies at the
-    map side in the semi-join. The third scan (the 1-row total N)
-    touches only the text column lengths; a production variant would
-    fold partition totals into the pass-1 summaries. On the driver
-    fixture (31-word vocab) the sketch never evicts; eviction and the
-    superset guarantee under a 20k-word zipf vocabulary are
-    property-tested in tests/test_properties.py."""
+    map side in the semi-join. On the driver fixture (31-word vocab)
+    the sketch never evicts; eviction and the superset guarantee
+    under a 20k-word zipf vocabulary are property-tested in
+    tests/test_properties.py."""
+    from pyspark import StorageLevel
+
     docs = tbl(spark, sf_dir, "documents")
     w = words(F.lower("text"))
     bigrams = F.transform(
@@ -349,10 +364,11 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
     )
     grams = docs.select(F.explode(bigrams).alias("bigram"))
-    cands = heavy_hitter_candidates(grams, "bigram").distinct()
-    total = docs.select((F.size(w) - F.lit(1)).alias("m")).agg(
-        F.sum("m").alias("n")
+    summary = heavy_hitter_candidates(grams, "bigram").persist(
+        StorageLevel.MEMORY_AND_DISK  # <= parts*(k+1) rows: metadata
     )
+    cands = summary.filter(F.col("bigram").isNotNull()).select("bigram").distinct()
+    total = summary.agg(F.sum("part_n").alias("n"))
     return (
         grams.join(F.broadcast(cands), "bigram", "left_semi")
         .groupBy("bigram")

@@ -738,7 +738,10 @@ def test_heavy_hitter_candidates_superset_under_eviction(spark):
     assert heavy, "degenerate draw: no heavy hitters planted"
 
     items = spark.createDataFrame([(t,) for t in toks], "g string").repartition(parts)
-    cands = {r.g for r in heavy_hitter_candidates(items, "g", k=k).collect()}
+    summary = heavy_hitter_candidates(items, "g", k=k).collect()
+    cands = {r.g for r in summary if r.g is not None}
+    # the sentinel rows reconstruct the global total from the same scan
+    assert sum(r.part_n for r in summary) == n
 
     assert len(cands) <= parts * k  # bounded summary
     assert len(cands) < len(exact) / 4, (
