@@ -144,31 +144,37 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NDP_THRESHOLD = 0.9  # the registered pair-mining threshold
-_NDP_BUCKET_ROWS = 4096  # per-band bucket target on far-dominated corpora
 
 
 def _rp_bands(n: int) -> tuple[int, int]:
-    """Banded random-hyperplane LSH shape for threshold pair mining.
+    """Banded random-hyperplane LSH shape for threshold PAIR mining.
 
-    r sign bits per band give 2^r buckets; r grows with the corpus so
-    a far-pair-dominated corpus (random pairs agree per bit with prob
-    ~0.5) keeps the average band bucket near _NDP_BUCKET_ROWS rows.
-    The band count b is then solved for recall: a boundary pair at
-    sim == 0.9 agrees per bit with prob q = 1 - acos(0.9)/pi ~ 0.856,
-    collides in one band with prob q^r, and must collide in at least
-    one of b bands with prob >= 0.95:
+    r sign bits per band give 2^r buckets. Unlike the per-query top-k
+    tier (whose cost is queries x bucket), pair mining joins every
+    bucket with ITSELF, so far-pair candidate mass is
+    b * n^2 / 2^(r+1): buckets must hold O(1) random rows, i.e.
+    r ~ log2(n) — NOT a fixed bucket-row target. (The r6 shape held
+    buckets at 4096 rows; at sf100's 2M vectors that is 4e10
+    candidate pairs and a filled disk before the first distinct. With
+    r = log2(n) the same corpus yields ~7e7.) The band count b is
+    then solved for recall: a boundary pair at sim == 0.9 agrees per
+    bit with prob q = 1 - acos(0.9)/pi ~ 0.856, collides in one band
+    with prob q^r, and must collide in at least one of b bands with
+    prob >= 0.95:
 
         b = ceil(ln 0.05 / ln(1 - q^r))
 
-    r=8 -> b=9 (72 planes, fixtures); the r=16 ceiling -> b=35 (560
-    planes, 65536 buckets/band at 10^8+ vectors). Banding is the knob
-    that keeps recall at scale — unlike single-table multiprobe,
-    whose recall decays as planes grow (see knn_rplsh_topk notes).
+    r=8 -> b=9 (fixtures); r=21, b=77 at 2M vectors; the r=24 cap ->
+    b=122 (per-vector fan-out 122 rows — the linear-cost regime with
+    an honest constant, vs the quadratic blowup of fat buckets).
+    Banding is the knob that keeps recall at scale — unlike
+    single-table multiprobe, whose recall decays as planes grow (see
+    knn_rplsh_topk notes).
     """
     import math
 
+    r = max(8, min(24, math.ceil(math.log2(max(n, 2)))))
     q = 1.0 - math.acos(_NDP_THRESHOLD) / math.pi
-    r = max(8, min(16, math.ceil(math.log2(max(n / _NDP_BUCKET_ROWS, 2.0)))))
     b = math.ceil(math.log(0.05) / math.log(1.0 - q**r))
     return r, b
 

@@ -281,35 +281,44 @@ def heavy_hitter_candidates(items: DataFrame, col: str, k: int = _HH_K) -> DataF
     additive error bound: Agarwal et al., "Mergeable Summaries",
     PODS 2012], so x survives partition p's summary.
 
-    Vectorized: per Arrow batch one C-side ``value_counts``; the
-    Python merge loop is over the BATCH VOCABULARY, not rows.
-    Eviction is the PODS'12 merge rule — subtract the (k+1)-th
-    largest counter, drop non-positives. Output is <= numPartitions *
-    (k+1) rows (metadata-sized at any corpus scale) produced with
-    zero shuffle."""
+    Vectorized via ``mapInArrow`` (not pandas): each batch is counted
+    by ``pyarrow.compute.value_counts`` — C-side, no per-row Python
+    object materialization, which is what makes a full-corpus sketch
+    pass affordable (the pandas formulation spent its time building
+    270M Python strings at sf100) — and the Python merge loop is over
+    the BATCH VOCABULARY, not rows. Eviction is the PODS'12 merge
+    rule — subtract the (k+1)-th largest counter, drop non-positives.
+    Output is <= numPartitions * (k+1) rows (metadata-sized at any
+    corpus scale) produced with zero shuffle."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
     def mg(batches):
         d: dict = {}
         n = 0
-        for pdf in batches:
-            n += len(pdf)
-            for item, c in pdf[col].value_counts().items():
-                d[item] = d.get(item, 0) + int(c)
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index(col))
+            n += len(arr)
+            vc = pc.value_counts(arr)
+            for item, c in zip(
+                vc.field("values").to_pylist(), vc.field("counts").to_pylist()
+            ):
+                d[item] = d.get(item, 0) + c
             if len(d) > k:
                 vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
                 t = np.partition(vals, len(d) - k - 1)[len(d) - k - 1]
                 d = {i: c - t for i, c in d.items() if c > t}
         keys = list(d.keys())
-        yield pd.DataFrame(
-            {
-                col: pd.Series(keys + [None], dtype="object"),
-                "part_n": [0] * len(keys) + [n],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(keys + [None], type=pa.string()),
+                pa.array([0] * len(keys) + [n], type=pa.int64()),
+            ],
+            names=[col, "part_n"],
         )
 
-    return items.mapInPandas(mg, f"{col} string, part_n long")
+    return items.mapInArrow(mg, f"{col} string, part_n long")
 
 
 @register(

@@ -239,7 +239,7 @@ def test_heavy_hitters_semi_prunes_before_agg(spark):
     p = plan_of(spark, "heavy_hitters")
     semi = p.find("BroadcastHashJoin")
     assert semi != -1 and "LeftSemi" in p
-    assert "MapInPandas" in p
+    assert "MapInArrow" in p  # the MG sketch pass (C-side value_counts)
     # the count agg consumes the semi-join output, not the raw stream:
     # partial_count must appear above (earlier in the printed tree
     # than) the semi join
