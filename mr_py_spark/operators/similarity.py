@@ -207,20 +207,25 @@ def cosine_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_near_dup_pairs_lsh_core`` — an empty-result fixture run would
     be vacuous).
     Shuffle profile at 10^9 vectors: n*b signature rows keyed by
-    (band, key) — bounded buckets by construction on the far-pair
-    mass; genuinely dense near-dup clusters enlarge their own buckets
-    only in proportion to the true output size."""
+    (band, key) — O(1)-row buckets on the far-pair mass by the
+    _rp_bands design. Genuinely dense near-dup GROUPS enlarge their
+    own buckets in proportion to the true output size, which for
+    "list every pair" is quadratic in group size — on a corpus that
+    is mostly copies (e.g. the 1000x-replicated sf100 fixture, ~1e9
+    true pairs) this query is output-bound by its own semantics. A
+    DEDUP pass should use ``cosine_dup_clusters`` instead, whose
+    star-edge formulation stays linear on exactly that corpus."""
     e = tbl(spark, sf_dir, "embeddings")
     return _near_dup_pairs_lsh_core(
         spark, e, _table_rows(e, sf_dir, "embeddings")
     )
 
 
-def _near_dup_pairs_lsh_core(
-    spark: SparkSession, e: DataFrame, n: int, dim: int = 64
-) -> DataFrame:
-    """Banded-LSH threshold pair mining over any (vec_id, label,
-    embedding) frame — see ``cosine_near_dup_pairs_lsh``."""
+def _rp_signatures(spark: SparkSession, e: DataFrame, n: int, dim: int = 64) -> DataFrame:
+    """Banded random-hyperplane signatures: b (vec_id, band, key) rows
+    per vector, one zero-shuffle mapInPandas pass over the broadcast
+    plane matrix. Shared by the pair miner and the star-edge cluster
+    path."""
     import numpy as np
     import pandas as pd
 
@@ -248,9 +253,17 @@ def _near_dup_pairs_lsh_core(
                 }
             )
 
-    sig = e.select("vec_id", "embedding").mapInPandas(
+    return e.select("vec_id", "embedding").mapInPandas(
         band_keys, "vec_id long, band long, key long"
     )
+
+
+def _near_dup_pairs_lsh_core(
+    spark: SparkSession, e: DataFrame, n: int, dim: int = 64
+) -> DataFrame:
+    """Banded-LSH threshold pair mining over any (vec_id, label,
+    embedding) frame — see ``cosine_near_dup_pairs_lsh``."""
+    sig = _rp_signatures(spark, e, n, dim)
     cand = (
         sig.alias("a")
         .join(sig.alias("b"), ["band", "key"])
@@ -288,33 +301,73 @@ def _near_dup_pairs_lsh_core(
     )
 
 
+def _near_dup_star_edges(
+    spark: SparkSession, e: DataFrame, n: int, dim: int = 64
+) -> DataFrame:
+    """Verified STAR edges per LSH bucket: (bucket-min vec_id, member)
+    rather than all intra-bucket pairs. Connectivity-equivalent input
+    for clustering at <= n*b edge rows no matter how duplicate-dense
+    the corpus is — all-pairs candidate mass is quadratic in dup-group
+    size (a 1000-copy group emits 500k pairs per band; the star emits
+    999), which is exactly the regime a dedup pass TARGETS. Each star
+    edge is still exact-verified (dot >= threshold), so false bucket
+    cohabitants never connect components; the cost is a small recall
+    haircut when a bucket's min-id member is near-dup to neither
+    endpoint of a genuine pair (rare at O(1)-row random buckets, and
+    re-tried across all b bands) — property-tested >= 0.8 vertex
+    recall on a planted corpus."""
+    sig = _rp_signatures(spark, e, n, dim)
+    hubs = sig.groupBy("band", "key").agg(F.min("vec_id").alias("hub"))
+    edges = (
+        sig.join(hubs, ["band", "key"])
+        .filter(F.col("vec_id") != F.col("hub"))
+        .select(F.col("hub").alias("id_a"), F.col("vec_id").alias("id_b"))
+        .distinct()
+    )
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    av = v.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    bv = v.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        edges.join(av, "id_a")
+        .join(bv, "id_b")
+        .filter(dot("va", "vb") >= F.lit(_NDP_THRESHOLD))
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    )
+
+
 @register("cosine_dup_clusters", tags=("C2", "C3"), oracle=None)
 def cosine_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end embedding dedup (C2/C3): banded-LSH threshold pairs
-    (``cosine_near_dup_pairs_lsh``) -> connected components
-    (convergence-checked min-label propagation shared with the
-    MinHash path, dedup.connected_components) -> survivor election
-    (min vec_id per cluster). The embedding-side mirror of
-    ``dedup_clusters``: what a pipeline actually RUNS to drop
-    semantic near-dups — pair mining alone still leaves the choice
-    of which copies to keep.
+    """End-to-end embedding dedup (C2/C3): banded-LSH bucketing ->
+    exact-verified per-bucket STAR edges (``_near_dup_star_edges``)
+    -> connected components (convergence-checked min-label
+    propagation shared with the MinHash path,
+    dedup.connected_components) -> survivor election (min vec_id per
+    cluster). The embedding-side mirror of ``dedup_clusters``: what a
+    pipeline actually RUNS to drop semantic near-dups.
 
-    Rows-only by design (the pair stage is seeded-LSH); cluster
-    correctness on a planted near-dup corpus is property-tested
-    against the transitive closure of the exact pair set
-    (tests/test_properties.py). On the shipped fixtures (zero pairs
-    at the 0.9 threshold) every vector is its own singleton cluster.
+    Deliberately NOT built on ``cosine_near_dup_pairs_lsh``: the pair
+    miner's output is the answer to "list every pair" and is
+    inherently quadratic in dup-group size (at a 1000x-replicated 2M
+    vector corpus the true pair set alone is ~1e9 rows). Clustering
+    only needs connectivity, so the star-edge form keeps every stage
+    <= n*b rows while landing the same components (modulo the
+    property-tested recall haircut).
 
-    100 TB shape: pairs are equi-join-bucketed (no cartesian, plan-
-    asserted), CC rounds are one keyed shuffle each with O(component
-    diameter) rounds — near-dup components are shallow in practice —
-    and the survivor agg is a single groupBy on the label key."""
+    Rows-only by design (seeded LSH); cluster correctness on a
+    planted near-dup corpus is property-tested against the transitive
+    closure of the exact pair set (tests/test_properties.py). On the
+    shipped driver fixtures (zero pairs at the 0.9 threshold) every
+    vector is its own singleton cluster.
+
+    100 TB shape: one zero-shuffle signature pass, one groupBy and
+    one equi-join on (band, key), bounded verify join, CC rounds of
+    one keyed shuffle each (O(component diameter), shallow for
+    star-shaped edges), one survivor groupBy. No cartesian
+    (plan-asserted)."""
     from mr_py_spark.operators.dedup import connected_components
 
     e = tbl(spark, sf_dir, "embeddings")
-    pairs = cosine_near_dup_pairs_lsh(spark, sf_dir).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    pairs = _near_dup_star_edges(spark, e, _table_rows(e, sf_dir, "embeddings"))
     nodes = e.select(F.col("vec_id").alias("doc_id"))
     return (
         connected_components(nodes, pairs)

@@ -764,7 +764,7 @@ def test_cosine_dup_clusters_refine_exact_closure(spark):
     import numpy as np
 
     from mr_py_spark.operators.dedup import connected_components
-    from mr_py_spark.operators.similarity import _near_dup_pairs_lsh_core
+    from mr_py_spark.operators.similarity import _near_dup_star_edges
 
     rng = np.random.RandomState(9)
     base = rng.standard_normal((200, 64))
@@ -805,9 +805,7 @@ def test_cosine_dup_clusters_refine_exact_closure(spark):
         [(int(i), int(i) % 7, [float(x) for x in row]) for i, row in enumerate(m)],
         "vec_id long, label int, embedding array<float>",
     )
-    pairs = _near_dup_pairs_lsh_core(spark, e, len(m)).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
+    pairs = _near_dup_star_edges(spark, e, len(m))
     nodes = e.select(F.col("vec_id").alias("doc_id"))
     labels = connected_components(nodes, pairs).collect()
 
