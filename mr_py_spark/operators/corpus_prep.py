@@ -14,6 +14,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from mr_py_spark.functions import words
@@ -507,4 +508,117 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("split_naive").alias("n_splits"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+# Deterministic pseudo-uniform from doc_id for the weighted sampler:
+# one glibc-constant LCG step. Cross-engine portable because it is
+# pure int64 arithmetic (no engine hash function involved); at real
+# corpus scale swap in any 64-bit mix (e.g. splitmix64) expressible in
+# both engines — the sampler only needs u ~ Uniform(0, 1] per row.
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648  # 2^31
+
+
+@register(
+    "weighted_sample_topk",
+    tags=("C5", "B12", "B11"),
+    oracle=f"""
+        SELECT doc_id, source, n_chars
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   ln((((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) + 1)
+                      / {_LCG_M + 1}.0) / n_chars AS k
+            FROM documents
+        )
+        ORDER BY k DESC, doc_id
+        LIMIT 100
+    """,
+)
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (C5/B12):
+    Efraimidis-Spirakis A-ES. Each document draws a deterministic
+    pseudo-uniform u from its id (LCG step, pure int64 arithmetic so
+    both engines compute the identical double) and is keyed by
+    ln(u)/w with weight w = n_chars; the global top-k by key IS an
+    exact weighted sample without replacement (Efraimidis & Spirakis,
+    IPL 2006: P(select) proportional to w, sequentially without
+    replacement). Quality-weighted corpus subsampling — mixture
+    reweighting, pilot-set selection — reduces to exactly this with w
+    = any positive per-doc score.
+
+    Hash-derived u, never RNG: the sample is reproducible across
+    engines, runs, and cluster width (same requirement as
+    ``corpus_split``; contrast ``sample_seeded``, which demonstrates
+    Spark's partition-seeded native sampler and is rows-only for that
+    reason — this form is the oracle-checkable one).
+
+    Scale shape: scan -> row-local key expression ->
+    TakeOrderedAndProject (plan-asserted): each task keeps its local
+    top-k heap and the driver merges num_partitions * k rows — no
+    global sort, no shuffle, O(k) memory at any corpus size. ln(u)/w
+    (monotone transform of u^(1/w)) keeps the key finite and avoids
+    pow() underflow at large w."""
+    docs = tbl(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M))
+        + F.lit(1)
+    ).cast("double") / F.lit(float(_LCG_M + 1))
+    key = F.log(u) / F.col("n_chars").cast("double")
+    return (
+        docs.select("doc_id", "source", "n_chars", key.alias("k"))
+        .orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+# Knuth's multiplicative-hash constant: the per-doc shuffle key that
+# decides WHICH documents survive a domain cap. Same portability
+# argument as the LCG above.
+_CAP_MULT = 2654435761
+_CAP_MOD = 4294967296  # 2^32
+_DOMAIN_CAP = 5
+
+
+@register(
+    "domain_cap",
+    tags=("C5", "B34", "B11"),
+    oracle=f"""
+        SELECT doc_id, source, rn
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * {_CAP_MULT}) % {_CAP_MOD}, doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= {_DOMAIN_CAP}
+    """,
+)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (C5): keep at most K documents per
+    source, chosen by a deterministic hash order — the standard
+    web-corpus guard against any single domain dominating the training
+    mixture (and the building block for per-domain quotas in mixture
+    balancing). Hash-ordered rather than "first K seen" so the kept
+    set is a uniform-at-random-looking, reproducible sample of each
+    domain, independent of ingest order and partitioning.
+
+    Scale shape: one hash shuffle on source, and Spark's
+    WindowGroupLimit (plan-asserted in tests/test_plans.py) pushes a
+    partial top-K below the exchange — each map task ships at most K
+    rows per domain, so the shuffle carries O(domains * K) rows, not
+    the corpus, and a mega-domain costs its map tasks K rows each
+    instead of one unsplittable sort task."""
+    docs = tbl(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(_CAP_MULT)) % F.lit(_CAP_MOD)
+    w = W.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _DOMAIN_CAP)
+        .select("doc_id", "source", "rn")
     )

@@ -413,3 +413,73 @@ def fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("edit_dist"),
         )
     )
+
+
+# Snapshot split for the incremental-ingest demo: ~10% of documents
+# play the "newly crawled delta", the rest the standing corpus. Pure
+# int64 arithmetic (Knuth multiplicative hash) so both engines carve
+# the identical split.
+_INC_MULT = 2654435761
+_INC_BUCKETS = 10
+_INC_DELTA_BUCKET = 7
+
+
+@register(
+    "incremental_dedup",
+    tags=("C1", "C2", "B20"),
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, source,
+                   md5(substring(text, 1, 80)) AS h,
+                   (doc_id * {_INC_MULT}) % {_INC_BUCKETS} AS b
+            FROM documents
+        ),
+        delta AS (SELECT * FROM keyed WHERE b = {_INC_DELTA_BUCKET}),
+        corpus AS (SELECT DISTINCT h FROM keyed WHERE b <> {_INC_DELTA_BUCKET}),
+        first_seen AS (
+            SELECT h, min(doc_id) AS doc_id, count(*) AS n_delta_copies
+            FROM delta GROUP BY h
+        )
+        SELECT f.doc_id, f.n_delta_copies
+        FROM first_seen f
+        WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.h = f.h)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-vs-corpus) dedup (C1/C2): the production
+    ingest shape — every new crawl snapshot is deduplicated first
+    WITHIN itself (keep min doc_id per content key), then AGAINST the
+    standing corpus (anti-join on the key), and only the survivors are
+    appended. Re-deduplicating the whole corpus per snapshot is the
+    naive O(total) alternative this replaces with O(delta).
+
+    The content key here is md5 of the 80-char prefix — the fixture
+    plants ~4% prefix near-duplicates (FIXTURES.md), so both stages
+    genuinely filter; in production any canonical key plugs in
+    (sha256 of normalized text for exact dedup, a MinHash band key
+    for fuzzy — see ``dedup_minhash``). The delta/corpus split is a
+    deterministic hash bucket so the oracle sees the same snapshot.
+
+    Scale shape: the within-delta groupBy shuffles only the DELTA
+    (small by construction); the anti-join shuffles 16-byte digests,
+    never documents — project the corpus to its key column before the
+    join so a 100 TB corpus contributes a digest-only exchange, and a
+    standing warehouse would keep that digest index materialized
+    (bucketed by h) making the anti-join exchange-free on the corpus
+    side (same argument as tests/test_sinks.py's bucketed merge
+    join)."""
+    docs = tbl(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 80)).alias("h"),
+        ((F.col("doc_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)).alias("b"),
+    )
+    delta = keyed.filter(F.col("b") == _INC_DELTA_BUCKET)
+    corpus = keyed.filter(F.col("b") != _INC_DELTA_BUCKET).select("h")
+    first_seen = delta.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_delta_copies"),
+    )
+    return first_seen.join(corpus, "h", "left_anti").select(
+        "doc_id", "n_delta_copies"
+    )

@@ -256,3 +256,32 @@ def test_cosine_dup_clusters_no_cartesian(spark):
     p = plan_of(spark, "cosine_dup_clusters")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES weighted sampling must be per-task top-k heaps + driver
+    merge (TakeOrderedAndProject), never a global sort of the corpus."""
+    p = plan_of(spark, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_domain_cap_map_side_group_limit(spark):
+    """The per-domain cap must prune map-side: a Partial WindowGroupLimit
+    before the source exchange means each map task ships at most K rows
+    per domain — the shuffle carries O(domains * K), not the corpus."""
+    p = plan_of(spark, "domain_cap")
+    partial = next(
+        (l for l in p.splitlines() if "WindowGroupLimit" in l and "Partial" in l), None
+    )
+    assert partial is not None, p
+    assert p.index(partial) > p.index("Exchange hashpartitioning(source")
+
+
+def test_incremental_dedup_digest_only_anti_join(spark):
+    """Delta-vs-corpus dedup must anti-join on digests, never products:
+    the corpus side of the join carries only its key column."""
+    p = plan_of(spark, "incremental_dedup")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
