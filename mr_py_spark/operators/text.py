@@ -542,3 +542,86 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", F.round("tfidf_raw", 6).alias("tfidf"), "rn")
     )
+
+
+@register(
+    "lm_perplexity_score",
+    tags=("C5", "B19", "B3"),
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        db AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                                         i -> w[i] || ' ' || w[i + 1])) AS bg
+            FROM toks
+        ),
+        bgc AS (SELECT bg, count(*) AS c2 FROM db GROUP BY bg),
+        ctx AS (
+            SELECT split_part(bg, ' ', 1) AS t1, sum(c2) AS c1
+            FROM bgc GROUP BY t1
+        ),
+        lm AS (
+            SELECT bg,
+                   CAST(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                        AS DECIMAL(18,9)) AS lp
+            FROM bgc JOIN ctx ON split_part(bg, ' ', 1) = ctx.t1
+        )
+        SELECT db.doc_id,
+               count(*) AS n_bigrams,
+               -(CAST(sum(lm.lp) AS DOUBLE) / count(*)) AS avg_nll
+        FROM db JOIN lm ON db.bg = lm.bg
+        GROUP BY db.doc_id
+    """,
+)
+def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring (C5): per-document average
+    negative log-likelihood under a bigram LM trained on the corpus
+    itself — the CCNet/CC-style perplexity filter (low avg_nll =
+    fluent/common phrasing, high = boilerplate-ish or garbled), with
+    the unsmoothed MLE bigram model standing in for KenLM (every
+    scored bigram exists in the training counts by construction, so no
+    smoothing is needed for self-scoring).
+
+    Bitwise-oracle-able by the repo's float policy: each token log-prob
+    ln(c2/c1) is a deterministic double (identical integer counts ->
+    identical IEEE division and libm ln on both engines), quantized to
+    DECIMAL(18,9) BEFORE the per-document sum so the aggregation is
+    exact and order-insensitive — summing raw doubles would hash-differ
+    by partial-aggregation order. One cast back to double at the end.
+
+    Scale shape: two wordcount-shaped groupBys build the LM (partial
+    agg before each exchange); scoring is an equi-join of the exploded
+    bigram stream against the LM table — left to Catalyst/AQE, which
+    broadcasts the LM while it is small and falls back to a shuffle
+    hash join on the bigram key when the vocabulary outgrows the
+    broadcast threshold (at web scale distinct bigrams are ~1e8+, so
+    the join MUST be able to shuffle — nothing here pins a broadcast).
+    Final per-doc groupBy carries (doc_id, decimal) pairs only."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = words(F.lower("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    db = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bgc = db.groupBy("bg").agg(F.count("*").alias("c2"))
+    ctx = (
+        bgc.groupBy(F.split("bg", " ")[0].alias("t1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    lm = bgc.join(ctx, F.split(bgc.bg, " ")[0] == ctx.t1).select(
+        "bg",
+        F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+        .cast("decimal(18,9)")
+        .alias("lp"),
+    )
+    return (
+        db.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (-(F.sum("lp").cast("double") / F.count("*"))).alias("avg_nll"),
+        )
+    )
