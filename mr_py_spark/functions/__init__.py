@@ -78,3 +78,30 @@ def dot(a: Column | str, b: Column | str) -> Column:
 def words(text: Column | str) -> Column:
     """Tokenize on single spaces (documents fixture is space-joined)."""
     return F.split(text, " ")
+
+
+def ngrams_arr(w, n: int) -> Column:
+    """Space-joined word n-grams from a BOUND token-array column.
+
+    ``w`` MUST be a materialized column (alias the ``split(...)`` in
+    its own projection first), never an inline split expression:
+    Catalyst evaluates a ``transform`` lambda body per element, so an
+    inlined split re-tokenizes the document once per n-gram position —
+    O(tokens^2) work per row. Measured at sf10 (500k docs, 26.6M
+    bigrams): inline 202 s vs bound-column 2.2 s (SCALE.md round 7).
+    CollapseProject keeps the projection separate because the alias is
+    referenced more than once and is non-cheap.
+
+    Documents shorter than ``n`` words yield an empty array (explode
+    drops them) — matching the DuckDB oracles' range() semantics.
+    """
+    col = F.col(w) if isinstance(w, str) else w
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(col) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(col, i + j) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(col) >= n, make).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import words
+from mr_py_spark.functions import ngrams_arr, words
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
@@ -354,27 +354,19 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same IEEE division before the 4 dp display rounding (plan
     pinned in tests/test_plans.py).
 
-    Short documents: a doc with < 3 words has no trigram. Unguarded,
-    ``F.sequence(1, size-2)`` would produce a DESCENDING sequence
-    (e.g. [1, 0, -1]) and ``element_at`` would throw
-    INVALID_ARRAY_INDEX; the guard yields an empty array, which
+    Short documents: a doc with < 3 words has no trigram;
+    ``ngrams_arr`` guards this (unguarded, ``F.sequence(1, size-2)``
+    would produce a DESCENDING sequence and ``element_at`` would
+    throw INVALID_ARRAY_INDEX) by yielding an empty array, which
     ``explode`` drops — matching the oracle, whose generate_series
-    returns empty and silently drops such docs."""
+    returns empty and silently drops such docs. The token array is
+    materialized in its own projection (see ``ngrams_arr``'s
+    O(tokens^2) warning)."""
     docs = tbl(spark, sf_dir, "documents")
-    ws = words(F.lower("text"))
-    tri = F.when(
-        F.size(ws) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i),
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = docs.select("doc_id", F.explode(F.array_distinct(tri)).alias("g"))
+    toks = docs.select("doc_id", words(F.lower("text")).alias("w"))
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(ngrams_arr("w", 3))).alias("g")
+    )
     common = (
         grams.groupBy("g")
         .agg(F.count("*").alias("df"))

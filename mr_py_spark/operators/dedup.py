@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 from pyspark.sql.functions import pandas_udf
 
-from mr_py_spark.functions import words
+from mr_py_spark.functions import ngrams_arr, words
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
@@ -128,22 +128,12 @@ _N_HASHES = 16
 _BAND_ROWS = 4
 
 
-def _shingles(col):
-    """3-word shingles as an array column (JVM-side, no UDF)."""
-    w = words(F.lower(col))
-    n = F.size(w)
-    idx = F.sequence(F.lit(0), n - F.lit(3))
-    make = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(w, i + 1),
-            F.element_at(w, i + 2),
-            F.element_at(w, i + 3),
-        ),
-    )
-    # Documents shorter than 3 words fall back to the whole text as one shingle.
-    return F.when(n >= 3, make).otherwise(F.array(F.lower(col)))
+def _shingles(w, lowered):
+    """3-word shingles from a BOUND token-array column (JVM-side, no
+    UDF). ``w`` must be materialized in its own projection — see
+    ``ngrams_arr``'s O(tokens^2) warning. Documents shorter than 3
+    words fall back to the whole lowered text as one shingle."""
+    return F.when(F.size(w) >= 3, ngrams_arr(w, 3)).otherwise(F.array(lowered))
 
 
 @register("dedup_minhash", tags=("C2",), oracle=None)
@@ -166,7 +156,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join exists anywhere in the plan.
     """
     docs = tbl(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")).distinct()
+    sh = (
+        docs.select("doc_id", F.lower("text").alias("lt"))
+        .select("doc_id", F.split("lt", " ").alias("w"), "lt")
+        .select(
+            "doc_id",
+            F.explode(_shingles(F.col("w"), F.col("lt"))).alias("shingle"),
+        )
+        .distinct()
+    )
 
     sig = sh.groupBy("doc_id").agg(
         *[

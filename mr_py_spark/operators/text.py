@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import words
+from mr_py_spark.functions import ngrams_arr, words
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
@@ -243,15 +243,13 @@ def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word n-gram generation + counting (C5): top-30 bigrams. The
     n-gram expansion is a pure array expression (transform over an
     index sequence) — the same construct the MinHash shingler uses —
-    so no Python runs per token."""
+    so no Python runs per token. The token array is materialized in
+    its own projection first (see ``ngrams_arr``: an inline split
+    re-tokenizes per n-gram position, O(tokens^2) per row)."""
     docs = tbl(spark, sf_dir, "documents")
-    w = words(F.lower("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
+    toks = docs.select(words(F.lower("text")).alias("w"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        toks.select(F.explode(ngrams_arr("w", 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("bigram"))
@@ -367,12 +365,8 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     docs = tbl(spark, sf_dir, "documents")
-    w = words(F.lower("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    grams = docs.select(F.explode(bigrams).alias("bigram"))
+    toks = docs.select(words(F.lower("text")).alias("w"))
+    grams = toks.select(F.explode(ngrams_arr("w", 2)).alias("bigram"))
     summary = heavy_hitter_candidates(grams, "bigram").persist(
         StorageLevel.MEMORY_AND_DISK  # <= parts*(k+1) rows: metadata
     )
@@ -600,12 +594,8 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join MUST be able to shuffle — nothing here pins a broadcast).
     Final per-doc groupBy carries (doc_id, decimal) pairs only."""
     docs = tbl(spark, sf_dir, "documents")
-    w = words(F.lower("text"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    db = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    toks = docs.select("doc_id", words(F.lower("text")).alias("w"))
+    db = toks.select("doc_id", F.explode(ngrams_arr("w", 2)).alias("bg"))
     bgc = db.groupBy("bg").agg(F.count("*").alias("c2"))
     ctx = (
         bgc.groupBy(F.split("bg", " ")[0].alias("t1"))
