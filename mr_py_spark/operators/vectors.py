@@ -117,3 +117,97 @@ def emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("peak").alias("max_peak"),
         )
     )
+
+
+# Product quantization: 64-dim embeddings -> _PQ_M sub-vectors of
+# _PQ_SUB dims, each encoded as the index of its nearest per-subspace
+# centroid. 8 subspaces x 16 centroids = 8 four-bit codes (4 bytes) per
+# vector — a 64x compression of the float32 store, the standard way a
+# 10^9-vector ANN index fits in memory (Jegou, Douze, Schmid: "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+_PQ_M = 8
+_PQ_SUB = 8  # 64 // _PQ_M
+_PQ_K = 16
+_PQ_TRAIN = 4096  # bounded training sample (hash-ordered, deterministic)
+_PQ_ITERS = 8
+
+
+def _pq_train(X):
+    """Per-subspace Lloyd k-means on the bounded training sample.
+    Deterministic: init = the first _PQ_K training rows in hash order,
+    fixed iteration count, numpy float64 throughout. Returns an
+    (_PQ_M, _PQ_K, _PQ_SUB) codebook array."""
+    import numpy as np
+
+    books = np.empty((_PQ_M, _PQ_K, _PQ_SUB))
+    for mi in range(_PQ_M):
+        sub = X[:, mi * _PQ_SUB : (mi + 1) * _PQ_SUB]
+        cent = sub[:_PQ_K].copy()
+        for _ in range(_PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for k in range(_PQ_K):
+                mask = assign == k
+                if mask.any():
+                    cent[k] = sub[mask].mean(0)
+        books[mi] = cent
+    return books
+
+
+@register("emb_pq_codes", tags=("C3", "C4"), oracle=None)
+def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (C3/C4): train per-subspace
+    codebooks on a bounded sample, then encode every embedding as
+    _PQ_M centroid indices plus its exact reconstruction error.
+    Downstream, an ANN index scans these 4-byte codes with
+    asymmetric-distance lookup tables instead of 256-byte float
+    vectors — the memory step that makes 10^9-vector search feasible
+    after IVF bucketing (``knn_ivf_topk``).
+
+    Rows-only by design: k-means float iterations are engine-specific
+    (no SQL oracle can reproduce them); determinism, code-range,
+    better-than-k=1 reconstruction, and ADC-vs-exact ranking agreement
+    are property-tested in tests/test_pq.py.
+
+    Scale shape: training collects a hash-ordered _PQ_TRAIN-row sample
+    (TakeOrderedAndProject; a BOUNDED metadata collect ~1 MB, the same
+    exemption class as the IVF centroid fallback — CLAUDE.md); the
+    codebook broadcast is (8*16*8) doubles; encoding is ONE
+    zero-shuffle Arrow-vectorized pass (mapInPandas, numpy argmin per
+    subspace). Nothing in the plan scales with anything but n/width.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mr_py_spark.util import bc
+
+    e = tbl(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    train_rows = (
+        e.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+        .limit(_PQ_TRAIN)
+        .select("embedding")
+        .collect()
+    )
+    X = np.asarray([r[0] for r in train_rows], dtype=np.float64)
+    b_books = bc(spark, _pq_train(X))
+
+    def encode(batches):
+        cb = b_books.value
+        for pdf in batches:
+            M = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            codes = np.empty((len(M), _PQ_M), dtype=np.int64)
+            err = np.zeros(len(M))
+            for mi in range(_PQ_M):
+                sub = M[:, mi * _PQ_SUB : (mi + 1) * _PQ_SUB]
+                d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(-1)
+                codes[:, mi] = d2.argmin(1)
+                err += d2[np.arange(len(M)), codes[:, mi]]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "code": [",".join(map(str, c)) for c in codes],
+                    "recon_err": err,
+                }
+            )
+
+    return e.mapInPandas(encode, "vec_id long, code string, recon_err double")
