@@ -116,3 +116,55 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec4("value")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "skew_audit",
+    tags=("A5", "B7"),
+    oracle="""
+        WITH c AS (
+            SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+        ),
+        top10 AS (
+            SELECT sum(n) AS top_rows
+            FROM (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10)
+        )
+        SELECT count(*)                                    AS n_keys,
+               CAST(sum(c.n) AS BIGINT)                    AS n_rows,
+               max(c.n)                                    AS max_key_rows,
+               CAST(max(c.n) AS DOUBLE) * count(*) / sum(c.n) AS skew_ratio,
+               (SELECT top_rows FROM top10)                AS top10_rows
+        FROM c
+    """,
+)
+def skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic (A5/B7): the measurement you run
+    BEFORE deciding whether a join/agg key needs salting, AQE skew
+    splitting, or nothing — key count, max-key row count, skew ratio
+    (max/avg: 1.0 = perfectly even, >> 1 = a hot key owns the
+    shuffle), and the row share of the 10 hottest keys.
+
+    Scale shape: one partial-agg'd groupBy on the audited key; the
+    per-key count frame is then reduced twice — a global 1-row
+    aggregate and a TakeOrdered top-10 — both metadata-sized. The
+    1-row crossJoin gluing them is the bounded-aggregate exemption
+    (CLAUDE.md). skew_ratio is one IEEE multiply+divide of exact
+    integers, bitwise identical on both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    stats = c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+        (
+            F.max("n").cast("double") * F.count("*") / F.sum("n")
+        ).alias("skew_ratio"),
+    )
+    top10 = (
+        c.orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(10)
+        .agg(F.sum("n").alias("top10_rows"))
+    )
+    return stats.crossJoin(F.broadcast(top10)).select(
+        "n_keys", "n_rows", "max_key_rows", "skew_ratio", "top10_rows"
+    )
