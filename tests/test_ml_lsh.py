@@ -88,3 +88,51 @@ def test_ivf_recall_on_zipf_cluster_corpus(spark):
     }
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.8, f"zipf-corpus IVF recall@5 {recall:.3f}"
+
+
+def test_ivfpq_recall_on_zipf_cluster_corpus(spark):
+    """IVFPQ (bucketed candidates + ADC scoring + exact re-rank) must
+    hold recall close to plain IVF on the same non-degenerate corpus:
+    the PQ stage may only cost recall that the exact re-rank of the
+    ADC top-20 cannot repair. Corpus/queries/seeds identical to
+    test_ivf_recall_on_zipf_cluster_corpus."""
+    import numpy as np
+    import pandas as pd
+
+    from mr_py_spark.operators.similarity import _ivfpq_topk_core
+
+    rng = np.random.RandomState(17)
+    n, dim, n_clusters = 50_000, 64, 200
+    w = 1.0 / np.arange(1, n_clusters + 1) ** 1.1
+    sizes = np.maximum(1, (n * w / w.sum()).astype(int))
+    sizes[0] += n - sizes.sum()
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = np.vstack(
+        [
+            centers[i] + 0.25 * rng.standard_normal((s, dim))
+            for i, s in enumerate(sizes)
+        ]
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+
+    pdf = pd.DataFrame({"vec_id": np.arange(n), "v": list(map(list, m))})
+    e = spark.createDataFrame(pdf)
+    n_q = 50
+    q = spark.createDataFrame(
+        pdf.iloc[:n_q].rename(columns={"vec_id": "q_id", "v": "qv"})
+    )
+    approx = {
+        (r.q_id, r.nn_id)
+        for r in _ivfpq_topk_core(spark, e, q, n_hint=n).collect()
+    }
+
+    sims = m[:n_q] @ m.T
+    sims[np.arange(n_q), np.arange(n_q)] = -np.inf
+    brute = {
+        (qi, int(ni))
+        for qi in range(n_q)
+        for ni in np.argsort(-sims[qi], kind="stable")[:5]
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.75, f"zipf-corpus IVFPQ recall@5 {recall:.3f}"

@@ -123,6 +123,15 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"IVF recall@5 {recall:.2f}"
 
 
+def test_ivfpq_recall_vs_bruteforce(spark):
+    """IVFPQ must not lose recall to plain IVF on the fixture: ADC
+    top-100 + exact re-rank recovers what the code coarseness costs."""
+    brute = {(r.q_id, r.nn_id) for r in rows(spark, "knn_cosine_topk")}
+    approx = {(r.q_id, r.nn_id) for r in rows(spark, "knn_ivfpq_topk")}
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"IVFPQ recall@5 {recall:.2f}"
+
+
 def test_ivf_recall_on_skewed_corpus(spark):
     """Learned (k-means) centroids must hold recall on a corpus with
     badly imbalanced natural clusters — the case where the old
