@@ -904,13 +904,18 @@ def _ivfpq_topk_core(
     carries (vec_id, bucket, 16 one-byte codes) — ~24 bytes of payload
     instead of the 512-byte double vector — so the memory/network cost
     of candidate generation drops ~20x and a 10^9-vector index fits a
-    modest cluster's RAM. Scoring is asymmetric distance (ADC): per
-    query, an (M x K) lookup table of sub-dot-products against the
-    broadcast codebooks, then a numpy gather per candidate. The top
-    ``rerank * k`` ADC candidates per query are re-ranked with exact
-    dot products via an equi-join back to the full vectors — the
-    standard two-stage recall repair, touching only O(rerank*k) full
-    vectors per query."""
+    modest cluster's RAM. Scoring is asymmetric distance (ADC): every
+    query's (M x K) lookup table of sub-dot-products is precomputed
+    ON THE DRIVER from the bounded query set and broadcast (50 queries
+    = 1.6 MB; queries are the small side of a top-k search by
+    definition — the same bounded-collect class as the IVF centroid
+    fallback), so the candidate stream carries only (q_id, vec_id,
+    code): attaching the 512-byte query vector to each of the ~n/4
+    candidate rows instead was 13 GB through the Python workers at
+    sf100 and dominated the runtime. The top ``rerank * k`` ADC
+    candidates per query are re-ranked with exact dot products via an
+    equi-join back to the full vectors — the standard two-stage recall
+    repair, touching only O(rerank*k) full vectors per query."""
     import numpy as np
     import pandas as pd
 
@@ -943,7 +948,12 @@ def _ivfpq_topk_core(
 
     def assign_encode(batches):
         cmat = np.asarray(b_cmat.value, dtype=np.float64)
-        books = b_books.value
+        books = np.asarray(b_books.value, dtype=np.float64)
+        # argmin ||x-c||^2 == argmax (x.c - ||c||^2/2): a (rows x K)
+        # matmul per subspace instead of materializing the
+        # (rows x K x sub_d) difference tensor — the tensor form was
+        # memory-bandwidth-bound and dominated the sf100 encode pass.
+        half_c2 = 0.5 * (books**2).sum(-1)  # (M, K')
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -951,8 +961,7 @@ def _ivfpq_topk_core(
             codes = np.empty((len(m), M), dtype=np.int32)
             for mi in range(M):
                 sub = m[:, mi * sub_d : (mi + 1) * sub_d]
-                d2 = ((sub[:, None, :] - books[mi][None, :, :]) ** 2).sum(-1)
-                codes[:, mi] = d2.argmin(1)
+                codes[:, mi] = (sub @ books[mi].T - half_c2[mi]).argmax(1)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -966,6 +975,21 @@ def _ivfpq_topk_core(
         assign_encode, "vec_id long, bucket long, code array<int>"
     )
 
+    # per-query ADC lookup tables, driver-side: the query set is the
+    # bounded side of a top-k search (50 rows here), so its LUTs are
+    # n_q * M * K doubles — broadcast metadata, not data.
+    q_rows = queries.select("q_id", "qv").collect()
+    qids = np.asarray([r["q_id"] for r in q_rows], dtype=np.int64)
+    order = np.argsort(qids)
+    qids = qids[order]
+    Q = np.asarray([q_rows[i]["qv"] for i in order], dtype=np.float64).reshape(
+        len(qids), M, sub_d
+    )
+    b_lut = _bc(
+        spark,
+        (qids, np.einsum("qms,mks->qmk", Q, np.asarray(b_books.value))),
+    )
+
     n_probe = max(_N_PROBE, nlist // 4)
     wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
@@ -973,38 +997,35 @@ def _ivfpq_topk_core(
         .select("q_id", "qv", "cid", dot("qv", "cv").alias("csim"))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("q_id", "qv", F.col("cid").alias("bucket"))
+        .select("q_id", F.col("cid").alias("bucket"))
     )
 
     cand = probes.join(index, "bucket").filter(F.col("q_id") != F.col("vec_id"))
 
     def adc(batches):
-        bmat = np.asarray(b_books.value, dtype=np.float64)  # (M, K', sub_d)
-        midx = np.arange(M)[None, :]
-        for pdf in batches:
-            if not len(pdf):
+        # mapInArrow, not pandas: the candidate stream is ~n*probe_frac
+        # rows per query set; per-row Python objects (and especially a
+        # per-candidate copy of the 512-byte query vector — 13 GB at
+        # sf100) are what the broadcast LUTs exist to avoid. Arrow list
+        # values are contiguous per batch, so codes reshape zero-copy
+        # into a (rows, M) matrix; scoring is one gather + sum.
+        import pyarrow as pa
+
+        lut_qids, luts = b_lut.value  # (nq,), (nq, M, K')
+        marange = np.arange(M)[None, :]
+        for rb in batches:
+            if not len(rb):
                 continue
-            qs, nns, sims = [], [], []
-            # ONE (M x K) lookup table per query in the batch — never a
-            # per-candidate-row LUT (that would be n_cand*M*K doubles).
-            for qid, grp in pdf.groupby("q_id", sort=False):
-                qv = np.asarray(grp["qv"].iloc[0], dtype=np.float64).reshape(
-                    M, sub_d
-                )
-                lut = np.einsum("ms,mks->mk", qv, bmat)
-                codes = np.asarray(list(grp["code"]), dtype=np.int64)
-                sims.append(lut[midx, codes].sum(axis=1))
-                qs.append(np.full(len(grp), qid, dtype=np.int64))
-                nns.append(grp["vec_id"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "q_id": np.concatenate(qs),
-                    "nn_id": np.concatenate(nns),
-                    "adc_sim": np.concatenate(sims),
-                }
+            q_id = np.asarray(rb.column(0))
+            qidx = np.searchsorted(lut_qids, q_id)
+            codes = np.asarray(rb.column(2).flatten()).reshape(len(rb), M)
+            sim = luts[qidx[:, None], marange, codes].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), pa.array(sim, type=pa.float64())],
+                ["q_id", "nn_id", "adc_sim"],
             )
 
-    scored = cand.select("q_id", "qv", "vec_id", "code").mapInPandas(
+    scored = cand.select("q_id", "vec_id", "code").mapInArrow(
         adc, "q_id long, nn_id long, adc_sim double"
     )
     wk = W.partitionBy("q_id").orderBy(F.desc("adc_sim"), F.asc("nn_id"))
