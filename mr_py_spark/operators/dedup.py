@@ -136,6 +136,36 @@ def _shingles(w, lowered):
     return F.when(F.size(w) >= 3, ngrams_arr(w, 3)).otherwise(F.array(lowered))
 
 
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """Per-document MinHash signature (doc_id, mh0..mh15) as a
+    SCAN-LOCAL array expression: every shingle of a document lives in
+    that document's row, so min(hash(shingle)) never needs an explode
+    + groupBy — array_min over a transform computes all 16 components
+    with ZERO shuffle. (min is multiplicity-invariant, so the
+    historical explode->distinct->groupBy pipeline produced
+    bitwise-identical signatures while paying two full shuffles of the
+    shingle stream; r7 A/B in SCALE.md.) Exposed as a library function
+    so tests can pin seed diversity — a signature whose 16 components
+    collapse to one value passes pair-level recall tests while being
+    useless for banding."""
+
+    def _mh(i: int):
+        # NB: the seed must be closed over in a helper scope — a
+        # two-parameter lambda (`lambda s, i=i: ...`) makes PySpark
+        # pass the ARRAY INDEX as the second argument and silently
+        # ignore the seed default (caught by test_properties).
+        return F.array_min(
+            F.transform("sh", lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh{i}")
+
+    return (
+        docs.select("doc_id", F.lower("text").alias("lt"))
+        .select("doc_id", F.split("lt", " ").alias("w"), "lt")
+        .select("doc_id", _shingles(F.col("w"), F.col("lt")).alias("sh"))
+        .select("doc_id", *[_mh(i) for i in range(_N_HASHES)])
+    )
+
+
 @register("dedup_minhash", tags=("C2",), oracle=None)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (C2). Rows-only: hash
@@ -144,9 +174,9 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     to exact) rather than a SQL oracle.
 
     Pipeline (all DataFrame ops, shuffle-bounded):
-      1. doc -> distinct 3-word shingles (explode)
-      2. minhash signature: per doc, min(xxhash64(shingle, seed_i))
-         for 16 seeds — one groupBy, 16 min() aggregates
+      1-2. minhash signature: per doc, min(xxhash64(shingle, seed_i))
+         for 16 seeds — a scan-local array expression, zero shuffle
+         (see minhash_signatures)
       3. LSH: 4 bands of 4 rows; band key = hash of the band's slice
       4. candidates = equi-self-join on (band_id, band_key), doc_a < doc_b
       5. verify candidates with the exact signature agreement fraction
@@ -156,22 +186,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join exists anywhere in the plan.
     """
     docs = tbl(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", F.lower("text").alias("lt"))
-        .select("doc_id", F.split("lt", " ").alias("w"), "lt")
-        .select(
-            "doc_id",
-            F.explode(_shingles(F.col("w"), F.col("lt"))).alias("shingle"),
-        )
-        .distinct()
-    )
-
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"mh{i}")
-            for i in range(_N_HASHES)
-        ]
-    )
+    sig = minhash_signatures(docs)
 
     n_bands = _N_HASHES // _BAND_ROWS
     band_entries = sig.select(

@@ -831,3 +831,20 @@ def test_cosine_dup_clusters_refine_exact_closure(spark):
     }
     recall = len(clustered & dup_vertices) / len(dup_vertices)
     assert recall >= 0.8, f"cluster recall {recall:.3f}"
+
+
+def test_minhash_signature_seed_diversity(spark):
+    """The 16 signature components must come from 16 DIFFERENT seeded
+    hash families. A seed-plumbing bug (e.g. PySpark's two-parameter
+    transform lambda passing the array index where the seed belongs)
+    collapses every component to one value — which still recalls
+    planted exact dups, so pair-level tests cannot catch it."""
+    from mr_py_spark.operators.dedup import minhash_signatures
+    from mr_py_spark.sources import tbl
+
+    docs = tbl(spark, SF_DIR, "documents")
+    sig = minhash_signatures(docs).limit(100).collect()
+    assert sig
+    for r in sig:
+        comps = tuple(r)[1:]
+        assert len(set(comps)) >= 8, f"doc {r[0]}: collapsed signature {comps[:4]}"
