@@ -285,3 +285,23 @@ def test_incremental_dedup_digest_only_anti_join(spark):
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_token_arrays_stay_bound(spark):
+    """The O(tokens^2) guard (SCALE.md r7): every n-gram transform must
+    reference a token array MATERIALIZED in its own projection. If the
+    split expression ever collapses into the lambda body again (plan
+    text would contain `element_at(split(`), each element access
+    re-tokenizes the document — quadratic per-row work that no row
+    count or oracle can catch."""
+    for name in (
+        "bigram_counts",
+        "heavy_hitters",
+        "lm_perplexity_score",
+        "boilerplate_ngrams",
+        "dedup_minhash",
+        "decontaminate_ngrams",
+    ):
+        df = REG[name].fn(spark, SF_DIR)
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "element_at(split(" not in p, name
