@@ -117,6 +117,23 @@ def harden(spark: SparkSession) -> SparkSession:
                 "spark.sql.adaptive.autoBroadcastJoinThreshold",
                 os.environ.get("SPARK_GRAFT_AQE_BROADCAST_THRESHOLD", "64m"),
             )
+        # Same runtime-sizes argument for sort-merge -> shuffled-hash:
+        # when AQE measures a join's build-side PARTITIONS under the
+        # threshold it drops both sorts and hashes the small side —
+        # per-partition and post-shuffle, so the build map is bounded
+        # by the threshold (unlike the blunt preferSortMergeJoin=false,
+        # which GC-thrashed on q3's unbounded build at sf100).
+        # Interleaved at sf100 (SCALE.md r7): q3 62.0 -> 29.8 s, q5
+        # 18.6 -> 16.3 s; small-sf plans unaffected (their dims
+        # broadcast before this rule is consulted). Off by default in
+        # Spark ("0b"), so only set when the user kept the default.
+        if spark.conf.get(
+            "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "0b"
+        ) in ("0b", "0", ""):
+            spark.conf.set(
+                "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_AQE_SHJ_THRESHOLD", "128m"),
+            )
     except Exception:
         pass
     try:
