@@ -848,3 +848,23 @@ def test_minhash_signature_seed_diversity(spark):
     for r in sig:
         comps = tuple(r)[1:]
         assert len(set(comps)) >= 8, f"doc {r[0]}: collapsed signature {comps[:4]}"
+
+
+def test_aes_key_selects_proportional_to_weight():
+    """The weighted_sample_topk construction (argmax of ln(u)/w) must
+    select with probability proportional to weight [Efraimidis &
+    Spirakis, IPL 2006]. Verified on the math directly (numpy u draws,
+    k=1, 60k trials over 4 items with weights 1:2:3:4): empirical
+    selection frequencies match w/sum(w) within 3 sigma. The registered
+    query pins the IMPLEMENTATION bitwise via its SQL oracle; this pins
+    the ALGORITHM the implementation instantiates."""
+    import numpy as np
+
+    rng = np.random.RandomState(23)
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    trials = 60_000
+    u = rng.uniform(size=(trials, 4))
+    wins = np.bincount(np.argmax(np.log(u) / w, axis=1), minlength=4)
+    p = w / w.sum()
+    sigma = np.sqrt(trials * p * (1 - p))
+    assert (np.abs(wins - trials * p) < 3 * sigma).all(), wins
