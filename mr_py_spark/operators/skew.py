@@ -126,7 +126,12 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, count(*) AS n FROM events GROUP BY user_id
         ),
         top10 AS (
-            SELECT sum(n) AS top_rows
+            -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas
+            -- canonicalizes as float64 (828.0) while Spark's sum(long)
+            -- stays bigint (828) -> value-hash mismatch on identical
+            -- values (the round-7 red row). Same width-alignment
+            -- invariant already applied to n_rows below.
+            SELECT CAST(sum(n) AS BIGINT) AS top_rows
             FROM (SELECT n FROM c ORDER BY n DESC, user_id LIMIT 10)
         )
         SELECT count(*)                                    AS n_keys,
