@@ -301,6 +301,151 @@ def _near_dup_pairs_lsh_core(
     )
 
 
+@register(
+    "cosine_top_pairs",
+    tags=("C2", "C3"),
+    oracle="""
+        WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        SELECT id_a, id_b, round(sim_raw, 6) AS sim, same_label
+        FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_dot_product(a.v, b.v) AS sim_raw,
+                   CAST(a.label = b.label AS INTEGER) AS same_label
+            FROM t a, t b
+            WHERE a.vec_id < b.vec_id
+        )
+        ORDER BY sim_raw DESC, id_a, id_b
+        LIMIT 100
+    """,
+)
+def cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 most-similar embedding pairs (C2/C3) — the
+    threshold-free companion to ``cosine_near_dup_pairs``. The 0.9
+    threshold query is vacuously empty on the shipped fixtures (zero
+    pairs cross it at any sf), so this form exists to exercise pair
+    EMISSION end-to-end at the driver: a top-k over all pairs is
+    nonempty on every corpus.
+
+    Plan (the knn_selfjoin shape adapted to unordered pairs): vectors
+    hash into B blocks; side A replicates block p to tasks (p, j>=p),
+    side B to tasks (i<=p, p), so each unordered block pair {i,j} is
+    exactly one cogroup task. The task matmuls its (n/B x n/B) tile
+    and keeps its local top-100 pair ids WITH a 1e-6 sim margin —
+    BLAS tile sims are only used to SELECT candidates, never emitted
+    (matmul accumulation order differs from a sequential fold at the
+    last ULP). The <= B^2/2 * ~100 surviving candidate ids then
+    re-rank exactly: equi-join back to the vectors, JVM-side
+    left-to-right ``dot`` fold (bitwise equal to DuckDB's
+    list_dot_product), global TakeOrdered 100 with total tie-break
+    (sim desc, id_a, id_b). No joins in the candidate stage, no
+    cartesian anywhere (plan-asserted); rows shuffled are
+    n*(B/2+1) per side, candidates bounded by the grid, never n^2
+    rows materialized. Exact all-pairs top-k is O(n^2 d) compute on
+    any engine — past that budget the LSH tier
+    (``cosine_near_dup_pairs_lsh``) is the scale path."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = tbl(spark, sf_dir, "embeddings")
+    n = _table_rows(e, sf_dir, "embeddings")
+    B = _knn_blocks(n)
+    K = 100
+
+    a = e.select(
+        "vec_id",
+        "embedding",
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("bi"),
+    ).withColumn(
+        "bj", F.explode(F.sequence(F.col("bi"), F.lit(B - 1).cast("int")))
+    )
+    b = e.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("cemb"),
+        F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("bj"),
+    ).withColumn("bi", F.explode(F.sequence(F.lit(0).cast("int"), F.col("bj"))))
+
+    def _mat(table: pa.Table, col: str) -> "np.ndarray":
+        flat = table.column(col).combine_chunks().flatten()
+        return (
+            flat.to_numpy(zero_copy_only=False)
+            .reshape(table.num_rows, -1)
+            .astype(np.float64)
+        )
+
+    _EMPTY = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+
+    def block_top_pairs(left: pa.Table, right: pa.Table) -> pa.Table:
+        if left.num_rows == 0 or right.num_rows == 0:
+            return _EMPTY
+        am, bm = _mat(left, "embedding"), _mat(right, "cemb")
+        aids = left.column("vec_id").to_numpy()
+        bids = right.column("nn_id").to_numpy()
+        sims = am @ bm.T
+        # Diagonal task: both sides are block p's vectors, so each
+        # unordered pair appears as (x,y) AND (y,x) plus the self
+        # diagonal — keep the strict upper triangle by id. Off-diagonal
+        # blocks hold disjoint id residues: every cell is a distinct
+        # unordered pair (oriented min/max below).
+        diag = left.column("bi")[0].as_py() == left.column("bj")[0].as_py()
+        if diag:
+            vi = np.nonzero(aids[:, None] < bids[None, :])
+        else:
+            vi = np.nonzero(np.ones_like(sims, dtype=bool))
+        vals = sims[vi]
+        if vals.size > K:
+            # 1e-6 margin: tile sims pick candidates only; the exact
+            # fold re-rank decides, so keep anything within BLAS-ULP
+            # (and 6-dp rounding) distance of the local 100th best.
+            kth = np.partition(vals, -K)[-K]
+            keep = vals >= kth - 1e-6
+            vi = (vi[0][keep], vi[1][keep])
+        ia, ib = aids[vi[0]], bids[vi[1]]
+        return pa.table(
+            {
+                "id_a": pa.array(np.minimum(ia, ib), pa.int64()),
+                "id_b": pa.array(np.maximum(ia, ib), pa.int64()),
+            }
+        )
+
+    cores = shuffle_width(spark)
+    if B * B >= 2 * cores:
+        a = a.repartition(2 * cores, "bi", "bj")
+        b = b.repartition(2 * cores, "bi", "bj")
+    cand = (
+        a.groupBy("bi", "bj")
+        .cogroup(b.groupBy("bi", "bj"))
+        .applyInArrow(block_top_pairs, "id_a long, id_b long")
+    )
+    v = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    av = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("v").alias("va"),
+    )
+    bv = v.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("sim_raw", dot("va", "vb"))
+        .orderBy(F.desc("sim_raw"), "id_a", "id_b")
+        .limit(K)
+        .select(
+            "id_a",
+            "id_b",
+            F.round("sim_raw", 6).alias("sim"),
+            (F.col("label_a") == F.col("label_b")).cast("int").alias("same_label"),
+        )
+    )
+
+
 def _near_dup_star_edges(
     spark: SparkSession, e: DataFrame, n: int, dim: int = 64
 ) -> DataFrame:

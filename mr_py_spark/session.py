@@ -126,10 +126,12 @@ def harden(spark: SparkSession) -> SparkSession:
         # Interleaved at sf100 (SCALE.md r7): q3 62.0 -> 29.8 s, q5
         # 18.6 -> 16.3 s; small-sf plans unaffected (their dims
         # broadcast before this rule is consulted). Off by default in
-        # Spark ("0b"), so only set when the user kept the default.
+        # Spark ("0b"), so only set when the user kept the default —
+        # sentinel is EXACTLY "0b": a user-set "0" is an explicit
+        # opt-out of SHJ conversion and must survive harden().
         if spark.conf.get(
             "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold", "0b"
-        ) in ("0b", "0", ""):
+        ) in ("0b", ""):
             spark.conf.set(
                 "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
                 os.environ.get("SPARK_GRAFT_AQE_SHJ_THRESHOLD", "128m"),

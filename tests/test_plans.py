@@ -76,6 +76,19 @@ def test_knn_selfjoin_is_blocked_cogroup(spark):
     assert "toPandas" not in src and "collect(" not in src
 
 
+def test_cosine_top_pairs_is_blocked_cogroup(spark):
+    """Global top-100 pair mining must reuse the blocked-cogroup shape:
+    candidate generation joins nothing (explode replication + Arrow
+    cogroup matmul), the only joins are the bounded candidate re-rank
+    equi-joins, and the global top-100 is a TakeOrdered merge, never a
+    global sort of n^2 pairs."""
+    p = plan_of(spark, "cosine_top_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapCoGroupsInArrow" in p or "FlatMapCoGroupsInPandas" in p
+    assert "TakeOrderedAndProject" in p
+
+
 def test_ann_plans_have_no_cartesian(spark):
     """IVF and RP-LSH candidate generation must be equi-joins on
     bucket keys. The only nested-loop allowed is the broadcast of the
