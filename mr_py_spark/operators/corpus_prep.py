@@ -508,6 +508,11 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pure int64 arithmetic (no engine hash function involved); at real
 # corpus scale swap in any 64-bit mix (e.g. splitmix64) expressible in
 # both engines — the sampler only needs u ~ Uniform(0, 1] per row.
+# doc_id is reduced mod 2^31 BEFORE the multiply: the raw product
+# overflows int64 at doc_id >~ 8.4e9, where Spark wraps silently
+# (negative % -> ln(NaN)) while DuckDB raises — the engines would
+# diverge instead of degrading together. (2^31-1) * _LCG_A ~ 2.4e18
+# stays inside int64 on both.
 _LCG_A = 1103515245
 _LCG_C = 12345
 _LCG_M = 2147483648  # 2^31
@@ -520,7 +525,7 @@ _LCG_M = 2147483648  # 2^31
         SELECT doc_id, source, n_chars
         FROM (
             SELECT doc_id, source, n_chars,
-                   ln((((doc_id * {_LCG_A} + {_LCG_C}) % {_LCG_M}) + 1)
+                   ln(((((doc_id % {_LCG_M}) * {_LCG_A} + {_LCG_C}) % {_LCG_M}) + 1)
                       / {_LCG_M + 1}.0) / n_chars AS k
             FROM documents
         )
@@ -554,7 +559,10 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pow() underflow at large w."""
     docs = tbl(spark, sf_dir, "documents")
     u = (
-        ((F.col("doc_id") * F.lit(_LCG_A) + F.lit(_LCG_C)) % F.lit(_LCG_M))
+        (
+            ((F.col("doc_id") % F.lit(_LCG_M)) * F.lit(_LCG_A) + F.lit(_LCG_C))
+            % F.lit(_LCG_M)
+        )
         + F.lit(1)
     ).cast("double") / F.lit(float(_LCG_M + 1))
     key = F.log(u) / F.col("n_chars").cast("double")
@@ -567,8 +575,10 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Knuth's multiplicative-hash constant: the per-doc shuffle key that
-# decides WHICH documents survive a domain cap. Same portability
-# argument as the LCG above.
+# decides WHICH documents survive a domain cap. Same portability and
+# overflow-guard arguments as the LCG above (doc_id reduced mod 2^31
+# first: (2^31-1) * 2654435761 ~ 5.7e18 < int64 max; the raw product
+# wraps at doc_id >~ 3.5e9).
 _CAP_MULT = 2654435761
 _CAP_MOD = 4294967296  # 2^32
 _DOMAIN_CAP = 5
@@ -583,7 +593,7 @@ _DOMAIN_CAP = 5
             SELECT doc_id, source,
                    row_number() OVER (
                        PARTITION BY source
-                       ORDER BY (doc_id * {_CAP_MULT}) % {_CAP_MOD}, doc_id
+                       ORDER BY ((doc_id % 2147483648) * {_CAP_MULT}) % {_CAP_MOD}, doc_id
                    ) AS rn
             FROM documents
         )
@@ -606,7 +616,7 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus, and a mega-domain costs its map tasks K rows each
     instead of one unsplittable sort task."""
     docs = tbl(spark, sf_dir, "documents")
-    h = (F.col("doc_id") * F.lit(_CAP_MULT)) % F.lit(_CAP_MOD)
+    h = ((F.col("doc_id") % F.lit(_LCG_M)) * F.lit(_CAP_MULT)) % F.lit(_CAP_MOD)
     w = W.partitionBy("source").orderBy(F.asc("h"), F.asc("doc_id"))
     return (
         docs.select("doc_id", "source", h.alias("h"))

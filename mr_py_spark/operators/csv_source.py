@@ -136,15 +136,14 @@ def avro_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary interchange format (Kafka/streaming ingest lingua franca).
 
     spark-avro's jar is an external module absent from this container,
-    so the READ path is this repo's own container-spec implementation
-    (sources/avro_py.py): a binaryFile scan distributes files, an
-    Arrow-batched mapInPandas decodes blocks — no external jar, same
+    so BOTH paths are this repo's own container-spec implementation
+    (sources/avro_py.py): the WRITE encodes one container file per
+    partition executor-side (write_avro_distributed — no driver
+    materialization at any size), the READ is a binaryFile scan + an
+    Arrow-batched mapInPandas block decoder — no external jar, same
     explicit-schema discipline as the CSV/JSON sources, oracle-checked
-    against the parquet view. The fixture write collects the supplier
-    DIMENSION table on the driver (bounded by definition — suppliers,
-    not facts; the 100 TB write path stays parquet via the catalog
-    sinks, avro_py.write_avro is a fixture device)."""
-    from mr_py_spark.sources.avro_py import read_avro, write_avro
+    against the parquet view."""
+    from mr_py_spark.sources.avro_py import read_avro, write_avro_distributed
 
     path = os.path.join(
         _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "supplier_avro"
@@ -152,11 +151,13 @@ def avro_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = tbl(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", "s_acctbal"
     )
-    write_avro(
-        os.path.join(path, "part-0.avro"),
-        _AVRO_SUPPLIER_SCHEMA,
-        (r.asDict() for r in supp.collect()),
-    )
+    # wipe stale files first: partition count (= file count) varies
+    # across sessions, so an overwrite could otherwise leave orphans
+    # from a wider previous run in the glob
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    write_avro_distributed(supp, path, _AVRO_SUPPLIER_SCHEMA)
     av = read_avro(spark, path, _AVRO_SUPPLIER_SCHEMA)
     return av.groupBy("s_nationkey").agg(
         F.count("*").alias("n_supp"), F.max("s_acctbal").alias("max_bal")

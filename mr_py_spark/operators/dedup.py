@@ -320,27 +320,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pandas_udf (Arrow-batched) because the 64-lane bit accumulation is
     a poor fit for per-bit SQL expressions; the UDF is pure so the
-    operator still parallelizes per batch.
+    operator still parallelizes per batch. The batch body is numpy
+    throughout (r8 — the old form looped 64 bits per word per row in
+    Python): one md5 per UNIQUE word in the batch (vocabulary, not
+    token stream), then the per-row ±1 accumulation is a single
+    scatter-add over a (vocab × 64) sign matrix. The uint64 view at
+    the end is the same mod-2^64 signed wrap as the old
+    `v - (1 << 64)` branch, so fingerprints are bit-identical.
     """
 
     @pandas_udf("long")
     def simhash(text: pd.Series) -> pd.Series:
-        def one(t: str) -> int:
-            acc = [0] * 64
-            for w in t.lower().split(" "):
-                if not w:
-                    continue
-                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
-                for bit in range(64):
-                    acc[bit] += 1 if (h >> bit) & 1 else -1
-            v = 0
-            for bit in range(64):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            # wrap to signed 64-bit for Spark LongType
-            return v - (1 << 64) if v >= (1 << 63) else v
+        import numpy as np
 
-        return text.map(one)
+        words_per_row = [
+            [w for w in t.lower().split(" ") if w] if isinstance(t, str) else []
+            for t in text
+        ]
+        counts = np.fromiter(
+            (len(ws) for ws in words_per_row), dtype=np.int64, count=len(words_per_row)
+        )
+        flat = [w for ws in words_per_row for w in ws]
+        if not flat:
+            return pd.Series(np.zeros(len(text), dtype=np.int64))
+        # hash-based factorize beats sort-based np.unique ~3x on token
+        # streams; reduceat beats the unbuffered np.add.at scatter ~5x
+        # (both measured at sf0.1, SCALE.md r8)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        digests = b"".join(hashlib.md5(w.encode()).digest()[:8] for w in uniq)
+        h = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+        signs = (
+            ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                np.int64
+            )
+            * 2
+            - 1
+        )  # (vocab, 64) in {-1, +1}
+        # per-row segment sums: tokens are already in row order, so
+        # reduceat over the nonempty rows' start offsets segments the
+        # token stream exactly (empty rows keep their zero rows)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        nz = counts > 0
+        acc = np.zeros((len(text), 64), dtype=np.int64)
+        if nz.any():
+            acc[nz] = np.add.reduceat(signs[codes], starts[nz], axis=0)
+        bits = (acc > 0).astype(np.uint64)
+        v = (bits << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        return pd.Series(v.view(np.int64))
 
     docs = tbl(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash("text").alias("simhash64"))

@@ -765,7 +765,9 @@ def _ivf_nlist(n: int) -> int:
     return max(16, min(4096, round(n / _IVF_BUCKET_ROWS)))
 
 
-def _ivf_centroids(spark: SparkSession, e: DataFrame, nlist: int) -> list:
+def _ivf_centroids(
+    spark: SparkSession, e: DataFrame, nlist: int, seed: int = 7
+) -> list:
     """``nlist`` spherical centroids: seeded k-means (pyspark.ml) on a
     bounded prefix of the corpus, then L2-normalized so dot product ==
     cosine during assignment (spherical-k-means style). Falls back to
@@ -773,7 +775,9 @@ def _ivf_centroids(spark: SparkSession, e: DataFrame, nlist: int) -> list:
     unavailable. k-means|| init is quadratic-ish in k, so large
     centroid counts switch to seeded random init — bucketing quality,
     not cluster quality, is what IVF needs. Returns a plain list: the
-    set is bounded (<= 4096), so it rides a broadcast variable."""
+    set is bounded (<= 4096), so it rides a broadcast variable.
+    ``seed`` varies the quantizer for the L-table tier (each table an
+    independently-seeded k-means on the same bounded sample)."""
     try:
         import numpy as np
 
@@ -781,9 +785,11 @@ def _ivf_centroids(spark: SparkSession, e: DataFrame, nlist: int) -> list:
             [r.v for r in e.limit(_IVF_TRAIN_CAP).select("v").collect()],
             dtype=np.float64,
         )
-        rng = np.random.RandomState(7)
+        rng = np.random.RandomState(seed)
         if nlist <= 64:
-            # greedy k-means++ init (the quality knob matters at small k)
+            # farthest-point init (argmax of d2 — maximally spread, a
+            # deterministic quality knob at small k; NOT k-means++ D^2
+            # sampling, which would draw proportionally to d2)
             idx = [int(rng.randint(len(X)))]
             d2 = ((X - X[idx[0]]) ** 2).sum(1)
             for _ in range(nlist - 1):
@@ -815,75 +821,171 @@ def _ivf_centroids(spark: SparkSession, e: DataFrame, nlist: int) -> list:
     return normed
 
 
+def _ivf_candidates(
+    spark: SparkSession,
+    e: DataFrame,
+    queries: DataFrame,
+    n_hint: int | None = None,
+    tables: int = 1,
+    n_probe: int | None = None,
+    nlist: int | None = None,
+) -> DataFrame:
+    """Candidate stage of the IVF search (build index, probe, bucket
+    equi-join) — split out so scale measurements can count candidate
+    rows directly (SCALE.md r8 boundedness ledger). Returns one row
+    per (query, table, candidate vector) BEFORE cross-table dedup."""
+    import numpy as np
+    import pandas as pd
+
+    n_corpus = n_hint if n_hint is not None else e.count()
+    if nlist is None:
+        nlist = min(_ivf_nlist(n_corpus), max(1, n_corpus))
+    tables = max(1, tables)
+    cents_per_table = [
+        _ivf_centroids(spark, e, nlist, seed=7 + 13 * t) for t in range(tables)
+    ]
+    cent = spark.createDataFrame(
+        [
+            (t, cid, cv)
+            for t, cents in enumerate(cents_per_table)
+            for cid, cv in enumerate(cents)
+        ],
+        "tbl long, cid long, cv array<double>",
+    )
+
+    # assignment: vector -> nearest centroid per table. A vectorized
+    # argmax over the broadcast (tables*nlist, dim) centroid matrix —
+    # one pass, NO shuffle, emitting `tables` index rows per vector.
+    # The former broadcast-cross + row_number() window shuffled
+    # n * nlist rows (vector payload included) just to pick each row's
+    # max: 32 GB of exchange at sf100 (SCALE.md round 6). np.argmax
+    # takes the first maximum, matching ORDER BY csim DESC, cid ASC.
+    b_cmat = _bc(
+        spark,
+        np.asarray(
+            [c for cents in cents_per_table for c in cents], dtype=np.float64
+        ),
+    )
+    n_tables = tables  # closure-captured plain int
+
+    def assign(with_payload: bool):
+        def gen(batches):
+            cmat = np.asarray(b_cmat.value, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.asarray(list(pdf["v"]), dtype=np.float64)
+                sims = m @ cmat.T  # (rows, tables*nlist)
+                nl = sims.shape[1] // n_tables
+                buckets = sims.reshape(len(pdf), n_tables, nl).argmax(axis=2)
+                cols = {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_tables),
+                    "tbl": np.tile(np.arange(n_tables, dtype=np.int64), len(pdf)),
+                    "bucket": buckets.reshape(-1).astype(np.int64),
+                }
+                if with_payload:
+                    cols["v"] = np.repeat(pdf["v"].to_numpy(), n_tables)
+                yield pd.DataFrame(cols)
+
+        return gen
+
+    # Single-table probe count scales with nlist so the probed
+    # FRACTION stays roughly constant (~25%) as both grow: at 150k
+    # synthetic clustered vectors (nlist 37), recall@5 measured
+    # 0.744/0.796/0.844 at 6/9/12 probes with flat runtime (SCALE.md
+    # r6) — the fraction, not the count, is what recall tracks. The
+    # L-table tier passes a small fixed n_probe instead.
+    if n_probe is None:
+        n_probe = max(_N_PROBE, nlist // 4)
+    wq = W.partitionBy("q_id", "tbl").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        queries.join(F.broadcast(cent), how="cross")
+        .select("q_id", "qv", "tbl", "cid", dot("qv", "cv").alias("csim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("q_id", "qv", "tbl", F.col("cid").alias("bucket"))
+    )
+
+    if tables == 1:
+        # candidate generation: equi-join on (table, bucket), vector
+        # payload carried through the inverted file (one row per
+        # vector, no replication — the r6-tuned plan)
+        assigned = e.mapInPandas(
+            assign(True), "vec_id long, tbl long, bucket long, v array<double>"
+        )
+        return probes.join(assigned, ["tbl", "bucket"]).filter(
+            F.col("q_id") != F.col("vec_id")
+        )
+
+    # L-table form: the inverted file is ID-ONLY (24-byte rows), so the
+    # L-way replication never ships vector payload; candidate PAIRS are
+    # deduped across tables first and the vectors join back by id once
+    # per surviving pair. (First cut replicated v through the bucket
+    # join: 4 tables x 2M vectors of payload made the candidate pass
+    # 4.5x slower than single-table despite 5x fewer candidates —
+    # SCALE.md r8.)
+    idx = e.mapInPandas(assign(False), "vec_id long, tbl long, bucket long")
+    pairs = (
+        probes.select("q_id", "tbl", "bucket")
+        .join(idx, ["tbl", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    return pairs.join(
+        queries.select("q_id", "qv"), "q_id"
+    ).join(e.select("vec_id", "v"), "vec_id")
+
+
 def _ivf_topk_core(
     spark: SparkSession,
     e: DataFrame,
     queries: DataFrame,
     k: int = 5,
     n_hint: int | None = None,
+    tables: int = 1,
+    n_probe: int | None = None,
+    nlist: int | None = None,
 ) -> DataFrame:
     """IVF search over corpus ``e`` (vec_id, v) for ``queries`` (q_id,
     qv): assign every vector to its nearest centroid, probe the
-    nearest buckets per query, equi-join on bucket id. ``n_hint``
-    skips the sizing count() when the caller already knows the corpus
-    size (e.g. from parquet footer metadata)."""
-    import numpy as np
-    import pandas as pd
+    nearest buckets per query, equi-join on bucket id, rank exact sims.
+    ``n_hint`` skips the sizing count() when the caller already knows
+    the corpus size (e.g. from parquet footer metadata).
 
-    n_corpus = n_hint if n_hint is not None else e.count()
-    nlist = min(_ivf_nlist(n_corpus), max(1, n_corpus))
-    cents = _ivf_centroids(spark, e, nlist)
-    cent = spark.createDataFrame(
-        list(enumerate(cents)), "cid long, cv array<double>"
+    ``tables``/``n_probe`` select the cost regime:
+    - tables=1, n_probe=None (default): single quantizer, probe count
+      scales with nlist so the probed FRACTION stays ~25% — Θ(n/4)
+      per-query work, the constant-factor tier.
+    - tables=L>1 with a small fixed ``n_probe``: L independently-
+      seeded k-means quantizers; every vector is indexed once per
+      table ((table, bucket) composite key), every query probes only
+      its n_probe nearest buckets PER TABLE, candidates union across
+      tables via the same equi-join. Per-query candidate work is
+      L * n_probe * ~_IVF_BUCKET_ROWS — CONSTANT in corpus size, the
+      sub-Θ(n) tier. Recall comes from decorrelation: a neighbor
+      straddling one quantizer's partition boundary is interior to
+      another's (the same L-repetition argument as classic LSH
+      tables), property-tested on a 50k zipf-clustered corpus against
+      brute force (tests/test_properties.py)."""
+    cand = _ivf_candidates(
+        spark,
+        e,
+        queries,
+        n_hint=n_hint,
+        tables=tables,
+        n_probe=n_probe,
+        nlist=nlist,
     )
-
-    # assignment: vector -> nearest centroid. A vectorized argmax over
-    # the broadcast centroid matrix — one pass, NO shuffle. The former
-    # broadcast-cross + row_number() window shuffled n * nlist rows
-    # (vector payload included) just to pick each row's max: 32 GB of
-    # exchange at sf100 (SCALE.md round 6). np.argmax takes the first
-    # maximum, matching the old ORDER BY csim DESC, cid ASC tiebreak.
-    b_cmat = _bc(spark, np.asarray(cents, dtype=np.float64))
-
-    def assign(batches):
-        cmat = np.asarray(b_cmat.value, dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.asarray(list(pdf["v"]), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "v": pdf["v"],
-                    "bucket": (m @ cmat.T).argmax(axis=1).astype(np.int64),
-                }
-            )
-
-    assigned = e.mapInPandas(assign, "vec_id long, v array<double>, bucket long")
-
-    # probe count scales with nlist so the probed FRACTION stays
-    # roughly constant (~25%) as both grow: at 150k synthetic
-    # clustered vectors (nlist 37), recall@5 measured 0.744/0.796/
-    # 0.844 at 6/9/12 probes with flat runtime (SCALE.md r6) — the
-    # fraction, not the count, is what recall tracks.
-    n_probe = max(_N_PROBE, nlist // 4)
-    wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
-    probes = (
-        queries.join(F.broadcast(cent), how="cross")
-        .select("q_id", "qv", "cid", dot("qv", "cv").alias("csim"))
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("q_id", "qv", F.col("cid").alias("bucket"))
-    )
-
-    # candidate generation: equi-join on bucket
-    cand = probes.join(assigned, "bucket").filter(F.col("q_id") != F.col("vec_id"))
     wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
+    # candidate pairs reach here unique on (q_id, vec_id): single-table
+    # by construction (one bucket per vector, distinct probed buckets),
+    # multi-table via the pair distinct inside _ivf_candidates
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")
+    )
     return (
-        cand.select(
-            "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")
-        )
-        .withColumn("rn", F.row_number().over(wk))
+        scored.withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= k)
         .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
     )
@@ -931,6 +1033,54 @@ def knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _ivf_topk_core(
         spark, e, queries, n_hint=_table_rows(e, sf_dir, "embeddings")
+    )
+
+
+# The sub-Θ(n) tier's knobs: L independently-seeded quantizer tables,
+# each probed at a small FIXED depth. Defaults (4 tables x 6 probes)
+# hold recall at-or-above the single-table Θ(n/4) figure on the 50k
+# zipf corpus (tests/test_properties.py) while bounding per-query
+# candidates at L*n_probe*~4096 rows REGARDLESS of corpus size.
+_IVF_TABLES = int(os.environ.get("SPARK_GRAFT_IVF_TABLES", "4"))
+_IVF_PROBE_CAP = int(os.environ.get("SPARK_GRAFT_IVF_PROBE_CAP", str(_N_PROBE)))
+
+
+@register("knn_ivf_multitable_topk", tags=("C3",), oracle=None)
+def knn_ivf_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L-table IVF approximate top-5 (C3 scale path #1b) — the
+    BOUNDED-per-query-cost tier. Same plan family as ``knn_ivf_topk``
+    (zero-shuffle assignment, bucket equi-join candidates, window
+    top-k) but with L = {_IVF_TABLES} independently-seeded coarse
+    quantizers and a FIXED probe depth of {_IVF_PROBE_CAP} per table,
+    so per-query candidate work is L * n_probe * ~4096 rows — constant
+    in corpus size, vs the single-table form's honest Θ(n/4) (whose
+    probe count scales with nlist to hold the probed fraction).
+
+    This is the implemented form of the "L hash-table repetitions"
+    escape hatch the single-table docstring reserves for 10^9-vector
+    deployments: each table is a different k-means partition of the
+    same space, so a true neighbor lost across one table's bucket
+    boundary is interior to another's — misses decorrelate and the
+    union recovers recall (property-tested >= the single-table figure
+    on a 50k zipf-clustered corpus, tests/test_properties.py; sf100
+    candidate-boundedness ledger in SCALE.md r8). Index cost is L
+    assignment argmaxes in the same mapInPandas pass and L rows per
+    vector in the inverted file — the classic memory-for-latency LSH
+    trade. Rows-only: seeded quantizers admit no engine-independent
+    SQL oracle; recall properties gate correctness."""
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    queries = (
+        e.filter(F.col("vec_id") < 50)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("v", "qv")
+    )
+    return _ivf_topk_core(
+        spark,
+        e,
+        queries,
+        n_hint=_table_rows(e, sf_dir, "embeddings"),
+        tables=_IVF_TABLES,
+        n_probe=_IVF_PROBE_CAP,
     )
 
 

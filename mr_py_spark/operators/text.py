@@ -584,6 +584,15 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(18,9) BEFORE the per-document sum so the aggregation is
     exact and order-insensitive — summing raw doubles would hash-differ
     by partial-aggregation order. One cast back to double at the end.
+    ASSUMPTION (not IEEE-guaranteed): JVM Math.log and DuckDB's libm
+    ln agree on every ratio this corpus produces — ln is not a
+    correctly-rounded operation, so a platform/libm change could
+    introduce a 1-ulp disagreement that lands within rounding distance
+    of a DECIMAL(18,9) half-boundary and flips lp. A dense ratio sweep
+    comparing the two engines' quantized ln values
+    (tests/test_properties.py::test_ln_ratio_quantization_cross_engine)
+    pins this locally, so a drift is caught in the repo's suite rather
+    than in the driver window.
 
     Scale shape: two wordcount-shaped groupBys build the LM (partial
     agg before each exchange); scoring is an equi-join of the exploded

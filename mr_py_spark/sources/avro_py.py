@@ -160,6 +160,46 @@ def write_avro(path: str, schema: dict, rows, sync: bytes = b"\x00" * 16) -> Non
     os.replace(tmp, path)
 
 
+def write_avro_distributed(df, path: str, schema: dict) -> int:
+    """Distributed avro write: each DataFrame partition encodes its own
+    rows and writes ONE container file from the executor (the classic
+    one-file-per-task layout every distributed writer uses) — no
+    driver-side materialization at any size. ``path`` must be storage
+    every executor can reach (true in local mode and on any cluster
+    with shared/object storage — the same requirement as every Spark
+    file sink). Files land via tmp+rename keyed by partition id, so a
+    retried task overwrites its own output instead of duplicating it
+    (rename is atomic per file; a full job-commit protocol is what the
+    parquet sink is for — avro here is the interchange format, not the
+    100 TB sink). Returns the number of rows written. Empty partitions
+    write nothing."""
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    names = [f["name"] for f in schema["fields"]]
+
+    def encode(batches):
+        from pyspark import TaskContext
+
+        rows = []
+        for pdf in batches:
+            rows.extend(
+                {
+                    n: (v.item() if hasattr(v, "item") else v)
+                    for n, v in zip(names, tup)
+                }
+                for tup in pdf[names].itertuples(index=False, name=None)
+            )
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if rows:
+            write_avro(os.path.join(path, f"part-{pid:05d}.avro"), schema, rows)
+        yield pd.DataFrame({"n": [len(rows)]})
+
+    counts = df.select(*names).mapInPandas(encode, "n long")
+    return sum(r.n for r in counts.collect())
+
+
 # ------------------------------------------------------------------ reader
 
 

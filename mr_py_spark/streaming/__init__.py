@@ -436,6 +436,45 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_filesink",
+    tags=("C9",),
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_dedup`` drained through a PARQUET FILE SINK instead of
+    the memory sink (C9, the unbounded-result path): executors write
+    the survivor stream directly to partitioned parquet — no
+    driver-side materialization anywhere in the streaming topology, so
+    the same plan drains a 100 TB survivor stream (the memory-sink
+    forms exist for oracle parity on bounded fixtures; this is what
+    production runs). Exactly-once comes from the sink's commit log +
+    the checkpoint; the returned DataFrame is a plain batch read of
+    the committed files, same oracle as stream_dedup."""
+    import tempfile
+
+    ev = _events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = tempfile.mkdtemp(prefix="mrps_stream_sink_")
+    ckpt = tempfile.mkdtemp(prefix="mrps_stream_ckpt_")
+    q = (
+        dedup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out)
+
+
+@register(
     "stream_stream_join",
     tags=("C8", "C9", "B24"),
     oracle="""

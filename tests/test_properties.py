@@ -170,6 +170,109 @@ def test_ivf_recall_on_skewed_corpus(spark):
     assert recall >= 0.7, f"skewed-corpus IVF recall@5 {recall:.2f}"
 
 
+def test_ln_ratio_quantization_cross_engine(spark, oracle):
+    """lm_perplexity_score's bitwise parity rests on JVM Math.log and
+    DuckDB's libm ln producing the same DECIMAL(18,9) for every c2/c1
+    count ratio — ln is NOT a correctly-rounded operation, so this is
+    a platform property, not an IEEE guarantee (ADVICE r7). Sweep all
+    ~20k ratios with c1 <= 200 through both engines so a platform or
+    libm change breaks HERE, not in the driver's verification window."""
+    from pyspark.sql import functions as F
+
+    N = 200
+    s_rows = (
+        spark.range(1, N + 1)
+        .select(F.col("id").alias("c1"))
+        .join(spark.range(1, N + 1).select(F.col("id").alias("c2")), how="cross")
+        .filter(F.col("c2") <= F.col("c1"))
+        .select(
+            "c1",
+            "c2",
+            F.log(F.col("c2").cast("double") / F.col("c1").cast("double"))
+            .cast("decimal(18,9)")
+            .alias("lp"),
+        )
+        .collect()
+    )
+    got = {(r.c1, r.c2): r.lp for r in s_rows}
+    o_rows = oracle.execute(
+        f"""
+        SELECT c1.range AS c1, c2.range AS c2,
+               CAST(ln(CAST(c2.range AS DOUBLE) / CAST(c1.range AS DOUBLE))
+                    AS DECIMAL(18,9)) AS lp
+        FROM range(1, {N + 1}) c1, range(1, {N + 1}) c2
+        WHERE c2.range <= c1.range
+        """
+    ).fetchall()
+    assert len(o_rows) == len(got)
+    bad = [(c1, c2, got[(c1, c2)], lp) for c1, c2, lp in o_rows if got[(c1, c2)] != lp]
+    assert not bad, f"{len(bad)} ln quantization disagreements, e.g. {bad[:3]}"
+
+
+def test_ivf_multitable_capped_probe_recall(spark):
+    """The L-table tier's claim, measured (VERDICT r7 item 5): with a
+    FIXED probe budget — 6 of 128 lists per table, ~4.7% of buckets,
+    vs the single-table tier's adaptive 32/128 = 25% — recall on a
+    hard zipf-clustered 50k corpus collapses for ONE capped table but
+    is recovered by 4 independently-seeded quantizer tables probing
+    the same 6-per-table cap (misses decorrelate across partitions;
+    measured 0.795 capped-single vs 0.99 multi vs 0.995 adaptive).
+    Per-query candidate work in the multi-table form is
+    L * n_probe * bucket_rows — constant in corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    from mr_py_spark.operators.similarity import _ivf_topk_core
+
+    rng = np.random.RandomState(11)
+    n_clusters = 1000
+    raw = (1.0 / np.arange(1, n_clusters + 1)) ** 1.1
+    sizes = np.maximum(1, (50_000 * raw / raw.sum()).astype(int))
+    centers = rng.standard_normal((n_clusters, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    m = np.vstack(
+        [
+            centers[i] + 0.5 * rng.standard_normal((s, 16))
+            for i, s in enumerate(sizes)
+        ]
+    )
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    n = len(m)
+    m = m[rng.permutation(n)]
+    e = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "v": list(map(list, m))})
+    )
+    qidx = rng.choice(n, 40, replace=False)
+    q = spark.createDataFrame(
+        pd.DataFrame({"q_id": qidx.astype("int64"), "qv": [list(m[i]) for i in qidx]})
+    )
+    sims = m[qidx] @ m.T
+    sims[np.arange(len(qidx)), qidx] = -np.inf
+    brute = {
+        (int(qi), int(ni))
+        for j, qi in enumerate(qidx)
+        for ni in np.argsort(-sims[j], kind="stable")[:5]
+    }
+    capped1 = {
+        (r.q_id, r.nn_id)
+        for r in _ivf_topk_core(
+            spark, e, q, n_hint=n, nlist=128, tables=1, n_probe=6
+        ).collect()
+    }
+    multi = {
+        (r.q_id, r.nn_id)
+        for r in _ivf_topk_core(
+            spark, e, q, n_hint=n, nlist=128, tables=4, n_probe=6
+        ).collect()
+    }
+    r_capped1 = len(brute & capped1) / len(brute)
+    r_multi = len(brute & multi) / len(brute)
+    assert r_multi >= 0.9, f"multi-table recall@5 {r_multi:.3f}"
+    assert r_multi >= r_capped1 + 0.05, (
+        f"no decorrelation gain: multi {r_multi:.3f} vs capped single {r_capped1:.3f}"
+    )
+
+
 def test_rplsh_recall_vs_bruteforce(spark):
     brute = {(r.q_id, r.nn_id) for r in rows(spark, "knn_cosine_topk")}
     approx = {(r.q_id, r.nn_id) for r in rows(spark, "knn_rplsh_topk")}
