@@ -1050,9 +1050,10 @@ def knn_ivf_multitable_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L-table IVF approximate top-5 (C3 scale path #1b) — the
     BOUNDED-per-query-cost tier. Same plan family as ``knn_ivf_topk``
     (zero-shuffle assignment, bucket equi-join candidates, window
-    top-k) but with L = {_IVF_TABLES} independently-seeded coarse
-    quantizers and a FIXED probe depth of {_IVF_PROBE_CAP} per table,
-    so per-query candidate work is L * n_probe * ~4096 rows — constant
+    top-k) but with L independently-seeded coarse quantizers (default
+    4, SPARK_GRAFT_IVF_TABLES) and a FIXED probe depth per table
+    (default 6, SPARK_GRAFT_IVF_PROBE_CAP), so per-query candidate
+    work is L * n_probe * ~4096 rows — constant
     in corpus size, vs the single-table form's honest Θ(n/4) (whose
     probe count scales with nlist to hold the probed fraction).
 
