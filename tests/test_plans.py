@@ -94,7 +94,12 @@ def test_ann_plans_have_no_cartesian(spark):
     bucket keys. The only nested-loop allowed is the broadcast of the
     fixed-size (_NLIST-row) centroid frame — a bounded build side, not
     a data-dependent product (exemption documented in CLAUDE.md)."""
-    for name in ("knn_ivf_topk", "knn_rplsh_topk", "knn_ivfpq_topk"):
+    for name in (
+        "knn_ivf_topk",
+        "knn_ivf_multitable_topk",
+        "knn_rplsh_topk",
+        "knn_ivfpq_topk",
+    ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
 
