@@ -446,6 +446,95 @@ def cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Embedding decontamination: the first _DECON_BENCH vec_ids stand in
+# for a benchmark/eval embedding set; corpus vectors whose max cosine
+# against it reaches _DECON_THRESHOLD are flagged for removal. 0.4 is
+# fixture-calibrated so BOTH classes are populated at every sf (max
+# benchmark sim spans ~0.19-0.49 with p90 ~0.37) — the driver row must
+# exercise both outcomes, not certify a constant column.
+_DECON_BENCH = 100
+_DECON_THRESHOLD = 0.4
+
+
+@register(
+    "decontaminate_embeddings",
+    tags=("C2", "C3", "C5"),
+    oracle=f"""
+        WITH bench AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS bv
+                       FROM embeddings WHERE vec_id < {_DECON_BENCH}),
+             corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings WHERE vec_id >= {_DECON_BENCH}),
+             ms AS (
+                 SELECT c.vec_id, max(list_dot_product(c.v, b.bv)) AS max_sim
+                 FROM corpus c, bench b
+                 GROUP BY c.vec_id
+             )
+        SELECT vec_id,
+               round(max_sim, 6) AS max_benchmark_sim,
+               CAST(max_sim < {_DECON_THRESHOLD} AS INTEGER) AS keep
+        FROM ms
+    """,
+)
+def decontaminate_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination (C2/C3/C5): flag corpus vectors
+    whose max cosine against a benchmark/eval embedding set crosses a
+    threshold — the semantic-similarity counterpart of
+    ``decontaminate_ngrams`` (which catches verbatim leakage; this
+    catches paraphrases and re-renders that share no n-grams). The
+    fixture's first 100 vec_ids stand in for the benchmark set.
+
+    Scale shape: the benchmark set is BOUNDED by construction (eval
+    suites are thousands of rows, the corpus is the 10^9 side), so it
+    rides a broadcast into one zero-shuffle mapInPandas pass over the
+    corpus — no join, no candidate generation, O(n * |bench| * d)
+    compute spread embarrassingly across the scan. The bounded
+    driver-side collect of the benchmark frame is the same exemption
+    class as the IVF centroid sample (CLAUDE.md). The oracle's cross
+    join is likewise bounded (|bench| * n).
+
+    Bitwise parity: each (corpus, bench) dot product is accumulated in
+    EXPLICIT dimension order inside the batch kernel (a d-loop of
+    vectorized multiply-adds, NOT a BLAS matmul whose pairwise
+    accumulation differs at the last ULP) — identical to DuckDB's
+    sequential list_dot_product fold and Spark's `dot` expression, so
+    max(), the keep comparison, and round(_, 6) agree exactly."""
+    import numpy as np
+    import pandas as pd
+
+    e = tbl(spark, sf_dir, "embeddings")
+    bench = (
+        e.filter(F.col("vec_id") < _DECON_BENCH)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy(F.col("vec_id"))
+        .collect()
+    )
+    bmat = np.asarray([r.v for r in bench], dtype=np.float64)  # (nb, dim)
+    b_bmat = _bc(spark, bmat)
+
+    def score(batches):
+        B = np.asarray(b_bmat.value, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["v"]), dtype=np.float64)  # (rows, dim)
+            acc = np.zeros((len(pdf), B.shape[0]), dtype=np.float64)
+            for d in range(B.shape[1]):  # fold in dimension order
+                acc += m[:, d, None] * B[None, :, d]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "max_sim": acc.max(axis=1)}
+            )
+
+    corpus = e.filter(F.col("vec_id") >= _DECON_BENCH).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scored = corpus.mapInPandas(score, "vec_id long, max_sim double")
+    return scored.select(
+        "vec_id",
+        F.round("max_sim", 6).alias("max_benchmark_sim"),
+        (F.col("max_sim") < F.lit(_DECON_THRESHOLD)).cast("int").alias("keep"),
+    )
+
+
 def _near_dup_star_edges(
     spark: SparkSession, e: DataFrame, n: int, dim: int = 64
 ) -> DataFrame:

@@ -104,6 +104,15 @@ def test_ann_plans_have_no_cartesian(spark):
         assert "CartesianProduct" not in p, name
 
 
+def test_decontaminate_embeddings_no_join(spark):
+    """The benchmark set is bounded and broadcast, so the scoring pass
+    must be a pure scan + mapInPandas — no join of any kind and no
+    shuffle ahead of the Python stage."""
+    p = plan_of(spark, "decontaminate_embeddings")
+    assert "Join" not in p
+    assert "MapInPandas" in p
+
+
 def test_minhash_has_no_cartesian(spark):
     """LSH candidate generation must be an equi-join on band buckets,
     never a cartesian/nested-loop product."""
