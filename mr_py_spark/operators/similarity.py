@@ -329,11 +329,12 @@ def cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan (the knn_selfjoin shape adapted to unordered pairs): vectors
     hash into B blocks; side A replicates block p to tasks (p, j>=p),
     side B to tasks (i<=p, p), so each unordered block pair {i,j} is
-    exactly one cogroup task. The task matmuls its (n/B x n/B) tile
-    and keeps its local top-100 pair ids WITH a 1e-6 sim margin —
-    BLAS tile sims are only used to SELECT candidates, never emitted
-    (matmul accumulation order differs from a sequential fold at the
-    last ULP). The <= B^2/2 * ~100 surviving candidate ids then
+    exactly one cogroup task. The task matmuls its (n/B x n/B) tile in
+    strip-mined float32 and keeps its local top-100 pair ids WITH a
+    1e-3 sim margin — tile sims are only used to SELECT candidates,
+    never emitted (f32 error ~1e-6 and BLAS accumulation-order drift
+    both sit orders inside the margin). The <= B^2/2 * ~100 surviving
+    candidate ids then
     re-rank exactly: equi-join back to the vectors, JVM-side
     left-to-right ``dot`` fold (bitwise equal to DuckDB's
     list_dot_product), global TakeOrdered 100 with total tie-break
@@ -348,7 +349,17 @@ def cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = tbl(spark, sf_dir, "embeddings")
     n = _table_rows(e, sf_dir, "embeddings")
-    B = _knn_blocks(n)
+    # Pair-mining blocks are sized MUCH larger than knn_selfjoin's
+    # (~25k rows vs ~1500): the grid's shuffle volume is n*(B/2+1)
+    # payload rows, so small blocks pay a replication tax this query's
+    # tiny output never earns back — at 200k vectors the B=64 grid
+    # shipped 6.5M payload rows through 2080 Arrow round trips for
+    # 425 s while the tile matmuls summed to ~8 s of compute
+    # (SCALE.md r8). Task memory stays bounded at any block size via
+    # the strip-mined float32 kernel below. Floor 8 keeps the grid at
+    # >= 36 tasks so a 32-core session stays filled on mid-size
+    # corpora (B=4's 10 tasks measured 2.2 s at sf0.1 vs 1.3 s here).
+    B = max(8, min(64, -(-n // 25_000)))
     K = 100
 
     a = e.select(
@@ -376,32 +387,51 @@ def cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
     )
 
+    # float32 tile sims with a 1e-3 margin: tiles pick CANDIDATES only
+    # (the exact JVM fold re-rank decides), and f32's relative error on
+    # unit-vector dots is ~1e-6 — three orders inside the margin. f32
+    # halves tile memory and roughly doubles matmul throughput.
+    _MARGIN = 1e-3
+    _STRIP_BYTES = 64 << 20  # per-strip sim-tile budget
+
+    def _local_top(vals, ia, ib):
+        if vals.size > K:
+            kth = np.partition(vals, -K)[-K]
+            keep = vals >= kth - _MARGIN
+            return vals[keep], ia[keep], ib[keep]
+        return vals, ia, ib
+
     def block_top_pairs(left: pa.Table, right: pa.Table) -> pa.Table:
         if left.num_rows == 0 or right.num_rows == 0:
             return _EMPTY
-        am, bm = _mat(left, "embedding"), _mat(right, "cemb")
+        am = _mat(left, "embedding").astype(np.float32)
+        bm = _mat(right, "cemb").astype(np.float32)
         aids = left.column("vec_id").to_numpy()
         bids = right.column("nn_id").to_numpy()
-        sims = am @ bm.T
         # Diagonal task: both sides are block p's vectors, so each
         # unordered pair appears as (x,y) AND (y,x) plus the self
         # diagonal — keep the strict upper triangle by id. Off-diagonal
         # blocks hold disjoint id residues: every cell is a distinct
         # unordered pair (oriented min/max below).
         diag = left.column("bi")[0].as_py() == left.column("bj")[0].as_py()
-        if diag:
-            vi = np.nonzero(aids[:, None] < bids[None, :])
-        else:
-            vi = np.nonzero(np.ones_like(sims, dtype=bool))
-        vals = sims[vi]
-        if vals.size > K:
-            # 1e-6 margin: tile sims pick candidates only; the exact
-            # fold re-rank decides, so keep anything within BLAS-ULP
-            # (and 6-dp rounding) distance of the local 100th best.
-            kth = np.partition(vals, -K)[-K]
-            keep = vals >= kth - 1e-6
-            vi = (vi[0][keep], vi[1][keep])
-        ia, ib = aids[vi[0]], bids[vi[1]]
+        strip = max(1, _STRIP_BYTES // (4 * max(1, len(bids))))
+        acc_v, acc_a, acc_b = [], [], []
+        for s0 in range(0, len(aids), strip):
+            sims = am[s0 : s0 + strip] @ bm.T
+            if diag:
+                vi = np.nonzero(aids[s0 : s0 + strip, None] < bids[None, :])
+            else:
+                vi = np.nonzero(np.ones_like(sims, dtype=bool))
+            v, a, b = _local_top(sims[vi], aids[s0 + vi[0]], bids[vi[1]])
+            acc_v.append(v)
+            acc_a.append(a)
+            acc_b.append(b)
+        vals, ia, ib = (
+            np.concatenate(acc_v),
+            np.concatenate(acc_a),
+            np.concatenate(acc_b),
+        )
+        vals, ia, ib = _local_top(vals, ia, ib)
         return pa.table(
             {
                 "id_a": pa.array(np.minimum(ia, ib), pa.int64()),
