@@ -885,7 +885,11 @@ def _ivf_nlist(n: int) -> int:
 
 
 def _ivf_centroids(
-    spark: SparkSession, e: DataFrame, nlist: int, seed: int = 7
+    spark: SparkSession,
+    e: DataFrame,
+    nlist: int,
+    seed: int = 7,
+    sample=None,
 ) -> list:
     """``nlist`` spherical centroids: seeded k-means (pyspark.ml) on a
     bounded prefix of the corpus, then L2-normalized so dot product ==
@@ -896,13 +900,19 @@ def _ivf_centroids(
     not cluster quality, is what IVF needs. Returns a plain list: the
     set is bounded (<= 4096), so it rides a broadcast variable.
     ``seed`` varies the quantizer for the L-table tier (each table an
-    independently-seeded k-means on the same bounded sample)."""
+    independently-seeded k-means on the same bounded sample); pass the
+    (rows, dim) ``sample`` ndarray to reuse one collected training
+    prefix across the L builds instead of re-collecting per table."""
     try:
         import numpy as np
 
-        X = np.asarray(
-            [r.v for r in e.limit(_IVF_TRAIN_CAP).select("v").collect()],
-            dtype=np.float64,
+        X = (
+            sample
+            if sample is not None
+            else np.asarray(
+                [r.v for r in e.limit(_IVF_TRAIN_CAP).select("v").collect()],
+                dtype=np.float64,
+            )
         )
         rng = np.random.RandomState(seed)
         if nlist <= 64:
@@ -960,8 +970,21 @@ def _ivf_candidates(
     if nlist is None:
         nlist = min(_ivf_nlist(n_corpus), max(1, n_corpus))
     tables = max(1, tables)
+    sample = None
+    if tables > 1:
+        # collect the bounded training prefix ONCE and share it across
+        # the L independently-seeded k-means builds (the seeds vary the
+        # init, not the data — re-collecting per table paid L scans)
+        try:
+            sample = np.asarray(
+                [r.v for r in e.limit(_IVF_TRAIN_CAP).select("v").collect()],
+                dtype=np.float64,
+            )
+        except Exception:
+            sample = None  # _ivf_centroids falls back per table
     cents_per_table = [
-        _ivf_centroids(spark, e, nlist, seed=7 + 13 * t) for t in range(tables)
+        _ivf_centroids(spark, e, nlist, seed=7 + 13 * t, sample=sample)
+        for t in range(tables)
     ]
     cent = spark.createDataFrame(
         [
