@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-checkable query — all
     streaming queries included (a drained bounded stream's emission
-    set is deterministic SQL). The 10 absent here (seeded sampling,
+    set is deterministic SQL). The ~15 absent here (seeded sampling,
     LSH-family dedup, ANN tier, sketches, shuffle) are
     nondeterministic-by-design or engine-specific and carry pytest
     property tests instead (SURVEY.md §5)."""
