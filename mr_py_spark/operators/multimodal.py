@@ -226,6 +226,91 @@ def wav_samples(payload: bytes):
     return rate, frames.reshape(-1, channels)
 
 
+def bmp_pixels(payload: bytes):
+    """Full pixel decode of a 24-bit bottom-up BMP: header offsets from
+    BITMAPINFOHEADER, 4-byte row alignment stripped, scanline order
+    flipped to top-down. Returns an (h, w, 3) uint8 ndarray in BMP's
+    native BGR channel order. Like PCM WAV, uncompressed BMP needs no
+    media library — the bytes are the pixels. Raises
+    NotImplementedError for other bit depths/compressions (honest
+    rejection, as decode_media)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise NotImplementedError("not a BMP container")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1 or w <= 0 or h == 0:
+        raise NotImplementedError(f"unsupported BMP bpp={bpp} compression={compression}")
+    stride = (w * 3 + 3) & ~3
+    rows = abs(h)
+    buf = np.frombuffer(payload, dtype=np.uint8, count=stride * rows, offset=off)
+    img = buf.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)
+    return img[::-1] if h > 0 else img  # bottom-up -> top-down
+
+
+#: Nearest-neighbor thumbnail edge for the resize step.
+_THUMB = 8
+
+
+@register("image_pixel_stats", tags=("C4",), oracle=None)
+def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-LEVEL image decode + feature-extract + RESIZE (C4): the
+    BMP third of the blob fixture decoded to (h, w, 3) tensors
+    (bmp_pixels — real decode, no media lib), per-channel mean
+    brightness (exact int64 sums, one IEEE divide), and an 8x8
+    nearest-neighbor thumbnail — integer index maps, the same resize
+    every vision pipeline runs before embedding — emitted as an md5
+    digest so the row stays narrow. Together with ``audio_window_rms``
+    this makes decode/feature/resize REAL for two of three modalities;
+    video frame-sampling's shape is the capped explode in
+    ``media_features``.
+
+    Rows-only (SQL cannot re-derive UTF-8 byte streams); determinism
+    and an independent re-derivation of one fixture doc's pixels from
+    the synth_media generation formula are property-tested.
+
+    Scale shape: one shuffle-free mapInPandas over the blob scan, one
+    bounded output row per image — the plan at 10^9 images is the
+    same scan."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_b": [], "mean_g": [], "mean_r": [], "thumb_md5": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = bmp_pixels(p)
+                h, w, _ = img.shape
+                sums = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                ri = (np.arange(_THUMB) * h) // _THUMB
+                ci = (np.arange(_THUMB) * w) // _THUMB
+                thumb = img[ri][:, ci]  # (8, 8, 3) nearest-neighbor
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_b"].append(float(sums[0] / (h * w)))
+                out["mean_g"].append(float(sums[1] / (h * w)))
+                out["mean_r"].append(float(sums[2] / (h * w)))
+                out["thumb_md5"].append(_hashlib.md5(thumb.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    bmps = media_table(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    return bmps.mapInPandas(
+        run,
+        "doc_id long, width long, height long, "
+        "mean_b double, mean_g double, mean_r double, thumb_md5 string",
+    )
+
+
 #: Analysis window for audio feature extraction, in frames.
 _RMS_WINDOW = 256
 

@@ -521,6 +521,56 @@ def test_audio_window_rms_analytic_and_determinism(spark):
     assert got[(wav_doc, 0, 0)] == exp_rms
 
 
+def test_image_pixel_stats_independent_rederivation(spark):
+    """bmp_pixels is a real pixel decode: one fixture doc's pixel
+    tensor re-derived INDEPENDENTLY from synth_media's generation
+    formula (body bytes row-major, bottom-up, 4-byte padded) must
+    match, and the registered query's mean/thumbnail for that doc must
+    equal values computed from the independent tensor."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from mr_py_spark.operators.multimodal import (
+        _THUMB,
+        bmp_pixels,
+        synth_media,
+    )
+    from tests.conftest import SF_DIR
+
+    a = rows(spark, "image_pixel_stats")
+    b = rows(spark, "image_pixel_stats")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert a and all(r.doc_id % 3 == 0 for r in a)
+
+    doc = min(r.doc_id for r in a)
+    txt = duckdb.query(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE doc_id = {doc}"
+    ).fetchone()[0]
+    body = txt.encode() or b"\x00"
+    w, h = 4 + doc % 13, 4 + doc % 7
+    row = w * 3
+    exp = np.zeros((h, w, 3), dtype=np.uint8)
+    for r_img in range(h):
+        r_buf = h - 1 - r_img  # buffer is bottom-up
+        for c in range(w):
+            for k in range(3):
+                exp[r_img, c, k] = body[(r_buf * row + c * 3 + k) % len(body)]
+    assert (bmp_pixels(synth_media(doc, txt)) == exp).all()
+
+    got = {r.doc_id: r for r in a}[doc]
+    assert (got.width, got.height) == (w, h)
+    sums = exp.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (got.mean_b, got.mean_g, got.mean_r) == tuple(
+        float(s / (h * w)) for s in sums
+    )
+    ri = (np.arange(_THUMB) * h) // _THUMB
+    ci = (np.arange(_THUMB) * w) // _THUMB
+    assert got.thumb_md5 == hashlib.md5(exp[ri][:, ci].tobytes()).hexdigest()
+
+
 def test_decode_media_roundtrips_planted_payloads():
     """decode_media is a real header parser: BMP/GIF/WAV files built by
     synth_media (and a hand-built multi-chunk WAV) parse back to their
