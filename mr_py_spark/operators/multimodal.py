@@ -226,6 +226,156 @@ def wav_samples(payload: bytes):
     return rate, frames.reshape(-1, channels)
 
 
+#: Video fixture shape: frame count derives from doc_id, dimensions
+#: reuse the BMP formulas so one re-derivation test covers both.
+_VID_MIN_FRAMES = 2
+
+
+def synth_video(doc_id: int, text: str) -> bytes:
+    """Deterministically render a document as a REAL minimal RIFF-AVI
+    container: a 'movi' LIST of '00db' chunks (uncompressed DIB
+    frames, 24-bit BGR, bottom-up — the actual encoding '00db'
+    denotes), n_frames = 2 + doc_id % 4, frame f's pixels sourced
+    from the text bytes at a per-frame offset. Headerless beyond the
+    RIFF structure on purpose: the frame WALK (chunk scan) and frame
+    DECODE (scanline reshape) are the two real steps a video sampler
+    performs, and both parse this container exactly as they would a
+    full AVI's movi list."""
+    import struct
+
+    body = text.encode("utf-8") or b"\x00"
+    w, h = 4 + doc_id % 13, 4 + doc_id % 7
+    stride = (w * 3 + 3) & ~3
+    n_frames = _VID_MIN_FRAMES + doc_id % 4
+    chunks = bytearray()
+    for f in range(n_frames):
+        frame = bytes(
+            body[(f * 7 + i) % len(body)] for i in range(stride * h)
+        )
+        chunks += b"00db" + struct.pack("<I", len(frame)) + frame
+        if len(frame) % 2:
+            chunks += b"\x00"
+    movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + bytes(chunks)
+    riff = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+    return riff
+
+
+def avi_frames(payload: bytes, width: int, height: int):
+    """Walk a RIFF-AVI's movi list and decode each '00db' chunk
+    (uncompressed DIB: bottom-up BGR scanlines, 4-byte row alignment)
+    to an (h, w, 3) uint8 tensor — the real frame-extraction step of
+    a video sampler, no media library required for uncompressed
+    frames. Yields (frame_idx, ndarray). Raises NotImplementedError
+    for non-AVI RIFF or compressed ('00dc') streams."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise NotImplementedError("not an AVI container")
+    stride = (width * 3 + 3) & ~3
+
+    def walk(buf: bytes, pos: int, end: int):
+        idx = 0
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            clen = struct.unpack_from("<I", buf, pos + 4)[0]
+            if cid == b"LIST":
+                yield from walk(buf, pos + 12, pos + 8 + clen)
+            elif cid == b"00db":
+                frame = np.frombuffer(
+                    buf, dtype=np.uint8, count=stride * height, offset=pos + 8
+                )
+                img = frame.reshape(height, stride)[:, : width * 3]
+                yield idx, img.reshape(height, width, 3)[::-1]
+                idx += 1
+            elif cid == b"00dc":
+                raise NotImplementedError("compressed AVI stream")
+            pos += 8 + clen + (clen % 2)
+
+    yield from walk(payload, 12, len(payload))
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video fixture: every document rendered as a minimal
+    RIFF-AVI (synth_video), same Arrow-batched shuffle-free build as
+    media_table."""
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": [
+                        synth_video(int(d), t)
+                        for d, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
+#: Frame-sampling stride: keep every _FRAME_STEP-th frame.
+_FRAME_STEP = 2
+
+
+@register("video_frame_sample", tags=("C4",), oracle=None)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (C4): walk each AVI payload's movi list,
+    DECODE every _FRAME_STEP-th frame to its pixel tensor
+    (avi_frames — real uncompressed-DIB decode, no media lib), and
+    emit one narrow row per kept frame (dims + mean luminance + pixel
+    digest). This is the step a multimodal pretraining pipeline runs
+    to turn video into image samples, and it completes the C4
+    modality set with REAL decodes: pixels (image_pixel_stats),
+    samples (audio_window_rms), frames (here). Fan-out per blob is
+    n_frames/step, bounded by the container.
+
+    Rows-only (SQL cannot re-derive UTF-8 byte streams); determinism
+    and an independent re-derivation of one fixture doc's sampled
+    frames from the synth_video formula are property-tested.
+
+    Scale shape: one shuffle-free mapInPandas over the blob scan with
+    capped fan-out — at 10^9 videos the plan is the same scan; a real
+    deployment points the same kernel at binaryFile-listed .avi
+    objects."""
+    import hashlib as _hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "frame_idx": [], "width": [], "height": [],
+                "mean_luma": [], "frame_md5": [],
+            }
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                w, h = 4 + d % 13, 4 + d % 7
+                for idx, img in avi_frames(bytes(p), w, h):
+                    if idx % _FRAME_STEP:
+                        continue
+                    # ITU-R 601 luma on BGR planes, exact int64 sums
+                    s = img.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    luma = (0.114 * s[0] + 0.587 * s[1] + 0.299 * s[2]) / (h * w)
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(idx)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(float(luma))
+                    out["frame_md5"].append(_hashlib.md5(img.tobytes()).hexdigest())
+            yield pd.DataFrame(out)
+
+    vids = video_table(spark, sf_dir)
+    return vids.mapInPandas(
+        run,
+        "doc_id long, frame_idx long, width long, height long, "
+        "mean_luma double, frame_md5 string",
+    )
+
+
 def bmp_pixels(payload: bytes):
     """Full pixel decode of a 24-bit bottom-up BMP: header offsets from
     BITMAPINFOHEADER, 4-byte row alignment stripped, scanline order

@@ -571,6 +571,58 @@ def test_image_pixel_stats_independent_rederivation(spark):
     assert got.thumb_md5 == hashlib.md5(exp[ri][:, ci].tobytes()).hexdigest()
 
 
+def test_video_frame_sample_independent_rederivation(spark):
+    """avi_frames is a real frame walk + decode: one fixture doc's
+    sampled frames re-derived independently from synth_video's formula
+    (per-frame byte offset, bottom-up scanlines, 4-byte padding) must
+    match what the registered query emits."""
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from mr_py_spark.operators.multimodal import (
+        _FRAME_STEP,
+        _VID_MIN_FRAMES,
+        avi_frames,
+        synth_video,
+    )
+    from tests.conftest import SF_DIR
+
+    a = rows(spark, "video_frame_sample")
+    b = rows(spark, "video_frame_sample")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # deterministic
+    assert a and all(r.frame_idx % _FRAME_STEP == 0 for r in a)
+
+    doc = min(r.doc_id for r in a)
+    txt = duckdb.query(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE doc_id = {doc}"
+    ).fetchone()[0]
+    body = txt.encode() or b"\x00"
+    w, h = 4 + doc % 13, 4 + doc % 7
+    stride = (w * 3 + 3) & ~3
+    n_frames = _VID_MIN_FRAMES + doc % 4
+
+    frames = dict(avi_frames(synth_video(doc, txt), w, h))
+    assert len(frames) == n_frames
+    got = {(r.doc_id, r.frame_idx): r for r in a}
+    for f in range(0, n_frames, _FRAME_STEP):
+        exp = np.zeros((h, w, 3), dtype=np.uint8)
+        for r_img in range(h):
+            r_buf = h - 1 - r_img
+            for c in range(w * 3):
+                exp[r_img, c // 3, c % 3] = body[(f * 7 + r_buf * stride + c) % len(body)]
+        assert (frames[f] == exp).all()
+        row = got[(doc, f)]
+        assert (row.width, row.height) == (w, h)
+        assert row.frame_md5 == hashlib.md5(exp.tobytes()).hexdigest()
+        s = exp.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        assert row.mean_luma == float(
+            (0.114 * s[0] + 0.587 * s[1] + 0.299 * s[2]) / (h * w)
+        )
+
+
 def test_decode_media_roundtrips_planted_payloads():
     """decode_media is a real header parser: BMP/GIF/WAV files built by
     synth_media (and a hand-built multi-chunk WAV) parse back to their
