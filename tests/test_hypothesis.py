@@ -140,3 +140,65 @@ def test_stateful_quantizer_matches_decimal_cast(vals):
         ).fetchall()
     ]
     assert ours.tolist() == oracle
+
+
+# ---------------------------------------------------------------- media codecs
+
+MEDIA_TEXT = st.text(max_size=4000)  # arbitrary unicode incl. empty
+MEDIA_ID = st.integers(0, 10_000)
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id=MEDIA_ID, text=MEDIA_TEXT)
+def test_media_codecs_roundtrip_arbitrary_text(doc_id, text):
+    """Every byte-level codec pair must round-trip on ARBITRARY unicode
+    text (multi-byte UTF-8, empty, surrogate-adjacent) — the regime
+    where hand-written container parsers break: synth_media <->
+    decode_media headers, WAV <-> wav_samples tensors, BMP <->
+    bmp_pixels tensors, synth_video <-> avi_frames frame walk."""
+    import numpy as np
+
+    from mr_py_spark.operators.multimodal import (
+        _VID_MIN_FRAMES,
+        _WAV_MAX_SAMPLES,
+        avi_frames,
+        bmp_pixels,
+        decode_media,
+        synth_media,
+        synth_video,
+        wav_samples,
+    )
+
+    payload = synth_media(doc_id, text)
+    feats = decode_media(payload)
+    kind = doc_id % 3
+    body = text.encode() or b"\x00"
+    w, h = 4 + doc_id % 13, 4 + doc_id % 7
+    if kind == 0:
+        assert (feats["fmt"], feats["width"], feats["height"]) == ("bmp", w, h)
+        img = bmp_pixels(payload)
+        assert img.shape == (h, w, 3)
+        # spot-check the generation formula at the four corners
+        row = w * 3
+        for r_img, c in ((0, 0), (0, w - 1), (h - 1, 0), (h - 1, w - 1)):
+            r_buf = h - 1 - r_img
+            assert img[r_img, c, 0] == body[(r_buf * row + c * 3) % len(body)]
+    elif kind == 1:
+        assert (feats["fmt"], feats["width"], feats["height"]) == ("gif", w, h)
+    else:
+        n = min(len(body), _WAV_MAX_SAMPLES)
+        channels = 1 + doc_id % 2
+        assert (feats["fmt"], feats["n_frames"]) == ("wav", n)
+        rate, frames = wav_samples(payload)
+        assert rate == 8000 and frames.shape == (n, channels)
+        assert frames[0, 0] == body[0]
+
+    vid = synth_video(doc_id, text)
+    frames = dict(avi_frames(vid, w, h))
+    assert len(frames) == _VID_MIN_FRAMES + doc_id % 4
+    assert all(f.shape == (h, w, 3) for f in frames.values())
+    stride = (w * 3 + 3) & ~3
+    for f, img in frames.items():
+        assert img[h - 1, 0, 0] == body[(f * 7) % len(body)]  # buffer row 0
+
+    assert isinstance(np.asarray(frames[0]), np.ndarray)
