@@ -280,6 +280,7 @@ def load_all() -> dict[str, Query]:
     """Import every operator module (side effect: registration) and return the registry."""
     # Imports are inside the function so `import mr_py_spark` stays cheap.
     from mr_py_spark.operators import (  # noqa: F401
+        bpe,
         cdc,
         corpus_prep,
         csv_source,

@@ -623,6 +623,75 @@ def test_video_frame_sample_independent_rederivation(spark):
         )
 
 
+def _reference_bpe(word_freqs, n_merges):
+    """Independent pure-Python Sennrich BPE: same semantics
+    (char+</w> init, freq-then-lexical argmax, left-to-right greedy
+    merge application, stop below pair_count 2), separate code path —
+    the oracle-by-reimplementation for bpe_learn_merges."""
+    vocab = {}
+    for w, f in word_freqs.items():
+        vocab[tuple(list(w) + ["</w>"])] = vocab.get(tuple(list(w) + ["</w>"]), 0) + f
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for seq, f in vocab.items():
+            for a, b in zip(seq, seq[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < 2:
+            break
+        merges.append((a, b, c))
+        new_vocab = {}
+        for seq, f in vocab.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_reimplementation(spark):
+    """The distributed BPE's merge list must equal an independent
+    pure-Python implementation run on the same corpus word counts —
+    merge-for-merge, counts included (fixture corpus), plus a
+    hand-checkable micro-corpus."""
+    import duckdb
+
+    from mr_py_spark.operators.bpe import learn_bpe, word_freqs
+    from tests.conftest import SF_DIR
+
+    got = [
+        (r.left, r.right, r.pair_count)
+        for r in rows(spark, "bpe_learn_merges")
+    ]
+    wf = dict(
+        duckdb.query(
+            "SELECT w, count(*) FROM ("
+            f"  SELECT unnest(string_split(lower(text), ' ')) AS w"
+            f"  FROM read_parquet('{SF_DIR}/documents.parquet')"
+            ") WHERE w <> '' GROUP BY w"
+        ).fetchall()
+    )
+    assert got == _reference_bpe(wf, 20)
+
+    # micro-corpus: 'low'x5 + 'lower'x2 -> first merges are l+o, lo+w
+    micro = spark.createDataFrame(
+        [("low", 5), ("lower", 2)], "word string, freq long"
+    )
+    ms = learn_bpe(spark, micro, n_merges=3)
+    assert ms == _reference_bpe({"low": 5, "lower": 2}, 3)
+    assert ms[0][:2] == ("l", "o") and ms[1][:2] == ("lo", "w")
+
+
 def test_decode_media_roundtrips_planted_payloads():
     """decode_media is a real header parser: BMP/GIF/WAV files built by
     synth_media (and a hand-built multi-chunk WAV) parse back to their
