@@ -24,8 +24,11 @@ same way connected_components does.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from mr_py_spark.functions import words
 from mr_py_spark.registry import register
@@ -167,4 +170,58 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, (left, right, cnt) in enumerate(ms)
         ],
         "rank long, left string, right string, merged string, pair_count long",
+    )
+
+
+def apply_bpe(seq: list, merges: list) -> list:
+    """Tokenize one symbol sequence by applying the learned merges in
+    rank order (each as one left-to-right greedy pass — the same
+    semantics training used, so training segmentations reproduce)."""
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(seq):
+            if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = out
+    return seq
+
+
+@register("bpe_token_stats", tags=("C5", "B5"), oracle=None)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-APPLY (C5): learn the corpus' BPE merges, tokenize
+    under the learned vocab, and emit the top-30 tokens by corpus
+    occurrence — the end-to-end tokenizer loop of a pretraining
+    pipeline. The apply step tokenizes the DISTINCT-WORD table, not
+    the corpus (token counts = per-word token multiset x word
+    frequency), so the Python merge loop runs once per vocabulary
+    type — the same Heaps'-law bound as training; the corpus is
+    touched only by the shared wordcount. Per-batch memoization makes
+    repeated types free. Deterministic (inherits the learner's
+    tie-break + count-desc/token-asc output order), rows-only
+    (iterative); pinned against the reference reimplementation's
+    tokenization in tests/test_properties.py."""
+    freqs = word_freqs(spark, sf_dir)
+    merges = [(left, right) for left, right, _ in learn_bpe(spark, freqs)]
+
+    @pandas_udf("array<string>")
+    def tokenize(word: pd.Series) -> pd.Series:
+        memo: dict = {}
+
+        def tok(w):
+            if w not in memo:
+                memo[w] = apply_bpe(list(w) + [_EOW], merges)
+            return memo[w]
+
+        return word.map(tok)
+
+    return (
+        freqs.select("freq", F.explode(tokenize("word")).alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(30)
     )

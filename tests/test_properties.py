@@ -692,6 +692,43 @@ def test_bpe_matches_reference_reimplementation(spark):
     assert ms[0][:2] == ("l", "o") and ms[1][:2] == ("lo", "w")
 
 
+def test_bpe_token_stats_matches_reference(spark):
+    """The train-then-apply loop: token occurrence counts under the
+    learned vocab must equal the reference reimplementation tokenizing
+    the same word counts with the same merges."""
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    wf = dict(
+        duckdb.query(
+            "SELECT w, count(*) FROM ("
+            f"  SELECT unnest(string_split(lower(text), ' ')) AS w"
+            f"  FROM read_parquet('{SF_DIR}/documents.parquet')"
+            ") WHERE w <> '' GROUP BY w"
+        ).fetchall()
+    )
+    merges = [(a, b) for a, b, _ in _reference_bpe(wf, 20)]
+    counts: dict = {}
+    for w, f in wf.items():
+        seq = list(w) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        for t in seq:
+            counts[t] = counts.get(t, 0) + f
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    got = [(r.token, r.n_occurrences) for r in rows(spark, "bpe_token_stats")]
+    assert got == exp
+
+
 def test_decode_media_roundtrips_planted_payloads():
     """decode_media is a real header parser: BMP/GIF/WAV files built by
     synth_media (and a hand-built multi-chunk WAV) parse back to their
