@@ -26,7 +26,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import dsum, fmt_ts, fmt_ts_us
+from mr_py_spark.functions import dec4, dsum, fmt_ts, fmt_ts_us
 from mr_py_spark.registry import register
 from mr_py_spark.session import harden
 
@@ -472,6 +472,53 @@ def stream_dedup_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.read.parquet(out)
+
+
+@register(
+    "stream_cdc_latest",
+    tags=("C9", "B19"),
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_type, ts,
+                   CAST(value AS DECIMAL(10,4)) AS v,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               event_type AS last_event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+               CAST(v AS DOUBLE) AS last_value
+        FROM r WHERE rn = 1
+    """,
+)
+def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keep-latest CDC state (C9): the events stream treated
+    as a change feed, folded to each key's CURRENT row — the
+    materialized-view half of CDC (the batch upsert/merge half is
+    ``cdc_upsert``; the history half is ``scd2_dim``). One streaming
+    groupBy with ``max_by`` over a (ts, event_id) ordering struct:
+    state per key is ONE row (the running winner), so memory is
+    O(keys) regardless of stream length — the canonical
+    last-write-wins table a CDC consumer maintains. The (ts,
+    event_id) struct makes the winner total-ordered, hence the
+    drained complete-mode result is deterministic and equal to the
+    batch argmax — oracle-checked; value rides the DECIMAL(10,4)
+    policy."""
+    ev = _events_stream(spark, sf_dir)
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    latest = ev.groupBy("user_id").agg(
+        F.max_by("event_type", ordk).alias("last_event_type"),
+        F.max_by(F.col("ts"), ordk).alias("_last_ts"),
+        F.max_by(dec4("value"), ordk).alias("_last_v"),
+    )
+    out = latest.select(
+        "user_id",
+        "last_event_type",
+        fmt_ts_us(F.col("_last_ts")).alias("last_ts"),
+        F.col("_last_v").cast("double").alias("last_value"),
+    )
+    return _drain(out, "complete")
 
 
 @register(
