@@ -216,3 +216,88 @@ def emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return e.mapInPandas(encode, "vec_id long, code string, recon_err double")
+
+
+#: Feature-hashing embedding dimensionality for doc_embed_hash.
+_FH_DIM = 16
+
+
+@register(
+    "doc_embed_hash",
+    tags=("C3", "C5"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS hv
+            FROM toks WHERE w <> ''
+        ), agg AS (
+            SELECT doc_id,
+                   hv % {_FH_DIM} AS bucket,
+                   CAST(sum(CASE WHEN (hv // {_FH_DIM}) % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS wsum
+            FROM h GROUP BY 1, 2
+        ), n AS (
+            SELECT doc_id, sqrt(CAST(sum(wsum * wsum) AS DOUBLE)) AS nrm
+            FROM agg GROUP BY 1
+        )
+        SELECT agg.doc_id, bucket, wsum,
+               CASE WHEN nrm = 0 THEN 0.0 ELSE wsum / nrm END AS weight
+        FROM agg JOIN n ON n.doc_id = agg.doc_id
+    """,
+)
+def doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (C3/C5) — the text->vector
+    bridge between the corpus operators and the similarity tier: each
+    token hashes (md5, an engine-portable spec) to one of 16 buckets
+    with a +/-1 sign bit (Weinberger et al.'s hashing trick, whose
+    signed sum is an unbiased inner-product estimator), per-bucket
+    signed counts are summed EXACTLY as integers, and the vector is
+    L2-normalized at the end. Emitted long-form (doc_id, bucket,
+    wsum, weight) so the driver's row canonicalizer can hash it.
+
+    Bitwise parity: the only floats are one sqrt of an exact integer
+    sum-of-squares and one division per bucket — both single
+    correctly-rounded IEEE ops on identically-derived inputs (the
+    float-policy fast path). Everything before that is int64.
+
+    Scale shape: scan -> explode -> two partial-agg'd groupBys on
+    (doc_id[, bucket]) and a same-key join for the norm — all
+    JVM-side, no UDF, no driver state; fan-out per doc is its token
+    count, output is <= 16 rows per doc. At 10^9 docs this is a
+    wordcount-shaped plan."""
+    docs = tbl(spark, sf_dir, "documents")
+    from mr_py_spark.functions import words
+
+    toks = (
+        docs.select("doc_id", F.explode(words(F.lower("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long").alias("hv"),
+        )
+    )
+    agg = (
+        toks.select(
+            "doc_id",
+            F.pmod("hv", F.lit(_FH_DIM)).alias("bucket"),
+            F.when(F.expr(f"(hv div {_FH_DIM}) % 2") == 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("sign"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("wsum"))
+    )
+    n = agg.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wsum") * F.col("wsum")).cast("double")).alias("nrm")
+    )
+    return agg.join(n, "doc_id").select(
+        "doc_id",
+        "bucket",
+        "wsum",
+        F.when(F.col("nrm") == 0, F.lit(0.0))
+        .otherwise(F.col("wsum") / F.col("nrm"))
+        .alias("weight"),
+    )
