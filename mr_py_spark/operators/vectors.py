@@ -268,6 +268,20 @@ def doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM-side, no UDF, no driver state; fan-out per doc is its token
     count, output is <= 16 rows per doc. At 10^9 docs this is a
     wordcount-shaped plan."""
+    return _hashed_vectors(spark, sf_dir).select(
+        "doc_id",
+        "bucket",
+        "wsum",
+        F.when(F.col("nrm") == 0, F.lit(0.0))
+        .otherwise(F.col("wsum") / F.col("nrm"))
+        .alias("weight"),
+    )
+
+
+def _hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, wsum, nrm): the doc_embed_hash long-form vector
+    plus its L2 norm — shared by the embedding query and the text-kNN
+    capstone."""
     docs = tbl(spark, sf_dir, "documents")
     from mr_py_spark.functions import words
 
@@ -293,11 +307,103 @@ def doc_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = agg.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("wsum") * F.col("wsum")).cast("double")).alias("nrm")
     )
-    return agg.join(n, "doc_id").select(
-        "doc_id",
+    return agg.join(n, "doc_id")
+
+
+@register(
+    "knn_text_hash_topk",
+    tags=("C3", "C5"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(w), 1, 8) AS BIGINT) AS hv
+            FROM toks WHERE w <> ''
+        ), agg AS (
+            SELECT doc_id,
+                   hv % {_FH_DIM} AS bucket,
+                   CAST(sum(CASE WHEN (hv // {_FH_DIM}) % 2 = 0
+                                 THEN 1 ELSE -1 END) AS BIGINT) AS wsum
+            FROM h GROUP BY 1, 2
+        ), n AS (
+            SELECT doc_id, sqrt(CAST(sum(wsum * wsum) AS DOUBLE)) AS nrm
+            FROM agg GROUP BY 1
+        ), dots AS (
+            SELECT q.doc_id AS q_id, c.doc_id AS nn_id,
+                   CAST(sum(q.wsum * c.wsum) AS BIGINT) AS intdot
+            FROM agg q JOIN agg c
+              ON c.bucket = q.bucket AND c.doc_id <> q.doc_id
+            WHERE q.doc_id < 20
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT q_id, nn_id,
+                   intdot / (nq.nrm * nc.nrm) AS sim
+            FROM dots
+            JOIN n nq ON nq.doc_id = dots.q_id AND nq.nrm > 0
+            JOIN n nc ON nc.doc_id = dots.nn_id AND nc.nrm > 0
+        )
+        SELECT q_id, nn_id, round(sim, 6) AS sim, rn
+        FROM (
+            SELECT q_id, nn_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, nn_id) AS rn
+            FROM scored
+        )
+        WHERE rn <= 5
+    """,
+)
+def knn_text_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text similarity search end-to-end (C3/C5 capstone): documents ->
+    hashed embeddings (the ``doc_embed_hash`` vectors) -> cosine top-5
+    per query doc — the full text-to-neighbors loop with NO external
+    embedding model, and bitwise-oracle-able because the dot product
+    stays in EXACT int64 (sum of signed-count products, order-free)
+    until a single final division by the norm product (three
+    correctly-rounded IEEE ops on identically-derived inputs: two
+    sqrts' product and one divide).
+
+    Scale shape: the 20-query side is 20 x 16 rows and broadcasts;
+    candidates stream through the bucket equi-join; the (q_id, nn_id)
+    partial-agg'd groupBy carries q x n integer rows. That is the
+    brute-force BASELINE tier, like ``knn_cosine_topk`` — at 10^9
+    docs the same hashed vectors feed the IVF/LSH tiers instead. Zero
+    UDFs, zero floats before the final three ops."""
+    base = _hashed_vectors(spark, sf_dir).filter(F.col("nrm") > 0)
+    q = base.filter(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("q_id"),
         "bucket",
-        "wsum",
-        F.when(F.col("nrm") == 0, F.lit(0.0))
-        .otherwise(F.col("wsum") / F.col("nrm"))
-        .alias("weight"),
+        F.col("wsum").alias("q_wsum"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    c = base.select(
+        F.col("doc_id").alias("nn_id"),
+        "bucket",
+        F.col("wsum").alias("c_wsum"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    dots = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_id") != F.col("nn_id"))
+        .groupBy("q_id", "nn_id")
+        .agg(
+            F.sum(F.col("q_wsum") * F.col("c_wsum")).alias("intdot"),
+            F.first("q_nrm").alias("q_nrm"),
+            F.first("c_nrm").alias("c_nrm"),
+        )
+        .select(
+            "q_id",
+            "nn_id",
+            (F.col("intdot") / (F.col("q_nrm") * F.col("c_nrm"))).alias("sim"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("nn_id"))
+    return (
+        dots.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "nn_id", F.round("sim", 6).alias("sim"), "rn")
     )
