@@ -475,6 +475,67 @@ def stream_dedup_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_hypertable_rollup",
+    tags=("C6", "C8"),
+    oracle="""
+        WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events),
+        hourly AS (
+            SELECT 'hour' AS grain,
+                   time_bucket(INTERVAL 1 HOUR, ts) AS w_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 2
+        ),
+        daily AS (
+            SELECT 'day' AS grain,
+                   time_bucket(INTERVAL 1 DAY, ts) AS w_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+            FROM events GROUP BY 2
+        )
+        SELECT grain, strftime(w_start, '%Y-%m-%d %H:%M:%S') AS bucket,
+               n_events, total_value
+        FROM (
+            SELECT * FROM hourly
+            WHERE w_start + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+            UNION ALL
+            SELECT * FROM daily
+            WHERE w_start + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        )
+    """,
+)
+def stream_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming multi-granularity rollup (C6+C8): hourly AND daily
+    windowed aggregates of one event stream in a SINGLE streaming
+    query — a union of two stateful window operators under one
+    watermark (Spark's multiple-stateful-operator support), the
+    continuous-aggregate topology a timeseries store maintains (the
+    batch form is ``hypertable_rollup``). Append mode: each
+    granularity emits exactly the windows its end has passed the
+    final watermark — so the drained set is deterministic per
+    granularity (the trailing hour AND the trailing day are withheld)
+    and the oracle is the batch rollup filtered by the same closure
+    rule per grain. State is O(open windows per grain), independent
+    of stream length."""
+    ev = _events_stream(spark, sf_dir)
+
+    def grain(dur: str, label: str) -> DataFrame:
+        return (
+            ev.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", dur).alias("w"))
+            .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+            .select(
+                F.lit(label).alias("grain"),
+                fmt_ts(F.col("w.start")).alias("bucket"),
+                "n_events",
+                "total_value",
+            )
+        )
+
+    return _drain(grain("1 hour", "hour").unionByName(grain("1 day", "day")), "append")
+
+
+@register(
     "stream_cdc_latest",
     tags=("C9", "B19"),
     oracle="""
