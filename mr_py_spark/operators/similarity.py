@@ -961,8 +961,11 @@ def _ivf_candidates(
 ) -> DataFrame:
     """Candidate stage of the IVF search (build index, probe, bucket
     equi-join) — split out so scale measurements can count candidate
-    rows directly (SCALE.md r8 boundedness ledger). Returns one row
-    per (query, table, candidate vector) BEFORE cross-table dedup."""
+    rows directly (SCALE.md r8 boundedness ledger). Single-table form
+    returns one row per (query, candidate) with vector payloads
+    carried through the bucket join; the L-table form returns pairs
+    already DEDUPED across tables (the id-only index + pair distinct
+    + vector join-back plan — see the inline comment)."""
     import numpy as np
     import pandas as pd
 
