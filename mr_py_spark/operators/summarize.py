@@ -177,6 +177,46 @@ def global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "table_profile_documents",
+    tags=("B7", "B2", "C5"),
+    oracle="""
+        SELECT count(*)                                        AS n_rows,
+               count(DISTINCT lang)                            AS n_langs,
+               count(DISTINCT source)                          AS n_sources,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)                                 AS null_texts,
+               min(n_chars)                                    AS min_chars,
+               max(n_chars)                                    AS max_chars,
+               CAST(sum(n_chars) AS BIGINT)                    AS total_chars,
+               CAST(min(octet_length(encode(text))) AS BIGINT) AS min_bytes,
+               CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
+        FROM documents
+    """,
+)
+def table_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile of the corpus table (B7/C5): the audit a
+    pipeline runs on FIRST CONTACT with a new data drop — row count,
+    key-column cardinalities, null census, and the value/byte ranges
+    that size downstream batch and truncation decisions. One single-
+    row partial/final aggregate (distincts plan as expand + two-phase
+    agg), fully distributed, no sampling — the exact profile, not an
+    estimate. Integer widths pinned to BIGINT on both engines (the
+    skew_audit HUGEINT lesson)."""
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.col("text").isNull().cast("long")).alias("null_texts"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(F.octet_length("text")).cast("long").alias("min_bytes"),
+        F.max(F.octet_length("text")).cast("long").alias("max_bytes"),
+    )
+
+
+@register(
     "group_medians",
     tags=("B4",),
     oracle="""
