@@ -376,3 +376,53 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "retention_cohorts",
+    tags=("B19", "B30", "B1"),
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+               CAST((year(o.o_orderdate) - year(f.cohort)) * 12
+                    + (month(o.o_orderdate) - month(f.cohort))
+                    AS BIGINT)                            AS months_since,
+               count(DISTINCT o.o_custkey)                AS active_customers
+        FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix (the classic growth-analytics OLAP
+    shape): customers grouped by the month of their FIRST order,
+    crossed with months-since-cohort, counting distinct active
+    customers per cell. Two keyed aggregations and one equi-join —
+    the firsts frame is one row per customer (a candidate for
+    broadcast or, at 10^9 customers, a plain co-partitioned shuffle
+    join on the same key the second groupBy needs, so AQE reuses the
+    exchange). month arithmetic stays in INTEGER year/month parts
+    (identical on both engines — no interval/float date math), and
+    the output grid is bounded by (#months)^2 cells regardless of
+    order volume."""
+    o = tbl(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort")
+    )
+    months_since = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("long")
+    return (
+        o.join(firsts, "o_custkey")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            months_since.alias("months_since"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+    )
