@@ -426,3 +426,52 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_month", "months_since")
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
     )
+
+
+@register(
+    "basket_pairs_topk",
+    tags=("B19", "B11", "B1"),
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20
+    """,
+)
+def basket_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the frequent-itemset primer): the
+    20 part pairs most often ordered together. The pair generation is
+    a SELF-EQUI-JOIN on the basket key, which is the scale-safe shape
+    because baskets are naturally bounded (lineitem holds <= 7 items
+    per order, so fan-out is <= 21 pairs per order at ANY corpus
+    size) — the same bounded-group argument as the LSH bucket joins,
+    with no cartesian anywhere. Distinct-items first so duplicate
+    part lines don't inflate counts; top-20 with a total tie-break is
+    a TakeOrdered merge, no global sort."""
+    items = (
+        tbl(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )
