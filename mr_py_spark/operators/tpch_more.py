@@ -475,3 +475,68 @@ def basket_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+@register(
+    "rfm_segments",
+    tags=("B34", "B1", "B30"),
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey,
+                   max(o_orderdate)                            AS last_order,
+                   count(*)                                    AS frequency,
+                   sum(CAST(o_totalprice AS DECIMAL(12,4)))    AS monetary
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+                   ntile(4) OVER (ORDER BY frequency DESC, o_custkey)  AS f,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey)   AS mm,
+                   monetary
+            FROM m
+        )
+        SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+               CAST(mm AS BIGINT) AS m,
+               count(*) AS n_customers,
+               CAST(sum(monetary) AS DOUBLE) AS total_monetary
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (B34 capstone): recency / frequency /
+    monetary quartiles per customer (ntile with a TOTAL tie-break, so
+    bucket assignment is deterministic on both engines), rolled up to
+    the 64-cell segment grid with customer counts and exact-DECIMAL
+    monetary totals.
+
+    Scale note: each ntile is an unpartitioned window — ONE task sorts
+    all customers, the known single-partition hazard. That is
+    acceptable here because the windowed frame is the per-customer
+    AGGREGATE (orders of magnitude smaller than orders, and bounded
+    by |customers|); past that, the two-pass range-partitioned rank
+    machinery (`ranking_window_scaled`) is the drop-in scale form for
+    exactly this shape — quartile = (2-pass rank - 1) * 4 / n + 1."""
+    o = tbl(spark, sf_dir, "orders")
+    m = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("monetary"),
+    )
+    from pyspark.sql import Window as W
+
+    def quartile(order_col):
+        return F.ntile(4).over(
+            W.orderBy(F.desc(order_col), F.asc("o_custkey"))
+        )
+
+    scored = m.select(
+        quartile("last_order").cast("long").alias("r"),
+        quartile("frequency").cast("long").alias("f"),
+        quartile("monetary").cast("long").alias("m"),
+        "monetary",
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
