@@ -288,6 +288,7 @@ def load_all() -> dict[str, Query]:
         events_windows,
         extras,
         filtering,
+        graph,
         joins,
         multimodal,
         organize,

@@ -729,6 +729,48 @@ def test_bpe_token_stats_matches_reference(spark):
     assert got == exp
 
 
+def test_pagerank_matches_reference_exactly(spark):
+    """pagerank_parts must match a pure-Python power iteration
+    replaying the identical quantize/sum/update sequence BIT FOR BIT —
+    possible only because per-edge contributions are quantized to
+    DECIMAL(18,9) before the neighbor sum (decimal sums are exact and
+    order-free, so Spark's parallel aggregation cannot drift from the
+    sequential reference)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from mr_py_spark.operators.graph import _DAMPING, _N_ITER
+    from tests.conftest import SF_DIR
+
+    edges = duckdb.query(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey"
+        f"              FROM read_parquet('{SF_DIR}/lineitem.parquet'))"
+        " SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d"
+        " FROM items a JOIN items b"
+        "   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    ).fetchall()
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+    n = len(adj)
+    q9 = Decimal("1e-9")
+    rank = {v: 1.0 / n for v in adj}
+    base = (1.0 - _DAMPING) / n
+    for _ in range(_N_ITER):
+        sums = {v: Decimal(0) for v in adj}
+        for v, nbrs in adj.items():
+            c = Decimal(repr(rank[v] / len(nbrs))).quantize(q9, ROUND_HALF_UP)
+            for u in nbrs:
+                sums[u] += c
+        rank = {v: base + _DAMPING * float(sums[v]) for v in adj}
+    exp = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got = [(r.part, r.rank) for r in rows(spark, "pagerank_parts")]
+    assert got == exp, f"first diff: {next((g, e) for g, e in zip(got, exp) if g != e)}"
+
+
 def test_decode_media_roundtrips_planted_payloads():
     """decode_media is a real header parser: BMP/GIF/WAV files built by
     synth_media (and a hand-built multi-chunk WAV) parse back to their
