@@ -128,3 +128,91 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select(F.col("node").alias("part"), "rank")
     )
+
+
+@register(
+    "graph_triangles",
+    tags=("B19", "B7"),
+    oracle="""
+        WITH items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS d FROM (
+                SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+            ) GROUP BY 1
+        ), tri AS (
+            SELECT count(*) AS n_tri
+            FROM e e1
+            JOIN e e2 ON e2.src = e1.dst
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        )
+        SELECT (SELECT count(*) FROM deg)                   AS n_nodes,
+               (SELECT count(*) FROM e)                     AS n_edges,
+               (SELECT CAST(n_tri AS BIGINT) FROM tri)      AS n_triangles,
+               -- // not /: DuckDB's / on integers yields DOUBLE, which
+               -- pandas-canonicalizes as float64 against Spark's long
+               -- (the skew_audit width trap); the sum is always even
+               (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) FROM deg)
+                                                            AS n_wedges,
+               (SELECT CAST(3 * n_tri AS DOUBLE) FROM tri)
+                 / (SELECT CAST(sum(d * (d - 1)) AS DOUBLE) / 2 FROM deg)
+                                                            AS clustering
+        FROM (SELECT 1)
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph (the second classic
+    graph-MapReduce pattern, after PageRank): canonical a<b<c edge
+    orientation makes the count one two-hop equi-join chain — e(a,b)
+    ⋈ e(b,c) ⋈ e(a,c) — with every triangle counted exactly once and
+    no cartesian anywhere, plus the wedge count (sum d(d-1)/2, exact
+    int64) and the global clustering coefficient (one IEEE division
+    of exactly-derived doubles — bitwise on both engines). The
+    degree-ordered orientation is also the standard skew guard: the
+    join fans out along each node's HIGHER-id neighbors only.
+
+    Scale shape: the joins shuffle edge keys (ids, no payload); at
+    10^9 edges the canonical refinement is orienting by (degree, id)
+    instead of raw id so hubs don't own the fan-out — the id
+    orientation here matches the oracle exactly, which is what the
+    driver compares."""
+    e = copurchase_edges(spark, sf_dir)
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").alias("n_tri"))
+    )
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        (F.sum(F.col("d") * (F.col("d") - 1)).cast("long") / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        (F.sum(F.col("d") * (F.col("d") - 1)).cast("double") / 2).alias("_wd"),
+    )
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("n_tri").cast("long").alias("n_triangles"),
+            "n_wedges",
+            ((F.col("n_tri") * 3).cast("double") / F.col("_wd")).alias("clustering"),
+        )
+    )
