@@ -175,11 +175,16 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ordered orientation is also the standard skew guard: the
     join fans out along each node's HIGHER-id neighbors only.
 
-    Scale shape: the joins shuffle edge keys (ids, no payload); at
-    10^9 edges the canonical refinement is orienting by (degree, id)
-    instead of raw id so hubs don't own the fan-out — the id
-    orientation here matches the oracle exactly, which is what the
-    driver compares."""
+    Scale shape: the joins shuffle edge keys (ids, no payload), but
+    triangle counting's intermediate is the WEDGE set — Σ deg(v)^2
+    rows — which is quadratic in degree, not in edges: on the dense
+    co-purchase graph it is tractable at the driver scale (26M wedges
+    at sf0.01, 15 s) and explodes by sf1 (~1.8e10 wedges) on ANY
+    engine. The production refinements are degree-based orientation
+    (fan out along each node's higher-DEGREE neighbors, bounding
+    per-hub wedges) and/or DOULION-style edge sampling; the raw-id
+    orientation here is kept because it matches the oracle exactly,
+    which is what the driver compares."""
     e = copurchase_edges(spark, sf_dir)
     deg = (
         e.select(F.col("src").alias("node"))
