@@ -446,30 +446,20 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def basket_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence (the frequent-itemset primer): the
-    20 part pairs most often ordered together. The pair generation is
-    a SELF-EQUI-JOIN on the basket key, which is the scale-safe shape
-    because baskets are naturally bounded (lineitem holds <= 7 items
-    per order, so fan-out is <= 21 pairs per order at ANY corpus
-    size) — the same bounded-group argument as the LSH bucket joins,
-    with no cartesian anywhere. Distinct-items first so duplicate
-    part lines don't inflate counts; top-20 with a total tie-break is
+    20 part pairs most often ordered together. Pair generation is the
+    shared ``graph.basket_pairs`` basket self-equi-join (scale-safe:
+    fan-out bounded by basket size, no cartesian — see its
+    docstring); this query is that pair stream groupBy-counted.
+    ``copurchase_edges`` is the same stream distinct'ed — one copy of
+    the join predicate serves both. Top-20 with a total tie-break is
     a TakeOrdered merge, no global sort."""
-    items = (
-        tbl(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = items.alias("a")
-    b = items.alias("b")
+    from mr_py_spark.operators.graph import basket_pairs
+
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
+        basket_pairs(spark, sf_dir)
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("src").alias("part_a"),
+            F.col("dst").alias("part_b"),
         )
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))

@@ -149,18 +149,67 @@ def _driver_status() -> dict[str, DriverRow]:
 _FP_PATH = os.path.join(_ROOT, ".fingerprints.json")
 
 
-def _fingerprint(q: Query) -> str:
-    """Content hash of a query's implementation + oracle. A green driver
-    row only proves the code that existed when the row was recorded; a
-    fingerprint change after that round means the query is unproven
-    again and must re-enter the verification window."""
+def _src_of(fn) -> str:
     try:
-        src = inspect.getsource(q.fn)
+        return inspect.getsource(fn)
     except (OSError, TypeError):  # no source file (REPL-defined etc.)
-        src = f"{q.fn.__module__}.{q.fn.__qualname__}"
+        return f"{fn.__module__}.{fn.__qualname__}"
+
+
+def _dep_sources(fn) -> list[str]:
+    """Source of every mr_py_spark function transitively reachable from
+    ``fn``'s code — module globals referenced by name, including names
+    used inside nested closures/lambdas. Folding these into the
+    fingerprint means a behavior-changing edit to a SHARED helper (the
+    r8 case: the IVF candidate machinery under knn_ivf_topk) re-stamps
+    every registered query that uses it, so they re-enter the driver's
+    verification window instead of silently keeping a stale green row.
+    Attribute names in co_names that happen to collide with unrelated
+    module globals can only ADD source to the hash — a spurious
+    re-verification at worst, never a missed one."""
+    import types
+
+    seen: dict[tuple[str, str], object] = {}
+    stack = [fn]
+    while stack:
+        f = stack.pop()
+        code = getattr(f, "__code__", None)
+        if code is None:
+            continue
+        g = getattr(inspect.getmodule(f), "__dict__", None) or {}
+        names: set[str] = set()
+        codes = [code]
+        while codes:
+            c = codes.pop()
+            names.update(c.co_names)
+            codes.extend(
+                k for k in c.co_consts if isinstance(k, types.CodeType)
+            )
+        for name in sorted(names):
+            obj = g.get(name)
+            if inspect.isfunction(obj) and (
+                getattr(obj, "__module__", "") or ""
+            ).startswith("mr_py_spark"):
+                key = (obj.__module__, obj.__qualname__)
+                if key not in seen:
+                    seen[key] = obj
+                    stack.append(obj)
+    return [_src_of(seen[k]) for k in sorted(seen)]
+
+
+def _fingerprint(q: Query) -> str:
+    """Content hash of a query's implementation (own source + the
+    source of transitively-referenced mr_py_spark helpers, see
+    ``_dep_sources``) + oracle. A green driver row only proves the code
+    that existed when the row was recorded; a fingerprint change after
+    that round means the query is unproven again and must re-enter the
+    verification window."""
     h = hashlib.sha256()
-    h.update(src.encode())
-    h.update(b"\x00")
+    h.update(_src_of(q.fn).encode())
+    for dep in _dep_sources(q.fn):
+        h.update(b"\x00")
+        h.update(dep.encode())
+    h.update(b"\x00\x00")
     h.update((q.oracle or "").encode())
     return h.hexdigest()[:16]
 

@@ -771,6 +771,47 @@ def test_pagerank_matches_reference_exactly(spark):
     assert got == exp, f"first diff: {next((g, e) for g, e in zip(got, exp) if g != e)}"
 
 
+def test_pagerank_directed_dangling_matches_reference(spark):
+    """pagerank(directed=True) on a graph WITH sinks (the r8 verdict's
+    generality gap): dangling rank mass is redistributed uniformly
+    each round — total mass is conserved — and every rank matches a
+    sequential reference replaying the identical quantize/sum/update
+    sequence bit for bit (dangling rank/n is quantized to
+    DECIMAL(18,9) before the mass sum, same order-free policy as the
+    edge contributions)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from mr_py_spark.operators.graph import _DAMPING, _N_ITER, pagerank
+
+    # 6 and 7 are sinks (no out-edges); 7 is reachable only via 5.
+    edges = [(1, 2), (1, 3), (2, 3), (4, 3), (3, 6), (5, 7), (3, 5), (2, 6)]
+    nodes = sorted({v for e in edges for v in e})
+    outadj: dict = {v: [] for v in nodes}
+    for s, d in edges:
+        outadj[s].append(d)
+    n = len(nodes)
+    q9 = Decimal("1e-9")
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - _DAMPING) / n
+    for _ in range(_N_ITER):
+        sums = {v: Decimal(0) for v in nodes}
+        dm = Decimal(0)
+        for v, nbrs in outadj.items():
+            if nbrs:
+                c = Decimal(repr(rank[v] / len(nbrs))).quantize(q9, ROUND_HALF_UP)
+                for u in nbrs:
+                    sums[u] += c
+            else:
+                dm += Decimal(repr(rank[v] / n)).quantize(q9, ROUND_HALF_UP)
+        rank = {
+            v: base + _DAMPING * (float(sums[v]) + float(dm)) for v in nodes
+        }
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(spark, df, directed=True).collect()}
+    assert got == rank, f"diff: { {v: (got.get(v), rank[v]) for v in nodes if got.get(v) != rank[v]} }"
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved
+
+
 def test_decode_media_roundtrips_planted_payloads():
     """decode_media is a real header parser: BMP/GIF/WAV files built by
     synth_media (and a hand-built multi-chunk WAV) parse back to their
