@@ -420,9 +420,22 @@ def cosine_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             sims = am[s0 : s0 + strip] @ bm.T
             if diag:
                 vi = np.nonzero(aids[s0 : s0 + strip, None] < bids[None, :])
+                v, a, b = _local_top(sims[vi], aids[s0 + vi[0]], bids[vi[1]])
             else:
-                vi = np.nonzero(np.ones_like(sims, dtype=bool))
-            v, a, b = _local_top(sims[vi], aids[s0 + vi[0]], bids[vi[1]])
+                # Every cell is a valid pair: cut top-K on the raveled
+                # values FIRST, then divmod only the kept flat indices
+                # back to (row, col) — materializing full index arrays
+                # (the old nonzero-of-ones) cost ~4x the f32 tile
+                # budget in int64 per strip for indices that were
+                # about to be discarded.
+                flat = sims.ravel()
+                if flat.size > K:
+                    kth = np.partition(flat, -K)[-K]
+                    keep = np.nonzero(flat >= kth - _MARGIN)[0]
+                else:
+                    keep = np.arange(flat.size)
+                r, c = np.divmod(keep, sims.shape[1])
+                v, a, b = flat[keep], aids[s0 + r], bids[c]
             acc_v.append(v)
             acc_a.append(a)
             acc_b.append(b)

@@ -344,7 +344,7 @@ def _hashed_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN n nq ON nq.doc_id = dots.q_id AND nq.nrm > 0
             JOIN n nc ON nc.doc_id = dots.nn_id AND nc.nrm > 0
         )
-        SELECT q_id, nn_id, round(sim, 6) AS sim, rn
+        SELECT q_id, nn_id, sim, rn
         FROM (
             SELECT q_id, nn_id, sim,
                    row_number() OVER (PARTITION BY q_id
@@ -405,5 +405,5 @@ def knn_text_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dots.withColumn("rn", F.row_number().over(wk).cast("long"))
         .filter(F.col("rn") <= 5)
-        .select("q_id", "nn_id", F.round("sim", 6).alias("sim"), "rn")
+        .select("q_id", "nn_id", "sim", "rn")
     )

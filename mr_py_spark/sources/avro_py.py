@@ -126,9 +126,18 @@ def _read_value(buf: io.BytesIO, typ):
 # ------------------------------------------------------------------ writer
 
 
-def write_avro(path: str, schema: dict, rows, sync: bytes = b"\x00" * 16) -> None:
+def write_avro(
+    path: str,
+    schema: dict,
+    rows,
+    sync: bytes = b"\x00" * 16,
+    tmp_suffix: str = ".tmp",
+) -> None:
     """Write one Avro container file (null codec). ``schema`` is the
-    record schema as a dict; ``rows`` an iterable of dicts."""
+    record schema as a dict; ``rows`` an iterable of dicts.
+    ``tmp_suffix`` names the private staging file this writer owns
+    before the atomic publish rename — concurrent writers of the SAME
+    target must pass distinct suffixes (see write_avro_distributed)."""
     fields = schema["fields"]
     body = bytearray()
     n = 0
@@ -154,7 +163,7 @@ def write_avro(path: str, schema: dict, rows, sync: bytes = b"\x00" * 16) -> Non
         out += body
         out += sync
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    tmp = path + ".tmp"
+    tmp = path + tmp_suffix
     with open(tmp, "wb") as f:
         f.write(out)
     os.replace(tmp, path)
@@ -167,9 +176,11 @@ def write_avro_distributed(df, path: str, schema: dict) -> int:
     driver-side materialization at any size. ``path`` must be storage
     every executor can reach (true in local mode and on any cluster
     with shared/object storage — the same requirement as every Spark
-    file sink). Files land via tmp+rename keyed by partition id, so a
-    retried task overwrites its own output instead of duplicating it
-    (rename is atomic per file; a full job-commit protocol is what the
+    file sink). Files land via an attempt-private tmp (suffix carries
+    the unique task attempt id) + atomic rename to the partition-keyed
+    name, so a retried or SPECULATIVE duplicate attempt stages without
+    interleaving and the last complete rename wins — no duplication,
+    no torn container (a full job-commit protocol is what the
     parquet sink is for — avro here is the interchange format, not the
     100 TB sink). Returns the number of rows written. Empty partitions
     write nothing."""
@@ -192,8 +203,20 @@ def write_avro_distributed(df, path: str, schema: dict) -> int:
             )
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
+        # The tmp file carries the globally-unique task attempt id:
+        # two attempts for one partition (speculative execution, a
+        # zombie retry racing its replacement) each stage privately
+        # and the LAST atomic rename wins with a complete file —
+        # a shared fixed tmp name could interleave into a corrupt
+        # container before the rename.
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
         if rows:
-            write_avro(os.path.join(path, f"part-{pid:05d}.avro"), schema, rows)
+            write_avro(
+                os.path.join(path, f"part-{pid:05d}.avro"),
+                schema,
+                rows,
+                tmp_suffix=f".tmp-{attempt}",
+            )
         yield pd.DataFrame({"n": [len(rows)]})
 
     counts = df.select(*names).mapInPandas(encode, "n long")

@@ -449,7 +449,15 @@ def stream_dedup_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms exist for oracle parity on bounded fixtures; this is what
     production runs). Exactly-once comes from the sink's commit log +
     the checkpoint; the returned DataFrame is a plain batch read of
-    the committed files, same oracle as stream_dedup."""
+    the committed files, same oracle as stream_dedup.
+
+    The sink/checkpoint live at a DETERMINISTIC per-sf_dir cache path
+    (the csv_source _CSV_CACHE_ROOT pattern), cleared before each
+    drain: repeated driver/bench invocations overwrite one location
+    instead of leaking a fresh mkdtemp survivor-parquet + checkpoint
+    copy per run (at sf10 that was a full 10M-event drain left in
+    /tmp every invocation)."""
+    import shutil
     import tempfile
 
     ev = _events_stream(spark, sf_dir)
@@ -458,8 +466,16 @@ def stream_dedup_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    out = tempfile.mkdtemp(prefix="mrps_stream_sink_")
-    ckpt = tempfile.mkdtemp(prefix="mrps_stream_ckpt_")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.rstrip("/").replace("/", "_"),
+        "dedup_filesink",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(out, exist_ok=True)
     q = (
         dedup.writeStream.outputMode("append")
         .format("parquet")
