@@ -130,3 +130,87 @@ def hierarchical_nest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("item_lines"),
         dsum("l_extendedprice").alias("order_value"),
     )
+
+
+_DPP_CACHE_ROOT_NAME = "spark_graft_dpp"
+
+
+def _events_warehouse(spark: SparkSession, sf_dir: str) -> str:
+    """Date-partitioned events warehouse + day dimension, built ONCE
+    per sf_dir under a deterministic temp cache (the csv_source cache
+    pattern; a _COMPLETE marker makes the build idempotent across
+    runs). ``fact/`` is the events table written with
+    ``partitionBy("day")`` — the physical layout that makes partition
+    pruning (static AND dynamic) possible; ``day_dim/`` is the
+    one-row-per-day dimension (day, dow) a star schema would join.
+    Returns the warehouse root."""
+    import os
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        _DPP_CACHE_ROOT_NAME,
+        sf_dir.rstrip("/").replace("/", "_"),
+    )
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        shutil.rmtree(root, ignore_errors=True)
+        ev = tbl(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("day").parquet(
+            os.path.join(root, "fact")
+        )
+        dim = (
+            ev.select("day")
+            .distinct()
+            .select("day", F.dayofweek("day").alias("dow"))
+        )
+        dim.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(root, "day_dim")
+        )
+        open(done, "w").close()
+    return root
+
+
+@register(
+    "dpp_weekend_events",
+    tags=("B14", "B19", "A7"),
+    oracle="""
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS total_value
+        FROM events
+        WHERE isodow(ts) IN (6, 7)
+        GROUP BY 1
+    """,
+)
+def dpp_weekend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over a date-partitioned warehouse
+    (B14's payoff at read time): the fact scan is joined to a FILTERED
+    day dimension on the partition column, and Catalyst inserts a
+    dynamicpruning subquery into the fact scan's PartitionFilters —
+    the broadcast of the 8 weekend days prunes 22 of 30 date
+    partitions BEFORE any fact bytes are read (plan-asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    scanning the whole warehouse and scanning the qualifying days:
+    the dim filter is not statically known to the fact scan, only the
+    runtime join makes it available — exactly the star-schema shape
+    DPP exists for. Weekend selection: Spark ``dayofweek`` IN (1,7)
+    (1=Sunday) on the dim; DuckDB ``isodow`` IN (6,7) — the same day
+    set, each engine's own calendar convention."""
+    import os
+
+    root = _events_warehouse(spark, sf_dir)
+    fact = spark.read.parquet(os.path.join(root, "fact"))
+    dim = (
+        spark.read.parquet(os.path.join(root, "day_dim"))
+        .filter(F.col("dow").isin(1, 7))
+        .select("day")
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )

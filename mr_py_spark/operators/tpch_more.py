@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from mr_py_spark.functions import dec4, dsum, ts_ntz
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
+from mr_py_spark.util import scale_form_threshold, table_rows
 
 def _one():
     """DECIMAL(10,4) literal 1 (built lazily: F.lit needs an active session)."""
@@ -500,19 +501,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 64-cell segment grid with customer counts and exact-DECIMAL
     monetary totals.
 
-    Scale note: each ntile is an unpartitioned window — ONE task sorts
-    all customers, the known single-partition hazard. That is
-    acceptable here because the windowed frame is the per-customer
-    AGGREGATE (orders of magnitude smaller than orders, and bounded
-    by |customers|); past that, the two-pass range-partitioned rank
-    machinery (`ranking_window_scaled`) is the drop-in scale form for
-    exactly this shape — quartile = (2-pass rank - 1) * 4 / n + 1."""
+    Size-adaptive: each ntile here is an unpartitioned window — ONE
+    task sorts all customers. Fine while the windowed frame (the
+    per-customer AGGREGATE, bounded by |customers|) is small; above
+    ``scale_form_threshold()`` the default name dispatches to
+    ``rfm_segments_scaled`` (same oracle, bitwise-identical output),
+    which replaces all three windows with the two-pass
+    range-partitioned rank machinery."""
     o = tbl(spark, sf_dir, "orders")
-    m = o.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count("*").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("monetary"),
-    )
+    if table_rows(o, sf_dir, "orders") > scale_form_threshold():
+        return rfm_segments_scaled(spark, sf_dir)
+    m = _rfm_metrics(o)
     from pyspark.sql import Window as W
 
     def quartile(order_col):
@@ -529,4 +528,93 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_customers"),
         F.sum("monetary").cast("double").alias("total_monetary"),
+    )
+
+
+def _rfm_metrics(o: DataFrame) -> DataFrame:
+    """Per-customer (last_order, frequency, monetary) — the shared
+    first pass of both rfm_segments forms."""
+    return o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,4)")).alias("monetary"),
+    )
+
+
+@register(
+    "rfm_segments_scaled",
+    tags=("B34", "B16", "B1"),
+    oracle="""
+        WITH m AS (
+            SELECT o_custkey,
+                   max(o_orderdate)                            AS last_order,
+                   count(*)                                    AS frequency,
+                   sum(CAST(o_totalprice AS DECIMAL(12,4)))    AS monetary
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+                   ntile(4) OVER (ORDER BY frequency DESC, o_custkey)  AS f,
+                   ntile(4) OVER (ORDER BY monetary DESC, o_custkey)   AS mm,
+                   monetary
+            FROM m
+        )
+        SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+               CAST(mm AS BIGINT) AS m,
+               count(*) AS n_customers,
+               CAST(sum(monetary) AS DOUBLE) AS total_monetary
+        FROM scored
+        GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``rfm_segments``' exact result (same oracle, bitwise) with NO
+    WindowExec: each of the three unpartitioned ntile(4)s becomes a
+    ``global_ntile`` two-pass range-partition rank (splittable
+    contiguous slices + a metadata-sized offset histogram — see its
+    docstring), joined back on o_custkey. The per-customer aggregate
+    is persisted once and feeds all three rank passes plus the final
+    rollup; the three joins co-partition on the customer key. At 10^9
+    customers every stage is splittable — no single-task sort
+    anywhere. Quartile assignment uses SQL's ceil-first-tiles ntile
+    rule from the two-pass rank, so tiles — and therefore the 64-cell
+    grid, counts, and exact-DECIMAL monetary sums — are
+    bitwise-identical to the window form."""
+    from pyspark import StorageLevel
+
+    from mr_py_spark.operators.windows import global_ntile
+
+    o = tbl(spark, sf_dir, "orders")
+    m = _rfm_metrics(o).persist(StorageLevel.MEMORY_AND_DISK)
+    r = global_ntile(
+        spark,
+        m.select("o_custkey", "last_order"),
+        "o_custkey",
+        [F.col("last_order").desc(), F.col("o_custkey")],
+        tile_col="r",
+    )
+    f = global_ntile(
+        spark,
+        m.select("o_custkey", "frequency"),
+        "o_custkey",
+        [F.col("frequency").desc(), F.col("o_custkey")],
+        tile_col="f",
+    )
+    mm = global_ntile(
+        spark,
+        m.select("o_custkey", "monetary"),
+        "o_custkey",
+        [F.col("monetary").desc(), F.col("o_custkey")],
+        tile_col="m",
+    )
+    return (
+        m.select("o_custkey", "monetary")
+        .join(r, "o_custkey")
+        .join(f, "o_custkey")
+        .join(mm, "o_custkey")
+        .groupBy("r", "f", "m")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("monetary").cast("double").alias("total_monetary"),
+        )
     )

@@ -59,6 +59,66 @@ def _partition_histogram(part: DataFrame, key: str):
     return offsets, totals
 
 
+def global_ntile(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    order_cols,
+    n_tiles: int = 4,
+    tile_col: str = "tile",
+) -> DataFrame:
+    """UNPARTITIONED ntile(n) with NO WindowExec: the two-pass
+    range-partition rank of ``ranking_window_scaled`` degenerated to a
+    single global group. ``ntile(n) OVER (ORDER BY ...)`` pins the
+    ENTIRE input into one window task; here `repartitionByRange` on
+    the ORDER BY gives splittable contiguous slices, the bounded
+    histogram (numPartitions rows — metadata-sized) provides each
+    slice's global row offset and the total n, and a mapInPandas pass
+    emits SQL's ceil-first-tiles ntile from (offset rank, n). Returns
+    (key, tile_col) for the caller to join back; same persist-once
+    determinism contract as ``ranking_window_scaled`` (two Spark jobs
+    run at DataFrame-construction time)."""
+    import pandas as pd
+
+    part = (
+        df.repartitionByRange(shuffle_width(spark), *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_g", F.lit(1))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    offsets, totals = _partition_histogram(part, "_g")
+    b_meta = _bc(spark, (offsets, totals))
+    key_t = dict(df.dtypes)[key]
+
+    def add_tiles(batches):
+        offs, tot = b_meta.value
+        n = tot.get(1, 0)
+        q, rem = divmod(n, n_tiles)
+        big = rem * (q + 1)
+        seen = 0
+        base = 0
+        pid = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+                base = offs.get((pid, 1), 0)
+            tiles = []
+            for _ in range(len(pdf)):
+                seen += 1
+                r = base + seen
+                if q == 0 or r <= big:
+                    tiles.append((r - 1) // (q + 1) + 1)
+                else:
+                    tiles.append(rem + (r - big - 1) // q + 1)
+            yield pd.DataFrame({key: pdf[key], tile_col: tiles})
+
+    return part.withColumn("pid", F.spark_partition_id()).mapInPandas(
+        add_tiles, f"{key} {key_t}, {tile_col} long"
+    )
+
+
 @register(
     "topk_window",
     tags=("B34", "B11"),

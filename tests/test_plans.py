@@ -218,6 +218,30 @@ def test_percentile_window_scaled_has_no_window_exec(spark):
     assert "rangepartitioning" in p.lower(), p
 
 
+def test_rfm_segments_scaled_has_no_window_exec(spark):
+    """The scale form replaces all three unpartitioned ntile(4)
+    windows with two-pass range-partition ranks — no WindowExec (an
+    unpartitioned window would pin every customer into ONE task)."""
+    p = plan_of(spark, "rfm_segments_scaled")
+    assert "Window" not in p, p
+    assert "rangepartitioning" in p.lower(), p
+
+
+def test_dpp_weekend_events_prunes_partitions(spark):
+    """The fact scan must carry a dynamicpruning PartitionFilter fed
+    by the broadcast dim subquery — the runtime partition prune is
+    the query's whole point (a static plan would scan all 30 date
+    partitions for 8 qualifying days)."""
+    p = plan_of(spark, "dpp_weekend_events")
+    assert "dynamicpruning" in p.lower(), p
+    scan = next(
+        line
+        for line in p.splitlines()
+        if "PartitionFilters" in line and "/fact" in line
+    )
+    assert "dynamicpruning" in scan.lower(), scan
+
+
 def test_near_dup_lsh_has_no_cartesian(spark):
     """The scale form of threshold pair mining must generate
     candidates via the (band, key) equi-self-join — never the exact
@@ -241,10 +265,15 @@ def test_scale_form_dispatch(spark, monkeypatch):
 
     small = {
         name: rows_of(REG[name].fn(spark, SF_DIR))
-        for name in ("ranking_window", "percentile_window", "inverted_index")
+        for name in (
+            "ranking_window",
+            "percentile_window",
+            "inverted_index",
+            "rfm_segments",
+        )
     }
     monkeypatch.setenv("SPARK_GRAFT_SCALE_ROWS", "1")
-    for name in ("ranking_window", "percentile_window"):
+    for name in ("ranking_window", "percentile_window", "rfm_segments"):
         df = REG[name].fn(spark, SF_DIR)
         p = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in p, name
