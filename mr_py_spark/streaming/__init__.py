@@ -583,19 +583,143 @@ def stream_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch argmax — oracle-checked; value rides the DECIMAL(10,4)
     policy."""
     ev = _events_stream(spark, sf_dir)
+    return _drain(_cdc_latest_agg(ev), "complete")
+
+
+def _cdc_latest_agg(ev: DataFrame) -> DataFrame:
+    """The keep-latest streaming aggregate shared by the memory-sink
+    (oracle parity) and foreachBatch-upsert (production) CDC forms."""
     ordk = F.struct(F.col("ts"), F.col("event_id"))
     latest = ev.groupBy("user_id").agg(
         F.max_by("event_type", ordk).alias("last_event_type"),
         F.max_by(F.col("ts"), ordk).alias("_last_ts"),
         F.max_by(dec4("value"), ordk).alias("_last_v"),
     )
-    out = latest.select(
+    return latest.select(
         "user_id",
         "last_event_type",
         fmt_ts_us(F.col("_last_ts")).alias("last_ts"),
         F.col("_last_v").cast("double").alias("last_value"),
     )
-    return _drain(out, "complete")
+
+
+_CDC_N_BUCKETS = 16
+
+
+def _cdc_upsert_batch(
+    batch_df: DataFrame, table: str, n_buckets: int = _CDC_N_BUCKETS
+) -> None:
+    """LWW-upsert one micro-batch of (user_id, ...) rows into a
+    bucket-partitioned parquet table: existing rows for the batch's
+    keys are replaced, other keys kept, and ONLY the hash buckets the
+    batch touches are rewritten (dynamic partition overwrite). The
+    merged frame is persisted+counted before the write because the
+    merge lazily READS the very path being overwritten. The
+    affected-bucket collect is <= n_buckets rows — bounded metadata.
+    Module-level so the two-batch merge path is directly testable
+    (the bounded fixture drains in one batch)."""
+    from pyspark import StorageLevel
+
+    sess = batch_df.sparkSession
+    b = batch_df.withColumn(
+        "bucket", F.pmod(F.xxhash64("user_id"), F.lit(n_buckets))
+    )
+    try:
+        cur = sess.read.parquet(table)
+        have = True
+    except Exception:  # first batch: nothing committed yet
+        have = False
+    if have:
+        affected = [
+            r["bucket"] for r in b.select("bucket").distinct().collect()
+        ]
+        keep = cur.filter(F.col("bucket").isin(affected)).join(
+            b.select("user_id"), "user_id", "left_anti"
+        )
+        out = keep.unionByName(b)
+    else:
+        out = b
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # cut the lazy read of the path we're about to replace
+    try:
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(table)
+        )
+    finally:
+        out.unpersist()
+
+
+@register(
+    "stream_cdc_latest_filesink",
+    tags=("C9", "B19", "A8"),
+    oracle="""
+        WITH r AS (
+            SELECT user_id, event_type, ts,
+                   CAST(value AS DECIMAL(10,4)) AS v,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        )
+        SELECT user_id,
+               event_type AS last_event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+               CAST(v AS DOUBLE) AS last_value
+        FROM r WHERE rn = 1
+    """,
+)
+def stream_cdc_latest_filesink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_cdc_latest`` materialized as a TABLE instead of a
+    memory sink (C9, the production LWW path): the same keep-latest
+    aggregate drained in UPDATE mode through ``foreachBatch``, which
+    upserts each micro-batch's changed keys into a bucket-partitioned
+    parquet table. Update mode emits only the keys whose running
+    winner changed, so per-batch work is O(changed keys); the upsert
+    rewrites only the hash buckets those keys land in (dynamic
+    partition overwrite — untouched buckets' files are never
+    rewritten), which is how a parquet table takes keyed upserts
+    without a full rewrite. Nothing is ever materialized on the
+    driver: the batch frame flows executor-side into the table; the
+    only collect is the affected-bucket id list (<= 16 rows — bounded
+    metadata, CLAUDE.md exemption class). Same oracle as
+    stream_cdc_latest.
+
+    The merged frame is persisted+counted before the overwrite: the
+    merge READS the table path being overwritten, and without forcing
+    materialization first the lazy self-read would race the rewrite."""
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.rstrip("/").replace("/", "_"),
+        "cdc_filesink",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        _cdc_upsert_batch(batch_df, table)
+
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        _cdc_latest_agg(ev)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(table).select(
+        "user_id", "last_event_type", "last_ts", "last_value"
+    )
 
 
 @register(

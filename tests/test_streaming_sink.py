@@ -80,3 +80,63 @@ def test_foreach_batch_aggregate_sink(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_cdc_upsert_batch_merges_and_rewrites_only_touched_buckets(spark, tmp_path):
+    """The foreachBatch LWW upsert behind stream_cdc_latest_filesink,
+    driven directly through TWO batches (the bounded fixture drains in
+    one, so the merge path never runs there): batch 2 must replace its
+    keys' rows, keep everyone else, and leave parquet files in
+    untouched buckets physically unrewritten (dynamic partition
+    overwrite)."""
+    import os
+
+    from mr_py_spark.streaming import _cdc_upsert_batch
+
+    table = str(tmp_path / "cdc_table")
+    b1 = spark.createDataFrame(
+        [(i, f"t{i}", "2024-01-01 00:00:00.000000", float(i)) for i in range(40)],
+        "user_id long, last_event_type string, last_ts string, last_value double",
+    )
+    _cdc_upsert_batch(b1, table, n_buckets=8)
+    first = {
+        r.user_id: (r.last_event_type, r.last_value)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert len(first) == 40
+
+    files_before = {
+        os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
+        for d, _, fs in os.walk(table)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+
+    b2 = spark.createDataFrame(
+        [(7, "updated", "2024-01-02 00:00:00.000000", 99.0),
+         (100, "new", "2024-01-02 00:00:00.000000", 1.0)],
+        "user_id long, last_event_type string, last_ts string, last_value double",
+    )
+    _cdc_upsert_batch(b2, table, n_buckets=8)
+    got = {
+        r.user_id: (r.last_event_type, r.last_value)
+        for r in spark.read.parquet(table).collect()
+    }
+    assert len(got) == 41  # 40 originals - 0 dropped + 1 new
+    assert got[7] == ("updated", 99.0)
+    assert got[100] == ("new", 1.0)
+    for k, v in first.items():
+        if k != 7:
+            assert got[k] == v, k
+
+    # buckets not containing keys 7 or 100 keep their original files
+    touched = {
+        r.b
+        for r in spark.createDataFrame([(7,), (100,)], "user_id long")
+        .select(F.pmod(F.xxhash64("user_id"), F.lit(8)).alias("b"))
+        .collect()
+    }
+    for path, mtime in files_before.items():
+        bucket = int(path.split("bucket=")[1].split("/")[0])
+        if bucket not in touched:
+            assert os.path.exists(path) and os.path.getmtime(path) == mtime, path
