@@ -624,3 +624,47 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _DOMAIN_CAP)
         .select("doc_id", "source", "rn")
     )
+
+
+@register(
+    "length_decile_mix",
+    tags=("B34", "B16", "B1", "C5"),
+    oracle="""
+        WITH scored AS (
+            SELECT source,
+                   ntile(10) OVER (ORDER BY n_chars DESC, doc_id) AS decile
+            FROM documents
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, source,
+               count(*) AS n_docs
+        FROM scored
+        GROUP BY 1, 2
+    """,
+)
+def length_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-bin mix report (C5 curation x B34/B16): documents cut
+    into GLOBAL length deciles, cross-tabulated against source — the
+    table a curation pipeline reads to see which sources dominate the
+    long/short tails before reweighting. The global ntile(10) is
+    computed by ``global_ntile`` (two-pass range-partition rank — see
+    its docstring), NOT an unpartitioned window: corpus-wide decile
+    assignment at 10^9 documents cannot hinge on one sort task.
+    Deciles use SQL's ceil-first-tiles rule with a doc_id tie-break,
+    so assignment is total and both engines agree bitwise."""
+    from mr_py_spark.operators.windows import global_ntile
+
+    docs = tbl(spark, sf_dir, "documents")
+    deciles = global_ntile(
+        spark,
+        docs.select("doc_id", "n_chars"),
+        "doc_id",
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        n_tiles=10,
+        tile_col="decile",
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(deciles, "doc_id")
+        .groupBy("decile", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
