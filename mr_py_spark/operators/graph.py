@@ -170,6 +170,87 @@ def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bfs_min_dist(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Frontier BFS: minimum hop distance (≤ ``max_hops``) from a seed
+    set over an undirected edge list (src, dst). Per level the plan is
+    one equi-join of the CURRENT FRONTIER against the edge list plus
+    one anti-join against the visited set — O(frontier × degree) work
+    per round, never O(paths): revisited nodes are cut the level they
+    are first reached, so a dense graph costs |V| + |E| total no
+    matter how many distinct walks exist. (Contrast the oracle's
+    recursive CTE, which enumerates every walk of length ≤ k — fine at
+    oracle scale, exponential on dense graphs; the anti-join frontier
+    is the form that survives 10^9 edges.) Each level is
+    localCheckpoint'ed: the next anti-join references all prior
+    levels, and without the cut lineage would re-derive level i for
+    every level > i. Returns (node, dist) with dist LONG."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    visited = seeds.select("node", F.lit(0).cast("long").alias("dist"))
+    frontier = visited.select("node")
+    for d in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(sym, frontier.node == sym.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("long").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited
+
+
+@register(
+    "khop_reach",
+    tags=("B19", "B27", "A9"),
+    oracle="""
+        WITH RECURSIVE items AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), e0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM items a JOIN items b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), e AS (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        ), seeds AS (
+            SELECT DISTINCT src AS node FROM e WHERE src < 2
+        ), walk(node, dist) AS (
+            SELECT node, CAST(0 AS BIGINT) FROM seeds
+            UNION ALL
+            SELECT e.dst, w.dist + 1
+            FROM walk w JOIN e ON e.src = w.node
+            WHERE w.dist < 3
+        )
+        SELECT node AS part, min(dist) AS dist FROM walk GROUP BY node
+    """,
+)
+def khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability (the iterated-MapReduce BFS pattern — Lin &
+    Dyer ch.5's canonical parallel breadth-first search): minimum hop
+    distance ≤ 3 from the seed parts {0, 1} over the undirected
+    co-purchase graph. The Spark form is the frontier/anti-join BFS of
+    ``bfs_min_dist`` (per-level cost bounded by |E|); the oracle is a
+    bounded-depth recursive CTE that enumerates WALKS and takes
+    min(dist) — same answer, but walk enumeration is the form that
+    explodes on dense graphs, which is exactly why the engine ships
+    the frontier form. dist is LONG on both sides (width alignment)."""
+    e = copurchase_edges(spark, sf_dir)
+    seeds = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .filter(F.col("node") < 2)
+    )
+    return bfs_min_dist(e, seeds, 3).select(
+        F.col("node").alias("part"), "dist"
+    )
+
+
 @register(
     "graph_triangles",
     tags=("B19", "B7"),

@@ -1,0 +1,108 @@
+"""Data-quality audits over the warehouse (SURVEY.md §2 B7 counters /
+global-stats family, sibling of summarize.table_profile_documents and
+skew.skew_audit).
+
+A referential-integrity audit is the first job any 100 TB ingest runs
+after load: for every declared FK edge, how many child rows point at a
+missing parent (orphans — broken ingest), and how many parents no
+child references (dead dimension rows — wasted scan width). The
+MapReduce formulation is one grouped count per edge joined full-outer
+against the parent key set — each edge is a single keyed shuffle, the
+output is one row per edge, and nothing is ever driver-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+
+#: The star schema's declared FK edges: (child table, child key,
+#: parent table, parent key).
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _edge_audit(
+    child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str
+) -> DataFrame:
+    """One-row audit of a single FK edge: pre-aggregate the child to
+    (key, row-count) — the map-side-combinable form, so the shuffle
+    carries one row per DISTINCT key, not per child row — then one
+    full-outer join against the distinct parent key set classifies
+    every key as matched / orphan / unreferenced in a single pass."""
+    ck = child.groupBy(F.col(ckey).alias("k")).agg(F.count("*").alias("n"))
+    pk = parent.select(F.col(pkey).alias("k")).distinct()
+    j = ck.alias("c").join(pk.alias("p"), F.col("c.k") == F.col("p.k"), "full_outer")
+    return j.agg(
+        F.lit(name).alias("edge"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("child_rows"),
+        F.count(F.col("c.k")).alias("child_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("p.k").isNull(), F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("orphan_rows"),
+        F.count(F.when(F.col("c.k").isNull(), F.lit(1))).alias(
+            "unreferenced_parents"
+        ),
+    )
+
+
+def _edge_oracle(child: str, ckey: str, parent: str, pkey: str, name: str) -> str:
+    # Sums/counts cast to BIGINT on the oracle side: DuckDB's integer
+    # sum returns HUGEINT (the skew_audit width trap).
+    return f"""
+        SELECT '{name}' AS edge,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS child_rows,
+               (SELECT CAST(count(DISTINCT {ckey}) AS BIGINT) FROM {child})
+                   AS child_keys,
+               (SELECT CAST(count(*) AS BIGINT) FROM {child} c
+                 WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                                    WHERE p.{pkey} = c.{ckey}))
+                   AS orphan_rows,
+               (SELECT CAST(count(*) AS BIGINT)
+                  FROM (SELECT DISTINCT {pkey} FROM {parent}) p
+                 WHERE NOT EXISTS (SELECT 1 FROM {child} c
+                                    WHERE c.{ckey} = p.{pkey}))
+                   AS unreferenced_parents
+    """
+
+
+@register(
+    "fk_integrity_audit",
+    tags=("B7", "B19", "B20"),
+    oracle="\nUNION ALL\n".join(
+        _edge_oracle(c, ck, p, pk, f"{c}.{ck}->{p}.{pk}")
+        for c, ck, p, pk in _FK_EDGES
+    ),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every declared FK edge in the
+    star schema: child rows, distinct child keys, orphaned child rows
+    (key missing from the parent), and unreferenced parent keys (no
+    child points at them). Each edge is one keyed shuffle over its
+    pre-aggregated (key, count) frame — the shuffle width is the
+    DISTINCT key count, so a 10^12-row fact table ships its ~10^9
+    distinct keys, not its rows; the seven one-row aggregates union
+    into the final report. All counts LONG on both sides."""
+    frames = [
+        _edge_audit(
+            tbl(spark, sf_dir, c), ck, tbl(spark, sf_dir, p), pk,
+            f"{c}.{ck}->{p}.{pk}",
+        )
+        for c, ck, p, pk in _FK_EDGES
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

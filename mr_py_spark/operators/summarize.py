@@ -437,3 +437,83 @@ def inverted_index_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("df_shard"),
         )
     )
+
+
+@register(
+    "ols_by_group",
+    tags=("B2", "B31", "B19"),
+    oracle="""
+        WITH j AS (
+            SELECT n.n_name,
+                   CAST(l.l_quantity AS DECIMAL(10,0))      AS x,
+                   CAST(l.l_extendedprice AS DECIMAL(12,2)) AS y
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        ), a AS (
+            SELECT n_name,
+                   CAST(count(*) AS BIGINT)    AS n_obs,
+                   CAST(count(*) AS DOUBLE)    AS nd,
+                   CAST(sum(x) AS DOUBLE)      AS sx,
+                   CAST(sum(y) AS DOUBLE)      AS sy,
+                   CAST(sum(x * x) AS DOUBLE)  AS sxx,
+                   CAST(sum(x * y) AS DOUBLE)  AS sxy
+            FROM j GROUP BY n_name
+        )
+        SELECT n_name AS nation, n_obs,
+               (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope,
+               (sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd
+                   AS intercept
+        FROM a
+    """,
+)
+def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form linear regression (price-on-quantity per
+    supplier nation) — the "analytics as aggregation" pattern: simple
+    OLS needs only the five sufficient statistics (n, Σx, Σy, Σx²,
+    Σxy), each a map-side-combinable sum, so a regression over 10^12
+    rows is ONE partial-agg shuffle of five numbers per group — no
+    solver, no second pass, no driver math.
+
+    Cross-engine determinism: a double Σxy is accumulation-order-
+    dependent, so the moments are summed in exact DECIMAL and cast to
+    double ONCE; slope/intercept are then a fixed chain of IEEE ops
+    written identically in both engines — bitwise-equal outputs, the
+    pagerank/clustering-coefficient policy. The moments are carried at
+    their TRUE scales (quantity is integral, price 2-decimal in every
+    fixture — verified across sf0.001/0.01/0.1), not the blanket
+    DECIMAL(10,4): at scale 8 the Σxy scaled integer passes 2^53 by
+    sf0.01, and DuckDB's decimal→double converts via
+    double(hugeint)/10^scale — TWO roundings — where Spark's
+    BigDecimal.doubleValue rounds once, a 1-ULP cross-engine trap.
+    True-scale sums keep every scaled integer exactly representable.
+    Dims broadcast."""
+    li = tbl(spark, sf_dir, "lineitem")
+    s = tbl(spark, sf_dir, "supplier")
+    n = tbl(spark, sf_dir, "nation")
+    x = F.col("l_quantity").cast("decimal(10,0)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    agg = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum(x).alias("_sx"),
+            F.sum(y).alias("_sy"),
+            F.sum(x * x).alias("_sxx"),
+            F.sum(x * y).alias("_sxy"),
+        )
+    )
+    nd = F.col("n_obs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        "n_obs",
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+    )

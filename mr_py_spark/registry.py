@@ -342,6 +342,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         organize,
         pipeline,
+        quality,
         scalar,
         similarity,
         skew,
