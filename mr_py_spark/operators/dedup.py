@@ -523,3 +523,90 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_seen.join(corpus, "h", "left_anti").select(
         "doc_id", "n_delta_copies"
     )
+
+
+#: paragraph_dedup unit: non-overlapping 32-word windows.
+_PARA = 32
+
+
+@register(
+    "paragraph_dedup",
+    tags=("C1", "C5", "B34"),
+    oracle=f"""
+        WITH ch AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ), p AS (
+            SELECT doc_id, CAST((s - 1) // {_PARA} AS BIGINT) AS idx,
+                   array_to_string(list_slice(w, s, s + {_PARA - 1}), ' ')
+                       AS ptext
+            FROM (SELECT doc_id, w,
+                         unnest(range(1, len(w) + 1, {_PARA})) AS s
+                  FROM ch)
+        ), m AS (
+            SELECT doc_id, idx, ptext,
+                   row_number() OVER (PARTITION BY md5(ptext)
+                                      ORDER BY doc_id, idx) AS rn
+            FROM p
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_paras,
+               CAST(count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_kept,
+               md5(string_agg(CASE WHEN rn = 1 THEN ptext END, ' '
+                              ORDER BY idx)) AS text_md5
+        FROM m GROUP BY doc_id
+    """,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup (the paragraph-level pass an LLM data
+    pipeline runs AFTER whole-doc dedup — boilerplate paragraphs recur
+    across otherwise-distinct pages): documents split into
+    non-overlapping 32-word paragraphs, each paragraph kept only at
+    its GLOBAL first occurrence (min (doc_id, idx) — a total order, so
+    the survivor set is deterministic), and each document reassembled
+    from its surviving paragraphs in order. Emits per-doc paragraph
+    counts and the md5 of the reassembled text (row-shaped compare,
+    as doc_chunks).
+
+    Scale shape: the explode is shuffle-free fan-out; the dedup
+    shuffle is keyed on md5(paragraph) — a 32-char key, never the
+    paragraph text — and rank-1 filtering compiles to map-side
+    WindowGroupLimit; the reassembly groups by doc_id, whose groups
+    are bounded by document length. Docs whose every paragraph is a
+    repeat emit NULL text_md5 (both engines: empty aggregate)."""
+    docs = tbl(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(_PARA))
+    para = F.slice(F.col("w"), F.col("s"), _PARA)
+    paras = docs.select(
+        "doc_id", w.alias("w"), F.posexplode(starts).alias("idx", "s")
+    ).select(
+        "doc_id",
+        F.col("idx").cast("long").alias("idx"),
+        F.array_join(para, " ").alias("ptext"),
+    )
+    rn = F.row_number().over(
+        W.partitionBy(F.md5("ptext")).orderBy("doc_id", "idx")
+    )
+    kept = F.when(F.col("rn") == 1, F.struct("idx", "ptext"))
+    agg = (
+        paras.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.count(F.when(F.col("rn") == 1, F.lit(1))).alias("n_kept"),
+            F.sort_array(F.collect_list(kept)).alias("ks"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.when(
+            F.col("n_kept") > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("ks"), lambda x: x["ptext"]), " "
+                )
+            ),
+        ).alias("text_md5"),
+    )

@@ -571,3 +571,161 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.explode(F.sequence(F.lit(0).cast("long"), F.least(F.col("n_frames") - 1, F.lit(2).cast("long")))),
     )
+
+
+#: image_phash parameters: 8×8 average hash (64 bits), 4 bands of 16
+#: bits, and a hamming radius of 3 — chosen so the band join is EXACT
+#: by pigeonhole (4 bands, ≤3 differing bits → at least one band
+#: identical), not merely probable.
+_PH_EDGE = 8
+_PH_BANDS = 4
+_PH_RADIUS = 3
+
+
+def phash_of(images: DataFrame) -> DataFrame:
+    """(doc_id, width, height, phash LONG) for a (doc_id, payload) BMP
+    frame: decode → ITU-R 601 integer luma → 8×8 nearest-neighbor
+    resize → average hash (bit i set iff luma_i > mean, in row-major
+    order, bit 0 = MSB). All integer math (luma scaled by 1000, mean
+    compared via cross-multiplication) so the hash is platform-exact —
+    no float thresholds anywhere."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "phash": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                img = bmp_pixels(p)
+                h, w, _ = img.shape
+                ri = (np.arange(_PH_EDGE) * h) // _PH_EDGE
+                ci = (np.arange(_PH_EDGE) * w) // _PH_EDGE
+                t = img[ri][:, ci].astype(np.int64)  # (8, 8, 3) BGR
+                # ITU-R 601 luma × 1000: 299 R + 587 G + 114 B (ints).
+                luma = 299 * t[:, :, 2] + 587 * t[:, :, 1] + 114 * t[:, :, 0]
+                flat = luma.ravel()
+                # bit set iff 64 * luma_i > Σ luma (exact integer compare)
+                bits = (64 * flat > flat.sum()).astype(np.uint64)
+                ph = 0
+                for b in bits:
+                    ph = (ph << 1) | int(b)
+                # two's-complement into LONG (bit 63 may be set)
+                if ph >= 1 << 63:
+                    ph -= 1 << 64
+                out["doc_id"].append(int(d))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    return images.mapInPandas(
+        run, "doc_id long, width long, height long, phash long"
+    )
+
+
+def phash_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual hashes of the BMP third of the blob fixture."""
+    return phash_of(media_table(spark, sf_dir).filter(F.col("doc_id") % 3 == 0))
+
+
+#: Variant planting for image_dup_pairs: every 4th BMP doc gets a
+#: near-duplicate twin whose id is offset by this constant.
+_VARIANT_OFFSET = 10_000_000
+
+
+def bmp_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-duplicate twins of every 4th fixture BMP:
+    the first two pixels are color-inverted in the payload — a REAL
+    pixel edit that flips a bit or two of the perceptual hash after
+    decode (inversion reflects those cells' luma about the midpoint,
+    so their above/below-mean bits usually flip; a single-channel
+    nudge measurably does NOT — it moves luma ~14% of range, too
+    little to cross the mean for most cells). The fixture cannot
+    contain phash near-dups naturally (image dimensions are a
+    function of doc_id, so even identical text renders to different
+    geometry), so the twins are planted the way pii_scrub plants its
+    contact lines: deterministically, on both sides of every test,
+    and documented."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytearray(p)
+                off = int.from_bytes(b[10:14], "little")
+                for i in range(off, off + 6):
+                    b[i] = 255 - b[i]
+                ids.append(int(d) + _VARIANT_OFFSET)
+                payloads.append(bytes(b))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    base = media_table(spark, sf_dir).filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 4 == 0)
+    )
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+@register("image_phash", tags=("C4", "C2"), oracle=None)
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (C4→C2 bridge: the image analogue of
+    doc fingerprinting): 64-bit average hash over the decoded, resized
+    luma plane. One shuffle-free mapInPandas over the blob scan —
+    at 10^9 images the plan is still the scan. Rows-only (SQL cannot
+    decode byte streams); determinism + an independent pure-Python
+    re-derivation of one fixture doc's hash are property-tested."""
+    return phash_frame(spark, sf_dir)
+
+
+@register("image_dup_pairs", tags=("C2", "C4", "B19"), oracle=None)
+def image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual hash: hamming(phash)
+    ≤ 3, found via a 4×16-bit band bucket join — the SimHash/LSH
+    blocking pattern, but EXACT here: ≤3 differing bits across 4
+    bands leaves ≥1 band untouched (pigeonhole), so the band join
+    provably finds every qualifying pair and the hamming filter
+    discards nothing true. No cross join anywhere: candidate
+    generation is an equi-join on (band index, band value), the same
+    bounded-bucket argument as dedup_minhash; the hamming distance is
+    JVM-side bit_count(xor). The corpus is the fixture BMPs plus the
+    planted one-pixel-edit twins of ``bmp_variants`` (the fixture has
+    no natural phash collisions — see there). Property-tested against
+    the O(n²) brute-force pair set at fixture scale."""
+    imgs = (
+        media_table(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .unionByName(bmp_variants(spark, sf_dir))
+    )
+    ph = phash_of(imgs).select("doc_id", "phash")
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("phash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for i in range(_PH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "phash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PH_RADIUS)
+        .distinct()
+    )
+    return pairs

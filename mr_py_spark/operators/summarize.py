@@ -517,3 +517,36 @@ def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / nd).alias("intercept"),
     )
+
+
+@register("hll_rollup_merge", tags=("B37", "B36"), oracle=None)
+def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (B37 at warehouse scale): per-day HLL
+    sketches of distinct users per event type, UNIONED up to the
+    event-type level with ``hll_union_agg`` — the pattern that makes
+    100 TB distinct-counting incremental: daily partitions each
+    pre-aggregate once into a few-KB Datasketches HLL blob, and any
+    coarser rollup (weekly, all-time, cross-type) is a cheap sketch
+    union over the tiny sketch table, never a re-scan of raw events.
+    Emits the merged estimate plus the day count it folded.
+
+    Rows-only: DuckDB's approx_count_distinct is a different HLL
+    implementation (different hashing, different estimator), so no
+    cross-engine oracle exists. Property-tested instead on the two
+    facts that matter: (1) MERGE EXACTNESS — the estimate from the
+    unioned daily sketches equals the estimate from one direct sketch
+    over all rows (sketch union is lossless by construction); (2) the
+    estimate lands within the published HLL error envelope of the
+    exact distinct count."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users"),
+        )
+        .select("event_type", "n_days", "est_users")
+    )

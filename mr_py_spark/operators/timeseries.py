@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import dec4
+from pyspark.sql.window import Window
+
+from mr_py_spark.functions import dec4, fmt_ts_us
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 from mr_py_spark.sources.catalog import sql
@@ -228,4 +230,196 @@ def recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_nationkey, n_name, depth, path FROM tree
         """,
+    )
+
+
+@register(
+    "attribution_last_touch",
+    tags=("B35", "B33"),
+    oracle="""
+        WITH t AS (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type IN ('click', 'view')
+                                   THEN struct_pack(ts := ts,
+                                                    event_id := event_id,
+                                                    event_type := event_type)
+                              END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS touch
+            FROM events
+        )
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               touch.event_id AS touch_event,
+               touch.event_type AS channel,
+               epoch_us(ts) - epoch_us(touch.ts) AS latency_us
+        FROM t WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent preceding click/view. One per-user ordered
+    window (``last(..., ignorenulls)`` over unbounded-preceding..1-
+    preceding) carries the latest touch forward — a single keyed
+    shuffle on user_id, no self-join, no per-row lookback scan; the
+    classic sessionization-adjacent pattern at clickstream scale.
+    (ts, event_id) ordering makes the frame total, latency is an
+    exact microsecond LONG difference, and the touch struct rides the
+    window so id/type/ts stay mutually consistent when two touches
+    share a microsecond. Purchases with no prior touch keep NULL
+    touch columns (organic traffic)."""
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"),
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.col("event_type"),
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_id", "user_id", "ts", "event_type", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            fmt_ts_us("ts").alias("purchase_ts"),
+            F.col("touch.event_id").alias("touch_event"),
+            F.col("touch.event_type").alias("channel"),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("touch.ts").cast("timestamp"))
+            ).alias("latency_us"),
+        )
+    )
+
+
+@register(
+    "interpolate_linear",
+    tags=("B35", "C6", "B33"),
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), span AS (
+            SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+            FROM events
+        ), days AS (
+            SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                       AS day
+            FROM span
+        ), grid AS (
+            SELECT u.user_id, days.day, daily.v
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN days
+            LEFT JOIN daily ON daily.user_id = u.user_id
+                           AND daily.day = days.day
+        ), ctx AS (
+            SELECT user_id, day, v,
+                   last_value(v IGNORE NULLS) OVER w_prev  AS prev_v,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER w_prev    AS prev_day,
+                   first_value(v IGNORE NULLS) OVER w_next AS next_v,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER w_next   AS next_day
+            FROM grid
+            WINDOW w_prev AS (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                   w_next AS (PARTITION BY user_id ORDER BY day
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                        prev_v + (next_v - prev_v)
+                            * (CAST(day - prev_day AS DOUBLE)
+                               / CAST(next_day - prev_day AS DOUBLE))
+               END AS value,
+               CASE WHEN v IS NOT NULL THEN 'actual'
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                        THEN 'interp'
+                    ELSE 'edge'
+               END AS status
+        FROM ctx
+    """,
+)
+def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of gaps in a per-user daily series (the
+    time-series RESAMPLE+FILL pattern): daily purchase totals land on
+    a dense user×day grid, interior missing days are filled by linear
+    interpolation between the nearest observed neighbors, and edge
+    days with no observation on one side stay NULL ('edge'). Two
+    per-user ordered windows (carry-forward / carry-backward with
+    ignorenulls) find both neighbors in one pass each — no self-join,
+    no per-gap scan. The facts aggregate BEFORE the grid join, the
+    date spine explodes from a 1-row min/max aggregate (broadcast),
+    so grid size is users × days, never events × days.
+
+    Determinism: observed values are exact decimal sums cast to
+    double once; the interpolation is the identical IEEE chain
+    (prev + (next-prev) * (ddays/dspan)) on both engines; day-deltas
+    are exact integer datediffs."""
+    ev = tbl(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(dec4("value")).cast("double").alias("v"))
+    )
+    span = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    days = span.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(days))
+        .join(daily, ["user_id", "day"], "left")
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = grid.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_day"),
+    )
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.datediff("day", "prev_day").cast("double")
+        / F.datediff("next_day", "prev_day").cast("double")
+    )
+    both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    return ctx.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(both, interp)
+        .alias("value"),
+        F.when(F.col("v").isNotNull(), F.lit("actual"))
+        .when(both, F.lit("interp"))
+        .otherwise(F.lit("edge"))
+        .alias("status"),
     )

@@ -361,3 +361,12 @@ def test_ngram_token_arrays_stay_bound(spark):
         df = REG[name].fn(spark, SF_DIR)
         p = df._jdf.queryExecution().optimizedPlan().toString()
         assert "element_at(split(" not in p, name
+
+
+def test_image_dup_pairs_band_join_no_cartesian(spark):
+    """Perceptual-hash pair mining must generate candidates via the
+    (band, value) equi-join — never an all-pairs product over the
+    image corpus (the same bound as dedup_minhash, C2's LSH class)."""
+    p = plan_of(spark, "image_dup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1313,3 +1313,104 @@ def test_aes_key_selects_proportional_to_weight():
     p = w / w.sum()
     sigma = np.sqrt(trials * p * (1 - p))
     assert (np.abs(wins - trials * p) < 3 * sigma).all(), wins
+
+
+def test_image_phash_independent_rederivation(spark):
+    """image_phash is a real decode→resize→hash chain: one fixture
+    doc's 64-bit average hash re-derived independently from
+    synth_media's generation formula (pixel tensor → 8×8 NN resize →
+    integer ITU-R 601 luma → above-mean bits, MSB-first) must match
+    the registered query's value; plus determinism."""
+    import duckdb
+    import numpy as np
+
+    from mr_py_spark.operators.multimodal import _PH_EDGE
+
+    a = rows(spark, "image_phash")
+    b = rows(spark, "image_phash")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a and all(r.doc_id % 3 == 0 for r in a)
+
+    doc = min(r.doc_id for r in a)
+    txt = duckdb.query(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE doc_id = {doc}"
+    ).fetchone()[0]
+    body = txt.encode() or b"\x00"
+    w, h = 4 + doc % 13, 4 + doc % 7
+    row = w * 3
+    exp = np.zeros((h, w, 3), dtype=np.uint8)
+    for r_img in range(h):
+        r_buf = h - 1 - r_img
+        for c in range(w):
+            for k in range(3):
+                exp[r_img, c, k] = body[(r_buf * row + c * 3 + k) % len(body)]
+    ri = (np.arange(_PH_EDGE) * h) // _PH_EDGE
+    ci = (np.arange(_PH_EDGE) * w) // _PH_EDGE
+    t = exp[ri][:, ci].astype(np.int64)
+    luma = (299 * t[:, :, 2] + 587 * t[:, :, 1] + 114 * t[:, :, 0]).ravel()
+    ph = 0
+    for bit in (64 * luma > luma.sum()).astype(int):
+        ph = (ph << 1) | int(bit)
+    if ph >= 1 << 63:
+        ph -= 1 << 64
+    got = {r.doc_id: r for r in a}[doc]
+    assert (got.width, got.height, got.phash) == (w, h, ph)
+
+
+def test_image_dup_pairs_band_join_is_exact(spark):
+    """The 4×16-bit band join is EXACT for hamming ≤ 3 (pigeonhole:
+    ≤3 flipped bits leave ≥1 of 4 bands untouched): the registered
+    pair set must equal the O(n²) brute-force pair set over the same
+    corpus (fixture BMPs + planted twins), and the planting must make
+    the query non-vacuous."""
+    from mr_py_spark.operators.multimodal import (
+        _PH_RADIUS,
+        _VARIANT_OFFSET,
+        bmp_variants,
+        media_table,
+        phash_of,
+    )
+
+    corpus = (
+        media_table(spark, SF_DIR)
+        .filter(F.col("doc_id") % 3 == 0)
+        .unionByName(bmp_variants(spark, SF_DIR))
+    )
+    hashes = [(r.doc_id, r.phash) for r in phash_of(corpus).collect()]
+    brute = set()
+    for i, (da, pa) in enumerate(hashes):
+        for db, pb in hashes[i + 1 :]:
+            d = bin((pa ^ pb) & ((1 << 64) - 1)).count("1")
+            if d <= _PH_RADIUS:
+                brute.add((min(da, db), max(da, db), d))
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in rows(spark, "image_dup_pairs")}
+    assert got == brute
+    assert any(b - a == _VARIANT_OFFSET for a, b, _ in got)  # non-vacuous
+
+
+def test_hll_rollup_merge_is_lossless_and_bounded(spark):
+    """Sketch-union exactness: merging per-day HLL sketches must give
+    the SAME estimate as one direct sketch over all rows (union is
+    lossless for HLL), and the estimate must sit inside the standard
+    HLL error envelope of the exact distinct count (lgConfigK=12 →
+    RSE ~1.04/√4096 ≈ 1.6%; 5σ guard band)."""
+    from mr_py_spark.sources import tbl
+
+    merged = {r.event_type: r.est_users for r in rows(spark, "hll_rollup_merge")}
+    ev = tbl(spark, SF_DIR, "events")
+    direct = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert merged == direct
+    for t, est in merged.items():
+        assert abs(est - exact[t]) <= max(3, 0.08 * exact[t])
