@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import fmt_ts_us
+from mr_py_spark.functions import dec4, fmt_ts_us
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 
@@ -130,4 +130,78 @@ def scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_to"
         ),
         nxt.isNull().cast("long").alias("is_current"),
+    )
+
+
+@register(
+    "table_diff",
+    tags=("B19", "B33", "B8"),
+    oracle="""
+        WITH snap_a AS (
+            SELECT o_orderkey AS k,
+                   CAST(o_totalprice AS DECIMAL(10,4)) AS pa
+            FROM orders WHERE o_orderkey % 97 <> 3
+        ), snap_b AS (
+            SELECT o_orderkey AS k,
+                   CASE WHEN o_orderkey % 13 = 5
+                        THEN CAST(o_totalprice AS DECIMAL(10,4))
+                             + CAST(1.5 AS DECIMAL(10,4))
+                        ELSE CAST(o_totalprice AS DECIMAL(10,4))
+                   END AS pb
+            FROM orders WHERE o_orderkey % 89 <> 7
+        )
+        SELECT k AS o_orderkey,
+               CASE WHEN pa IS NULL THEN 'added'
+                    WHEN pb IS NULL THEN 'removed'
+                    ELSE 'changed' END AS status,
+               CAST(pa AS DOUBLE) AS old_price,
+               CAST(pb AS DOUBLE) AS new_price
+        FROM snap_a FULL OUTER JOIN snap_b USING (k)
+        WHERE pa IS NULL OR pb IS NULL OR pa <> pb
+    """,
+)
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot table diff — the data-reconciliation primitive behind
+    CDC backfills, migration sign-off, and replica drift checks: two
+    versions of a keyed table full-outer-joined on the key, each row
+    classified added / removed / changed, unchanged rows dropped
+    BEFORE anything is materialized. The snapshots here are two
+    deterministic modulo-carved views of orders (B lacks some of A's
+    keys, has some new ones, and bumps every 13th price by 1.50), so
+    all three classes are non-empty on every fixture.
+
+    Scale shape: ONE co-partitioned shuffle on the key — at 100 TB
+    both snapshots usually live bucketed on the key (sinks.
+    write_bucketed), making the diff shuffle-free; the changed-test
+    compares typed columns (exact DECIMAL here), and for wide tables
+    the same plan compares a single md5/xxhash64 row digest instead,
+    so the shuffle carries key+digest, never the payload. Output is
+    proportional to the DRIFT, not the table."""
+    orders = tbl(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    price = dec4(F.col("o_totalprice"))
+    snap_a = orders.filter(key % 97 != 3).select(
+        key.alias("k"), price.alias("pa")
+    )
+    snap_b = orders.filter(key % 89 != 7).select(
+        key.alias("k"),
+        F.when(
+            key % 13 == 5, price + F.lit("1.5").cast("decimal(10,4)")
+        )
+        .otherwise(price)
+        .alias("pb"),
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    return (
+        snap_a.join(snap_b, "k", "full")
+        .filter(pa.isNull() | pb.isNull() | (pa != pb))
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.when(pa.isNull(), "added")
+            .when(pb.isNull(), "removed")
+            .otherwise("changed")
+            .alias("status"),
+            pa.cast("double").alias("old_price"),
+            pb.cast("double").alias("new_price"),
+        )
     )

@@ -214,3 +214,108 @@ def dpp_weekend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("total_value"),
         )
     )
+
+
+def _interleave_sql(bx: str, by: str, bits: int) -> str:
+    """SQL expression interleaving the low `bits` bits of bx (odd
+    positions) and by (even positions) — identical text runs on both
+    engines (pure integer bit ops)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({bx} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({by} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+#: zorder_clustering geometry: 8-bit bins per dimension, bucket = the
+#: top 8 of the 16 interleaved bits -> each bucket is EXACTLY a 16x16
+#: rectangle of (cust_bin, day_bin) space.
+_Z_BITS = 8
+_Z_BUCKET_SHIFT = 8
+
+
+@register(
+    "zorder_clustering",
+    tags=("B14", "B16", "B31"),
+    oracle=f"""
+        WITH span AS (
+            SELECT min(o_custkey) AS c_lo, max(o_custkey) AS c_hi,
+                   min(CAST(o_orderdate AS DATE)) AS d_lo,
+                   max(CAST(o_orderdate AS DATE)) AS d_hi
+            FROM orders
+        ), b AS (
+            SELECT ((o_custkey - c_lo) * {1 << _Z_BITS})
+                       // (c_hi - c_lo + 1)                    AS bx,
+                   (datediff('day', d_lo, CAST(o_orderdate AS DATE))
+                        * {1 << _Z_BITS})
+                       // (datediff('day', d_lo, d_hi) + 1)    AS by
+            FROM orders CROSS JOIN span
+        )
+        SELECT CAST(({_interleave_sql('bx', 'by', _Z_BITS)})
+                        >> {_Z_BUCKET_SHIFT} AS BIGINT) AS z_bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(bx) AS BIGINT) AS cust_bin_lo,
+               CAST(max(bx) AS BIGINT) AS cust_bin_hi,
+               CAST(min(by) AS BIGINT) AS day_bin_lo,
+               CAST(max(by) AS BIGINT) AS day_bin_hi
+        FROM b GROUP BY 1
+    """,
+)
+def zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout keys — the multi-dimensional
+    clustering that makes min/max file skipping work on TWO query
+    dimensions at once (Delta OPTIMIZE ZORDER BY / Iceberg sort-order
+    semantics, built from plain bit arithmetic): customer key and
+    order day are each quantized to 8-bit bins against the table's
+    span, the bins' bits are interleaved into a 16-bit Morton code,
+    and rows land in bucket = code >> 8. Emits each bucket's row count
+    and its (cust, day) bin extents — by construction every bucket is
+    a 16x16 rectangle, so a predicate on EITHER dimension prunes
+    ~15/16 of buckets from their min/max stats alone, where a
+    single-column sort layout prunes only its leading dimension.
+
+    At 100 TB the same expression is the repartitionByRange /
+    sortWithinPartitions key before the parquet write (the write-side
+    demo lives in tests/test_sinks.py's partitioned warehouse); this
+    registered form verifies the code assignment and the bounded
+    extents cross-engine. The span is a 1-row broadcast aggregate
+    (bounded-metadata exemption class); all math is exact integer
+    floor division, identical both engines."""
+    orders = tbl(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    span = orders.agg(
+        F.min("o_custkey").alias("c_lo"),
+        F.max("o_custkey").alias("c_hi"),
+        F.min(day).alias("d_lo"),
+        F.max(day).alias("d_hi"),
+    )
+    n = 1 << _Z_BITS
+    # Integer `div` both engines (DuckDB `//`) — a double-division
+    # floor() is exact here but only by a magnitude argument; div is
+    # exact by construction at ANY key range.
+    b = (
+        orders.crossJoin(F.broadcast(span))
+        .withColumn("o_day", day)
+        .select(
+            F.expr(
+                f"(o_custkey - c_lo) * {n} div (c_hi - c_lo + 1)"
+            ).alias("bx"),
+            F.expr(
+                f"datediff(o_day, d_lo) * {n}"
+                " div (datediff(d_hi, d_lo) + 1)"
+            ).alias("by"),
+        )
+    )
+    z = F.expr(_interleave_sql("bx", "by", _Z_BITS))
+    return (
+        b.groupBy(
+            F.shiftright(z, _Z_BUCKET_SHIFT).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("bx").cast("long").alias("cust_bin_lo"),
+            F.max("bx").cast("long").alias("cust_bin_hi"),
+            F.min("by").cast("long").alias("day_bin_lo"),
+            F.max("by").cast("long").alias("day_bin_hi"),
+        )
+    )

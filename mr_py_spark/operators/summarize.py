@@ -550,3 +550,95 @@ def hll_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_days", "est_users")
     )
+
+
+@register(
+    "corr_by_group",
+    tags=("B2", "B31", "B3"),
+    oracle="""
+        WITH t AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(l_quantity AS DECIMAL(10,0)) AS x,
+                   CAST(l_discount AS DECIMAL(4,2))  AS y,
+                   CAST(l_tax      AS DECIMAL(4,2))  AS z
+            FROM lineitem
+        ), a AS (
+            SELECT l_returnflag, l_linestatus,
+                   CAST(count(*) AS BIGINT)   AS n_obs,
+                   CAST(count(*) AS DOUBLE)   AS nd,
+                   CAST(sum(x) AS DOUBLE)     AS sx,
+                   CAST(sum(y) AS DOUBLE)     AS sy,
+                   CAST(sum(z) AS DOUBLE)     AS sz,
+                   CAST(sum(x * x) AS DOUBLE) AS sxx,
+                   CAST(sum(y * y) AS DOUBLE) AS syy,
+                   CAST(sum(z * z) AS DOUBLE) AS szz,
+                   CAST(sum(x * y) AS DOUBLE) AS sxy,
+                   CAST(sum(x * z) AS DOUBLE) AS sxz,
+                   CAST(sum(y * z) AS DOUBLE) AS syz
+            FROM t GROUP BY 1, 2
+        )
+        SELECT l_returnflag, l_linestatus, n_obs,
+               (nd * sxy - sx * sy)
+                   / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+                   AS corr_qty_disc,
+               (nd * sxz - sx * sz)
+                   / sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz))
+                   AS corr_qty_tax,
+               (nd * syz - sy * sz)
+                   / sqrt((nd * syy - sy * sy) * (nd * szz - sz * sz))
+                   AS corr_disc_tax
+        FROM a
+    """,
+)
+def corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation MATRIX (quantity / discount / tax
+    by return flag + line status) from sufficient statistics: the ten
+    moments (n, Σx, Σy, Σz, Σx², Σy², Σz², Σxy, Σxz, Σyz) are each a
+    map-side-combinable sum, so the full 3×3 matrix over 10^12 rows is
+    ONE partial-agg shuffle of ten numbers per group — never a
+    per-pair pass, never `corr()` (whose one-pass update order is
+    engine-specific and non-deterministic under parallel fold).
+
+    Cross-engine determinism (the ols_by_group policy): moments are
+    summed in exact DECIMAL at their TRUE fixture scales and cast to
+    double ONCE, then each correlation is the identical IEEE chain
+    (n·Sxy − SxSy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²)) — sqrt is
+    correctly-rounded by IEEE-754, so equal inputs give bitwise-equal
+    outputs. Column choice is deliberate: quantity(0)/discount(2)/
+    tax(2) keep every scaled-integer sum far below 2^53 at any
+    realistic scale (worst case Σxy ≈ n·5·10² — exact past sf1000),
+    where an extendedprice² moment would silently pass 2^53 by sf0.01
+    and hit DuckDB's double(hugeint)/10^scale two-rounding trap."""
+    li = tbl(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(10,0)")
+    y = F.col("l_discount").cast("decimal(4,2)")
+    z = F.col("l_tax").cast("decimal(4,2)")
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(z).alias("_sz"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(z * z).alias("_szz"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * z).alias("_sxz"),
+        F.sum(y * z).alias("_syz"),
+    )
+    nd = F.col("n_obs").cast("double")
+    s = {c: F.col(f"_s{c}").cast("double") for c in
+         ("x", "y", "z", "xx", "yy", "zz", "xy", "xz", "yz")}
+
+    def corr(ab: str, a: str, b: str):
+        return (nd * s[ab] - s[a] * s[b]) / F.sqrt(
+            (nd * s[a + a] - s[a] * s[a]) * (nd * s[b + b] - s[b] * s[b])
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_obs",
+        corr("xy", "x", "y").alias("corr_qty_disc"),
+        corr("xz", "x", "z").alias("corr_qty_tax"),
+        corr("yz", "y", "z").alias("corr_disc_tax"),
+    )

@@ -779,3 +779,63 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts_us("p_ts").alias("purchase_ts"),
     )
     return _drain(joined, "append")
+
+
+@register(
+    "stream_static_enrich",
+    tags=("C6", "C8", "B21"),
+    oracle="""
+        WITH agg AS (
+            SELECT c.c_mktsegment,
+                   time_bucket(INTERVAL 1 HOUR, e.ts) AS w_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(e.value AS DECIMAL(10,4))) AS DOUBLE)
+                       AS total_value
+            FROM events e
+            JOIN customer c ON c.c_custkey = e.user_id
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment,
+               strftime(w_start, '%Y-%m-%d %H:%M:%S') AS bucket,
+               n_events, total_value
+        FROM agg
+        WHERE w_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 30 MINUTE
+                                            FROM events)
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (the third Structured Streaming
+    join topology, next to stream-stream and self-contained windows):
+    the event stream joins the STATIC customer dimension — no state,
+    no watermark on the static side; Spark broadcasts the dim into
+    every micro-batch — then rolls up 1-hour tumbling windows per
+    market segment under a 30-minute watermark. On a drained bounded
+    stream the emitted set is exactly the closed windows of the batch
+    join+aggregate (the stream_tumbling_window argument; the static
+    join adds nothing time-dependent), so the oracle is plain SQL.
+
+    Scale shape: this is the production enrich-then-aggregate
+    topology — the dim is broadcast (or a map-side state store for
+    dims too big to broadcast), the only shuffle is the windowed
+    aggregation keyed on (segment, window), and state is
+    O(segments x open windows), independent of stream length. The
+    stream side never shuffles for the join itself."""
+    from mr_py_spark.sources import tbl
+
+    ev = _events_stream(spark, sf_dir)
+    cust = tbl(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey, "inner"
+    )
+    agg = (
+        joined.withWatermark("ts", "30 minutes")
+        .groupBy("c_mktsegment", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            "c_mktsegment",
+            fmt_ts(F.col("w.start")).alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _drain(agg, "append")

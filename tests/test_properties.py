@@ -1414,3 +1414,23 @@ def test_hll_rollup_merge_is_lossless_and_bounded(spark):
     assert merged == direct
     for t, est in merged.items():
         assert abs(est - exact[t]) <= max(3, 0.08 * exact[t])
+
+
+def test_zorder_buckets_are_bounded_rectangles(spark):
+    """The file-skipping claim behind zorder_clustering: with 8-bit
+    bins and bucket = morton >> 8, every bucket's (cust, day) extents
+    must fit a 16x16 bin rectangle (the low 4 bits of each dimension
+    are the intra-bucket bits), so per-bucket min/max stats prune on
+    EITHER dimension. Also: the bucket id must re-derive from any
+    member's high bin bits (buckets tile the space disjointly)."""
+    out = rows(spark, "zorder_clustering")
+    assert out and len(out) <= 256
+    for r in out:
+        assert 0 <= r.cust_bin_hi - r.cust_bin_lo <= 15, r
+        assert 0 <= r.day_bin_hi - r.day_bin_lo <= 15, r
+        bx_hi, by_hi = r.cust_bin_lo >> 4, r.day_bin_lo >> 4
+        z = 0
+        for i in range(4):
+            z |= ((bx_hi >> i) & 1) << (2 * i + 1)
+            z |= ((by_hi >> i) & 1) << (2 * i)
+        assert z == r.z_bucket, r
