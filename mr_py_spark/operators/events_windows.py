@@ -124,3 +124,76 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "audience_overlap",
+    tags=("B19", "B37", "B10"),
+    oracle="""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ), totals AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut
+            GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+               CAST(n_both AS DOUBLE)
+                   / CAST(ta.n + tb.n - n_both AS DOUBLE) AS jaccard
+        FROM pairs
+        JOIN totals ta ON ta.event_type = type_a
+        JOIN totals tb ON tb.event_type = type_b
+    """,
+)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact audience-overlap matrix: for every pair of event types,
+    how many distinct users did BOTH, plus each side's reach and the
+    Jaccard overlap — the segment-intersection query behind campaign
+    planning and cohort design. The sketch version of this is
+    hll_rollup_merge; this is the exact form, and its scale shape is
+    what makes exactness affordable: dedup to (user, type) FIRST (one
+    shuffle, map-side combinable), so the self-join runs on the
+    deduped frame where each user contributes at most C(T,2) pairs —
+    bounded by the TYPE alphabet (T=5 here), never by the user's
+    event count. The totals join is T rows, broadcast.
+
+    Jaccard = n_both / (n_a + n_b - n_both), one double division,
+    identical both engines."""
+    ev = tbl(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ut.alias("a"), ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = F.broadcast(totals.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")))
+    return (
+        pairs.join(ta, "type_a")
+        .join(tb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

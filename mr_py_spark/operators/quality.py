@@ -106,3 +106,78 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+#: Benford first-digit shares log10(1 + 1/d), materialized ONCE in
+#: Python and injected as the same 17-significant-digit literal into
+#: both engines' query texts — computing log10 inside each engine
+#: would risk a 1-ULP cross-engine delta on a compared double.
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "benford_audit",
+    tags=("B7", "B31", "B33"),
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(substring(CAST(CAST(floor(
+                       CAST(o_totalprice AS DECIMAL(10,4))) AS BIGINT)
+                       AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders
+        ), c AS (
+            SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit
+        )
+        SELECT digit, n,
+               CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE) AS share,
+               CASE digit
+                   {" ".join(f"WHEN {d} THEN CAST({v!r} AS DOUBLE)"
+                             for d, v in _BENFORD.items())}
+               END AS benford,
+               (CAST(n AS DOUBLE) / CAST(sum(n) OVER () AS DOUBLE))
+                   - CASE digit
+                       {" ".join(f"WHEN {d} THEN CAST({v!r} AS DOUBLE)"
+                                 for d, v in _BENFORD.items())}
+                     END AS delta
+        FROM c
+    """,
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order prices — the fraud/synthetic-
+    data screen auditors run on any money column: observed first-digit
+    shares against Benford's law, with the signed deviation per digit.
+    One grouped count (<=9 groups, map-side combinable), then the
+    share/deviation math runs on the 9-row aggregate — the window
+    total is over the POST-aggregation frame (bounded-metadata class,
+    never a data-sized unpartitioned sort).
+
+    Determinism: the first digit comes from exact DECIMAL floor ->
+    BIGINT -> string (never log10 of a double, whose 1-ULP boundary
+    cells would flip digits cross-engine), and the nine Benford
+    constants are Python-materialized literals injected into BOTH
+    query texts, so share - benford is the identical IEEE chain."""
+    orders = tbl(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice").cast("decimal(10,4)"))
+        .cast("long")
+        .cast("string"),
+        1,
+        1,
+    ).cast("long")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n").over(W.partitionBy())
+    expr = None
+    for d, v in _BENFORD.items():
+        cond = F.when(F.col("digit") == d, F.lit(v))
+        expr = cond if expr is None else expr.when(F.col("digit") == d, F.lit(v))
+    share = F.col("n").cast("double") / total.cast("double")
+    return c.select(
+        "digit",
+        "n",
+        share.alias("share"),
+        expr.alias("benford"),
+        (share - expr).alias("delta"),
+    )

@@ -423,3 +423,49 @@ def interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("edge"))
         .alias("status"),
     )
+
+
+@register(
+    "event_trigrams",
+    tags=("B35", "B11", "B5"),
+    oracle="""
+        WITH s AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE e3 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY n DESC, e1, e2, e3
+        LIMIT 20
+    """,
+)
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the 20 most frequent 3-step
+    event-type sequences across all users — the prep query for
+    next-event models and funnel discovery. Each user's ordered
+    stream becomes trigrams via two lead() calls over ONE per-user
+    window (a single keyed shuffle; no self-joins, no collect_list
+    materializing a user's whole history), then a global count and a
+    fully-deterministic top-20 (n DESC, then lexicographic — a total
+    order, so LIMIT is stable cross-engine). At clickstream scale the
+    trigram alphabet is |types|^3, so the count shuffle moves a
+    bounded key set regardless of row count; the top-k compiles to
+    TakeOrdered, never a global sort."""
+    ev = tbl(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e3").isNotNull())
+        .groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        .limit(20)
+    )

@@ -370,3 +370,20 @@ def test_image_dup_pairs_band_join_no_cartesian(spark):
     p = plan_of(spark, "image_dup_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_event_trigrams_topk_is_take_ordered(spark):
+    """The global top-20 over the bounded trigram alphabet must
+    compile to TakeOrderedAndProject — never a full global sort of
+    the count table."""
+    p = plan_of(spark, "event_trigrams")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_audience_overlap_totals_are_broadcast(spark):
+    """The per-type reach totals (|types| rows) must join back via
+    broadcast; the only real shuffles are the (user, type) dedup and
+    the pair count."""
+    p = plan_of(spark, "audience_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
