@@ -205,3 +205,72 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             pb.cast("double").alias("new_price"),
         )
     )
+
+
+#: incremental_mv_merge state split: rows before this date are the
+#: standing materialized state, rows on/after are the delta batch.
+_MV_SPLIT = "1995-01-01"
+
+
+@register(
+    "incremental_mv_merge",
+    tags=("B2", "B27", "B36"),
+    oracle="""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(10,4))) AS DOUBLE)
+                   AS total,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(10,4))) AS DOUBLE)
+                   / count(*) AS avg_price
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the standing MV
+    state (orders before the split date, already aggregated) merges
+    with the new delta batch (on/after the split, aggregated alone)
+    by UNION + re-aggregate of the partial states — sum of counts,
+    sum of exact-DECIMAL partial sums — instead of re-scanning
+    history. The oracle is the from-scratch aggregate: the query
+    proves algebraically-mergeable state gives the identical answer
+    (decimal partial sums are exactly associative; avg is DERIVED
+    from merged sum/count, never averaged-of-averages).
+
+    At 100 TB this is the difference between touching one day's
+    partition and re-scanning years: any sum/count/min/max MV
+    maintains in O(delta), and the merge shuffle carries one row per
+    (group x state), not per source row. The non-mergeable aggregates
+    (exact median) are exactly the ones the engine's sketch surface
+    (percentile_approx_digest, hll_rollup_merge) exists for."""
+    orders = tbl(spark, sf_dir, "orders")
+    split = F.lit(_MV_SPLIT).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderstatus",
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec4(F.col("o_totalprice"))).alias("tot_dec"),
+        )
+
+    state = partial(orders.filter(F.to_date("o_orderdate") < split))
+    delta = partial(orders.filter(F.to_date("o_orderdate") >= split))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("month", "o_orderstatus")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("tot_dec").alias("dec_total"),
+        )
+    )
+    total = F.col("dec_total").cast("double")
+    return merged.select(
+        "month",
+        "o_orderstatus",
+        "n_orders",
+        total.alias("total"),
+        (total / F.col("n_orders")).alias("avg_price"),
+    )

@@ -604,10 +604,10 @@ def phash_of(images: DataFrame) -> DataFrame:
                 luma = 299 * t[:, :, 2] + 587 * t[:, :, 1] + 114 * t[:, :, 0]
                 flat = luma.ravel()
                 # bit set iff 64 * luma_i > Σ luma (exact integer compare)
-                bits = (64 * flat > flat.sum()).astype(np.uint64)
-                ph = 0
-                for b in bits:
-                    ph = (ph << 1) | int(b)
+                bits = (64 * flat > flat.sum()).astype(np.uint8)
+                # packbits is MSB-first, so bit 0 lands at bit 63 —
+                # same order as the shift loop it replaces
+                ph = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 # two's-complement into LONG (bit 63 may be set)
                 if ph >= 1 << 63:
                     ph -= 1 << 64

@@ -346,6 +346,7 @@ def load_all() -> dict[str, Query]:
         scalar,
         similarity,
         skew,
+        spatial,
         sql_surface,
         summarize,
         text,

@@ -387,3 +387,12 @@ def test_audience_overlap_totals_are_broadcast(spark):
     p = plan_of(spark, "audience_overlap")
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_spatial_radius_join_is_cell_equi_join(spark):
+    """Candidate generation must be the grid-cell equi-join (facility
+    3x3 ring explode -> hash join on cell id) — never the oracle's
+    all-pairs theta join."""
+    p = plan_of(spark, "spatial_radius_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
