@@ -90,11 +90,92 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit of every declared FK edge in the
     star schema: child rows, distinct child keys, orphaned child rows
     (key missing from the parent), and unreferenced parent keys (no
-    child points at them). Each edge is one keyed shuffle over its
-    pre-aggregated (key, count) frame — the shuffle width is the
-    DISTINCT key count, so a 10^12-row fact table ships its ~10^9
-    distinct keys, not its rows; the seven one-row aggregates union
-    into the final report. All counts LONG on both sides."""
+    child points at them). FUSED single-pass form (r9): a child table
+    carrying E edges explodes each row to its E (edge, key) pairs in
+    ONE scan — lineitem, child of three edges, is read once instead
+    of three times — all edges pre-aggregate in one (edge, key)
+    shuffle whose width is the distinct-key count per edge (a 10^12-
+    row fact ships its ~10^9 keys, not rows), and a single
+    (edge, key) full-outer join against the tagged parent key sets
+    classifies everything; one groupBy(edge) emits the report. Same
+    values as the per-edge form (`fk_audit_per_edge`, kept for the
+    SCALE.md A/B); all counts LONG on both sides."""
+    # Edges travel as TINY int ids through the wide shuffles (the
+    # name string would triple the exploded fact's shuffle bytes);
+    # names come back via a per-edge CASE on the 7-row aggregate.
+    edge_id = {e: i for i, e in enumerate(_FK_EDGES)}
+    edge_name = {
+        i: f"{c}.{ck}->{p}.{pk}" for (c, ck, p, pk), i in edge_id.items()
+    }
+    by_child: dict[str, list[tuple]] = {}
+    for e in _FK_EDGES:
+        by_child.setdefault(e[0], []).append(e)
+    child_parts = []
+    for c, edges in by_child.items():
+        t = tbl(spark, sf_dir, c)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(edge_id[e]).cast("int").alias("eid"),
+                    F.col(e[1]).cast("long").alias("k"),
+                )
+                for e in edges
+            ]
+        )
+        child_parts.append(
+            t.select(F.explode(pairs).alias("e")).select("e.eid", "e.k")
+        )
+    child_kv = child_parts[0]
+    for f in child_parts[1:]:
+        child_kv = child_kv.unionByName(f)
+    ck_agg = child_kv.groupBy("eid", "k").agg(F.count(F.lit(1)).alias("n"))
+    parent_parts = []
+    for e in _FK_EDGES:
+        parent_parts.append(
+            tbl(spark, sf_dir, e[2])
+            .select(
+                F.lit(edge_id[e]).cast("int").alias("eid"),
+                F.col(e[3]).cast("long").alias("k"),
+            )
+            .distinct()
+        )
+    pk_all = parent_parts[0]
+    for f in parent_parts[1:]:
+        pk_all = pk_all.unionByName(f)
+    j = ck_agg.alias("c").join(
+        pk_all.alias("p"),
+        (F.col("c.eid") == F.col("p.eid")) & (F.col("c.k") == F.col("p.k")),
+        "full_outer",
+    )
+    name = None
+    for i, nm in edge_name.items():
+        cond = F.col("eid") == i
+        name = F.when(cond, nm) if name is None else name.when(cond, nm)
+    agg = j.groupBy(
+        F.coalesce(F.col("c.eid"), F.col("p.eid")).alias("eid")
+    ).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("child_rows"),
+        F.count(F.col("c.k")).alias("child_keys"),
+        F.coalesce(F.sum(F.when(F.col("p.k").isNull(), F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("orphan_rows"),
+        F.count(F.when(F.col("c.k").isNull(), F.lit(1))).alias(
+            "unreferenced_parents"
+        ),
+    )
+    return agg.select(
+        name.alias("edge"),
+        "child_rows",
+        "child_keys",
+        "orphan_rows",
+        "unreferenced_parents",
+    )
+
+
+def fk_audit_per_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-r9 per-edge formulation (6 independent audits unioned;
+    lineitem scanned three times) — unregistered, kept as the A/B
+    control for the fused form's SCALE.md measurement."""
     frames = [
         _edge_audit(
             tbl(spark, sf_dir, c), ck, tbl(spark, sf_dir, p), pk,

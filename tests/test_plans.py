@@ -396,3 +396,12 @@ def test_spatial_radius_join_is_cell_equi_join(spark):
     p = plan_of(spark, "spatial_radius_join")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_fk_audit_scans_lineitem_once(spark):
+    """The fused audit's contract: a child table carrying several FK
+    edges is scanned once (explode to (edge, key)), not once per
+    edge. The per-edge control (fk_audit_per_edge) scans it three
+    times."""
+    p = plan_of(spark, "fk_integrity_audit")
+    assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
