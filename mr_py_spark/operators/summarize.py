@@ -610,9 +610,16 @@ def corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     where an extendedprice² moment would silently pass 2^53 by sf0.01
     and hit DuckDB's double(hugeint)/10^scale two-rounding trap."""
     li = tbl(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(10,0)")
-    y = F.col("l_discount").cast("decimal(4,2)")
-    z = F.col("l_tax").cast("decimal(4,2)")
+    # Moments accumulate as SCALED LONGS, not decimals: Spark's
+    # decimal multiply+sum path measured 13x slower than DuckDB's
+    # hugeint at sf10 (16.2 vs 1.2 s; SCALE.md r9) — long sums stay
+    # in whole-stage codegen. Exactness is unchanged: every scaled
+    # product sum here is < 2^53 far past sf100, so double(long)/10^s
+    # equals DuckDB's double(hugeint)/10^s bit-for-bit (one exact
+    # integer widening + one identical IEEE division each).
+    x = F.col("l_quantity").cast("decimal(10,0)").cast("long")
+    y = (F.col("l_discount").cast("decimal(4,2)") * 100).cast("long")
+    z = (F.col("l_tax").cast("decimal(4,2)") * 100).cast("long")
     agg = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_obs"),
         F.sum(x).alias("_sx"),
@@ -626,8 +633,12 @@ def corr_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * z).alias("_syz"),
     )
     nd = F.col("n_obs").cast("double")
-    s = {c: F.col(f"_s{c}").cast("double") for c in
-         ("x", "y", "z", "xx", "yy", "zz", "xy", "xz", "yz")}
+    scale = {"x": 1.0, "y": 100.0, "z": 100.0,
+             "xx": 1.0, "yy": 10_000.0, "zz": 10_000.0,
+             "xy": 100.0, "xz": 100.0, "yz": 10_000.0}
+    s = {c: F.col(f"_s{c}").cast("double") / F.lit(scale[c])
+         if scale[c] != 1.0 else F.col(f"_s{c}").cast("double")
+         for c in scale}
 
     def corr(ab: str, a: str, b: str):
         return (nd * s[ab] - s[a] * s[b]) / F.sqrt(
