@@ -582,14 +582,39 @@ _PH_BANDS = 4
 _PH_RADIUS = 3
 
 
+def ahash64(img) -> int:
+    """64-bit average hash of one (h, w, 3) uint8 BGR tensor: 8×8
+    nearest-neighbor resize → ITU-R 601 integer luma → bit i set iff
+    luma_i > mean (row-major, bit 0 = MSB), returned as a signed
+    two's-complement LONG. All integer math (luma scaled by 1000, mean
+    compared via cross-multiplication) so the hash is platform-exact —
+    no float thresholds anywhere. Shared by the image (``phash_of``)
+    and video (``video_sig_of``) near-dup families — one copy of the
+    kernel, per the one-join-predicate rule."""
+    import numpy as np
+
+    h, w, _ = img.shape
+    ri = (np.arange(_PH_EDGE) * h) // _PH_EDGE
+    ci = (np.arange(_PH_EDGE) * w) // _PH_EDGE
+    t = img[ri][:, ci].astype(np.int64)  # (8, 8, 3) BGR
+    # ITU-R 601 luma × 1000: 299 R + 587 G + 114 B (ints).
+    luma = 299 * t[:, :, 2] + 587 * t[:, :, 1] + 114 * t[:, :, 0]
+    flat = luma.ravel()
+    # bit set iff 64 * luma_i > Σ luma (exact integer compare)
+    bits = (64 * flat > flat.sum()).astype(np.uint8)
+    # packbits is MSB-first, so bit 0 lands at bit 63 —
+    # same order as the shift loop it replaces
+    ph = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    # two's-complement into LONG (bit 63 may be set)
+    if ph >= 1 << 63:
+        ph -= 1 << 64
+    return ph
+
+
 def phash_of(images: DataFrame) -> DataFrame:
     """(doc_id, width, height, phash LONG) for a (doc_id, payload) BMP
-    frame: decode → ITU-R 601 integer luma → 8×8 nearest-neighbor
-    resize → average hash (bit i set iff luma_i > mean, in row-major
-    order, bit 0 = MSB). All integer math (luma scaled by 1000, mean
-    compared via cross-multiplication) so the hash is platform-exact —
-    no float thresholds anywhere."""
-    import numpy as np
+    frame: decode → ``ahash64`` (integer-exact average hash over the
+    8×8-resized luma plane)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -597,24 +622,10 @@ def phash_of(images: DataFrame) -> DataFrame:
             for d, p in zip(pdf["doc_id"], pdf["payload"]):
                 img = bmp_pixels(p)
                 h, w, _ = img.shape
-                ri = (np.arange(_PH_EDGE) * h) // _PH_EDGE
-                ci = (np.arange(_PH_EDGE) * w) // _PH_EDGE
-                t = img[ri][:, ci].astype(np.int64)  # (8, 8, 3) BGR
-                # ITU-R 601 luma × 1000: 299 R + 587 G + 114 B (ints).
-                luma = 299 * t[:, :, 2] + 587 * t[:, :, 1] + 114 * t[:, :, 0]
-                flat = luma.ravel()
-                # bit set iff 64 * luma_i > Σ luma (exact integer compare)
-                bits = (64 * flat > flat.sum()).astype(np.uint8)
-                # packbits is MSB-first, so bit 0 lands at bit 63 —
-                # same order as the shift loop it replaces
-                ph = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                # two's-complement into LONG (bit 63 may be set)
-                if ph >= 1 << 63:
-                    ph -= 1 << 64
                 out["doc_id"].append(int(d))
                 out["width"].append(w)
                 out["height"].append(h)
-                out["phash"].append(ph)
+                out["phash"].append(ahash64(img))
             yield pd.DataFrame(out)
 
     return images.mapInPandas(
@@ -729,3 +740,283 @@ def image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+#: audio_dup_pairs geometry mirrors the image family: 64 FIXED 4-sample
+#: energy windows -> 64 neighbor-delta bits (chromaprint-style), 4x16-bit
+#: bands, hamming radius 3 (pigeonhole-exact band join, as
+#: image_dup_pairs). Fixed windows + LOCAL comparisons are what make the
+#: signature edit-robust: a tail trim disturbs only the windows it
+#: touches (first cut used length-relative windows + a global mean bit —
+#: measured 16-42 bits of churn on a 3% trim, useless as a near-dup key;
+#: this form measures 0-4).
+_AU_WINDOWS = 64
+_AU_WIN_SAMPLES = 4
+_AU_BANDS = 4
+_AU_RADIUS = 3
+
+
+def audio_sig_of(audio: DataFrame) -> DataFrame:
+    """(doc_id, n_frames, sig LONG) for (doc_id, payload) WAV rows:
+    PCM decode -> first channel -> 64 fixed 4-sample windows ->
+    per-window energy Sum((s-128)^2) in int64 -> bit i set iff
+    energy_i > energy_{i+1} (cyclic) — exact integer comparisons, no
+    float thresholds. Delta-coding against the NEIGHBOR (not a global
+    mean) keeps every bit local, so edits perturb only the bits whose
+    windows they touch; constant amplitude re-scaling moves both sides
+    of each comparison together, so the signature is loudness-robust —
+    near-dup key, not checksum."""
+    import numpy as np
+
+    span = _AU_WINDOWS * _AU_WIN_SAMPLES
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "sig": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                _, frames = wav_samples(p)
+                s = frames[:, 0].astype(np.int64) - 128
+                n = len(s)
+                e2 = np.zeros(span, dtype=np.int64)
+                m = min(n, span)
+                e2[:m] = s[:m] * s[:m]
+                energy = e2.reshape(_AU_WINDOWS, _AU_WIN_SAMPLES).sum(axis=1)
+                bits = (energy > np.roll(energy, -1)).astype(np.uint8)
+                sig = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                out["doc_id"].append(int(d))
+                out["n_frames"].append(n)
+                out["sig"].append(sig)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(run, "doc_id long, n_frames long, sig long")
+
+
+def wav_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-duplicate twins of every 4th fixture WAV:
+    the trailing ~3% of frames are trimmed and the payload re-packed
+    as a valid WAV — a REAL edit (clipped audio) that disturbs only
+    the tail windows' energies, so the 64-bit signature moves by a
+    few bits, not all of them. Planted for the same reason as
+    bmp_variants: fixture WAVs cannot collide naturally (payload
+    bytes derive from distinct texts)."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                rate, frames = wav_samples(p)
+                keep = max(1, len(frames) - max(1, len(frames) // 32))
+                samples = frames[:keep].tobytes()
+                ch = frames.shape[1]
+                fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch, ch, 8)
+                data = b"data" + struct.pack("<I", len(samples)) + samples
+                riff_len = 4 + (8 + len(fmt)) + (8 + len(samples))
+                payloads.append(
+                    b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt + data
+                )
+                ids.append(int(d) + _VARIANT_OFFSET)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    base = media_table(spark, sf_dir).filter(
+        (F.col("doc_id") % 3 == 2) & (F.col("doc_id") % 4 == 0)
+    )
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+@register("audio_sig", tags=("C4", "C2"), oracle=None)
+def audio_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprints of the WAV third of the blob fixture —
+    C4->C2 bridge for the audio modality (the image analogue is
+    image_phash). One shuffle-free mapInPandas over the blob scan.
+    Rows-only (SQL cannot decode PCM); determinism + an independent
+    pure-Python re-derivation are property-tested."""
+    return audio_sig_of(
+        media_table(spark, sf_dir).filter(F.col("doc_id") % 3 == 2)
+    )
+
+
+@register("audio_dup_pairs", tags=("C2", "C4", "B19"), oracle=None)
+def audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate audio pairs: hamming(sig) <= 3 via the same
+    exact-by-pigeonhole 4x16-bit band equi-join as image_dup_pairs —
+    candidate generation is bucketed, never all-pairs; the corpus is
+    the fixture WAVs plus the tail-trimmed twins of wav_variants.
+    Property-tested equal to the O(n^2) brute-force pair set."""
+    wavs = (
+        media_table(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .unionByName(wav_variants(spark, sf_dir))
+    )
+    sg = audio_sig_of(wavs).select("doc_id", "sig")
+    bands = sg.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftright("sig", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    .alias("val"),
+                )
+                for i in range(_AU_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "sig", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _AU_RADIUS)
+        .distinct()
+    )
+
+
+#: video_dup_pairs: two videos are near-dups when the Jaccard
+#: similarity of their DISTINCT per-frame ahash64 sets reaches this
+#: threshold. Candidate generation is an equi-join on the full frame
+#: hash (a frame-fingerprint inverted index) — exact for any tau > 0,
+#: since a qualifying pair shares at least one frame hash.
+_VID_JACCARD = 0.5
+
+
+def video_sig_of(videos: DataFrame) -> DataFrame:
+    """(doc_id, frame_idx, fhash LONG) for (doc_id, payload) AVI rows:
+    movi-list walk → uncompressed-DIB frame decode (``avi_frames``) →
+    per-frame ``ahash64`` — the SAME integer-exact kernel the image
+    family uses, one copy shared. Frame dims come from the synth
+    geometry formula keyed on the BASE doc id (``% _VARIANT_OFFSET``)
+    so planted twins decode with their parent's geometry; a real
+    deployment reads dims from the AVI stream header instead."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "fhash": []}
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(d)
+                base = d % _VARIANT_OFFSET
+                w, h = 4 + base % 13, 4 + base % 7
+                for idx, img in avi_frames(bytes(p), w, h):
+                    out["doc_id"].append(d)
+                    out["frame_idx"].append(idx)
+                    out["fhash"].append(ahash64(img))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(run, "doc_id long, frame_idx long, fhash long")
+
+
+def avi_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-duplicate twins of every 4th fixture video:
+    the LAST '00db' frame chunk is dropped and the movi/RIFF lengths
+    re-packed — a REAL edit (truncated video) that removes one
+    element from the frame-hash set and leaves every other frame
+    byte-identical, so Jaccard lands at (n-1)/n >= 1/2 for the
+    fixture's 2-5 frame containers. Planted for the same reason as
+    bmp_variants: fixture videos cannot collide naturally (frame
+    pixels derive from distinct texts)."""
+    import struct
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                # offsets of each frame chunk inside the movi list
+                pos, end, starts = 24, len(p), []
+                while pos + 8 <= end:
+                    clen = struct.unpack_from("<I", p, pos + 4)[0]
+                    starts.append(pos)
+                    pos += 8 + clen + (clen % 2)
+                chunks = p[24 : starts[-1]]
+                movi = b"LIST" + struct.pack("<I", 4 + len(chunks)) + b"movi" + chunks
+                riff = b"RIFF" + struct.pack("<I", 4 + len(movi)) + b"AVI " + movi
+                ids.append(int(d) + _VARIANT_OFFSET)
+                payloads.append(riff)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    base = video_table(spark, sf_dir).filter(F.col("doc_id") % 4 == 0)
+    return base.mapInPandas(run, "doc_id long, payload binary")
+
+
+@register("video_sig", tags=("C4", "C2"), oracle=None)
+def video_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame video fingerprints (C4→C2 bridge for the last
+    modality): every fixture AVI decoded frame-by-frame, each frame
+    reduced to the shared 64-bit average hash. One shuffle-free
+    mapInPandas over the blob scan with container-bounded fan-out.
+    Rows-only (SQL cannot decode DIB frames); determinism + an
+    independent re-derivation from the synth formula are
+    property-tested."""
+    return video_sig_of(video_table(spark, sf_dir))
+
+
+@register("video_dup_pairs", tags=("C2", "C4", "B19"), oracle=None)
+def video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate video pairs by frame-fingerprint set overlap:
+    Jaccard over each video's DISTINCT frame-hash set >= 0.5, the
+    corpus being every 4th fixture video plus its truncated twin
+    (``avi_variants``). Deliberately a DIFFERENT join topology from
+    the image/audio band joins: candidates come from an inverted
+    index on the FULL frame hash (docs sharing >= 1 identical frame),
+    which is exact for any positive threshold — a qualifying pair by
+    definition shares a frame hash — and the per-pair intersection
+    size is a plain count over the hash-keyed equi-join. No cross
+    join anywhere; intersection/union arithmetic is JVM-side.
+
+    Scale shape: the hash join's bucket sizes are frame-popularity
+    counts; at 100 TB the known hazard is stop-frames (black/title
+    cards) forming hot buckets — production variant adds a
+    document-frequency cap on join keys (drop hashes appearing in
+    > f docs, exactly the stop-word prefix-filter of set-similarity
+    joins), which only removes pairs whose overlap is carried by
+    boilerplate frames. Fixture corpus has no such hubs, so the
+    uncapped exact form is registered and property-tested against
+    the O(n^2) brute-force pair set."""
+    corpus = video_table(spark, sf_dir).filter(F.col("doc_id") % 4 == 0).unionByName(
+        avi_variants(spark, sf_dir)
+    )
+    sigs = video_sig_of(corpus).select("doc_id", "fhash").distinct()
+    sizes = sigs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.fhash") == F.col("b.fhash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+    )
+    nb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b")
+    )
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= _VID_JACCARD)
+        .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+    )

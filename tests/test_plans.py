@@ -405,3 +405,21 @@ def test_fk_audit_scans_lineitem_once(spark):
     times."""
     p = plan_of(spark, "fk_integrity_audit")
     assert p.count("lineitem.parquet") == 1, p.count("lineitem.parquet")
+
+
+def test_audio_dup_pairs_band_join_no_cartesian(spark):
+    """Audio near-dup candidates come from the (band, value)
+    equi-join, never an all-pairs product (same bar as
+    image_dup_pairs)."""
+    p = plan_of(spark, "audio_dup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_video_dup_pairs_inverted_index_no_cartesian(spark):
+    """Video near-dup candidates come from the frame-hash inverted
+    index equi-join, never an all-pairs product (same bar as the
+    image/audio band joins)."""
+    p = plan_of(spark, "video_dup_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -1434,3 +1434,158 @@ def test_zorder_buckets_are_bounded_rectangles(spark):
             z |= ((bx_hi >> i) & 1) << (2 * i + 1)
             z |= ((by_hi >> i) & 1) << (2 * i)
         assert z == r.z_bucket, r
+
+
+def test_audio_sig_independent_rederivation(spark):
+    """audio_sig is a real PCM decode -> windowed energy -> delta-bit
+    chain: one fixture doc's 64-bit signature re-derived independently
+    from synth_media's generation formula must match the registered
+    query's value; plus determinism."""
+    import duckdb
+    import numpy as np
+
+    from mr_py_spark.operators.multimodal import (
+        _AU_WIN_SAMPLES,
+        _AU_WINDOWS,
+    )
+
+    a = rows(spark, "audio_sig")
+    b = rows(spark, "audio_sig")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert a and all(r.doc_id % 3 == 2 for r in a)
+
+    doc = min(r.doc_id for r in a)
+    txt = duckdb.query(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE doc_id = {doc}"
+    ).fetchone()[0]
+    body = txt.encode() or b"\x00"
+    channels = 1 + doc % 2
+    n = min(len(body), 2048)
+    mono = np.array(
+        [body[i % len(body)] for i in range(n)], dtype=np.int64
+    ) - 128
+    span = _AU_WINDOWS * _AU_WIN_SAMPLES
+    e2 = np.zeros(span, dtype=np.int64)
+    m = min(n, span)
+    e2[:m] = mono[:m] * mono[:m]
+    energy = e2.reshape(_AU_WINDOWS, _AU_WIN_SAMPLES).sum(axis=1)
+    bits = (energy > np.roll(energy, -1)).astype(np.uint8)
+    sig = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    if sig >= 1 << 63:
+        sig -= 1 << 64
+    got = {r.doc_id: r for r in a}[doc]
+    assert (got.n_frames, got.sig) == (n, sig)
+
+
+def test_audio_dup_pairs_band_join_is_exact(spark):
+    """Same exactness bar as the image family: the registered pair set
+    must equal the O(n^2) brute-force pair set over fixture WAVs +
+    tail-trimmed twins, and the planting must be non-vacuous."""
+    from mr_py_spark.operators.multimodal import (
+        _AU_RADIUS,
+        _VARIANT_OFFSET,
+        audio_sig_of,
+        media_table,
+        wav_variants,
+    )
+
+    corpus = (
+        media_table(spark, SF_DIR)
+        .filter(F.col("doc_id") % 3 == 2)
+        .unionByName(wav_variants(spark, SF_DIR))
+    )
+    sigs = [(r.doc_id, r.sig) for r in audio_sig_of(corpus).collect()]
+    brute = set()
+    for i, (da, sa) in enumerate(sigs):
+        for db, sb in sigs[i + 1 :]:
+            d = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if d <= _AU_RADIUS:
+                brute.add((min(da, db), max(da, db), d))
+    got = {(r.doc_a, r.doc_b, r.hamming) for r in rows(spark, "audio_dup_pairs")}
+    assert got == brute
+    assert any(b - a == _VARIANT_OFFSET for a, b, _ in got)  # non-vacuous
+
+
+def test_video_sig_independent_rederivation(spark):
+    """video_sig is a real movi-walk -> DIB decode -> ahash chain: one
+    fixture doc's per-frame hashes re-derived independently (pure
+    Python shift-loop ahash, no numpy) from synth_video's generation
+    formula must match the registered query's values; plus
+    determinism."""
+    import duckdb
+    import numpy as np
+
+    a = rows(spark, "video_sig")
+    b = rows(spark, "video_sig")
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    doc = min(r.doc_id for r in a)
+    txt = duckdb.query(
+        f"SELECT text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        f" WHERE doc_id = {doc}"
+    ).fetchone()[0]
+    body = txt.encode() or b"\x00"
+    w, h = 4 + doc % 13, 4 + doc % 7
+    stride = (w * 3 + 3) & ~3
+    n_frames = 2 + doc % 4
+    got = sorted((r.frame_idx, r.fhash) for r in a if r.doc_id == doc)
+    assert len(got) == n_frames
+    for f in range(n_frames):
+        frame = bytes(body[(f * 7 + i) % len(body)] for i in range(stride * h))
+        img = (
+            np.frombuffer(frame, np.uint8)
+            .reshape(h, stride)[:, : w * 3]
+            .reshape(h, w, 3)[::-1]
+        )
+        lumas = []
+        for r8 in range(8):
+            for c8 in range(8):
+                px = img[(r8 * h) // 8, (c8 * w) // 8]
+                lumas.append(
+                    299 * int(px[2]) + 587 * int(px[1]) + 114 * int(px[0])
+                )
+        total = sum(lumas)
+        ph = 0
+        for i, v in enumerate(lumas):
+            if 64 * v > total:
+                ph |= 1 << (63 - i)
+        if ph >= 1 << 63:
+            ph -= 1 << 64
+        assert got[f] == (f, ph)
+
+
+def test_video_dup_pairs_inverted_index_is_exact(spark):
+    """Same exactness bar as the image/audio families: the registered
+    pair set (frame-hash inverted index -> Jaccard >= tau) must equal
+    the O(n^2) brute-force pair set over distinct frame-hash sets, and
+    the truncated-twin planting must be non-vacuous."""
+    from mr_py_spark.operators.multimodal import (
+        _VARIANT_OFFSET,
+        _VID_JACCARD,
+        avi_variants,
+        video_sig_of,
+        video_table,
+    )
+
+    corpus = (
+        video_table(spark, SF_DIR)
+        .filter(F.col("doc_id") % 4 == 0)
+        .unionByName(avi_variants(spark, SF_DIR))
+    )
+    sets = {}
+    for r in video_sig_of(corpus).collect():
+        sets.setdefault(r.doc_id, set()).add(r.fhash)
+    ids = sorted(sets)
+    brute = set()
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            if inter and inter / len(sets[da] | sets[db]) >= _VID_JACCARD:
+                brute.add((da, db, inter, len(sets[da]), len(sets[db])))
+    got = {
+        (r.doc_a, r.doc_b, r.inter, r.n_a, r.n_b)
+        for r in rows(spark, "video_dup_pairs")
+    }
+    assert got == brute
+    assert any(b - a == _VARIANT_OFFSET for a, b, *_ in got)  # non-vacuous
