@@ -765,7 +765,20 @@ def audio_sig_of(audio: DataFrame) -> DataFrame:
     mean) keeps every bit local, so edits perturb only the bits whose
     windows they touch; constant amplitude re-scaling moves both sides
     of each comparison together, so the signature is loudness-robust —
-    near-dup key, not checksum."""
+    near-dup key, not checksum.
+
+    Clips shorter than the 256-sample span fill the window grid
+    CYCLICALLY (sample i of window slot j is s[j % n]) rather than
+    zero-padding. This is a SCALE fix, measured at sf10: zero-padded
+    tails made every short clip's trailing windows identical — 58k of
+    166k signatures shared the all-zero low band, and the band join's
+    candidate set hit 2.27e9 pairs (31 s at sf10, quadratic death at
+    100 TB). Cyclic fill gives every window real content: the hottest
+    bucket drops to ~2k docs and candidates to ~1e7. For clips >= the
+    span (the common case) the signature is bit-identical to the
+    zero-pad form; for shorter clips the trim-robustness degrades
+    gracefully (a tail edit shifts the wrap phase) — the honest trade
+    for a non-degenerate key on tiny inputs."""
     import numpy as np
 
     span = _AU_WINDOWS * _AU_WIN_SAMPLES
@@ -777,10 +790,10 @@ def audio_sig_of(audio: DataFrame) -> DataFrame:
                 _, frames = wav_samples(p)
                 s = frames[:, 0].astype(np.int64) - 128
                 n = len(s)
-                e2 = np.zeros(span, dtype=np.int64)
-                m = min(n, span)
-                e2[:m] = s[:m] * s[:m]
-                energy = e2.reshape(_AU_WINDOWS, _AU_WIN_SAMPLES).sum(axis=1)
+                filled = s[np.arange(span) % max(n, 1)]
+                energy = (filled * filled).reshape(
+                    _AU_WINDOWS, _AU_WIN_SAMPLES
+                ).sum(axis=1)
                 bits = (energy > np.roll(energy, -1)).astype(np.uint8)
                 sig = int.from_bytes(np.packbits(bits).tobytes(), "big")
                 if sig >= 1 << 63:

@@ -1466,10 +1466,8 @@ def test_audio_sig_independent_rederivation(spark):
         [body[i % len(body)] for i in range(n)], dtype=np.int64
     ) - 128
     span = _AU_WINDOWS * _AU_WIN_SAMPLES
-    e2 = np.zeros(span, dtype=np.int64)
-    m = min(n, span)
-    e2[:m] = mono[:m] * mono[:m]
-    energy = e2.reshape(_AU_WINDOWS, _AU_WIN_SAMPLES).sum(axis=1)
+    filled = mono[np.arange(span) % n]  # cyclic fill, as audio_sig_of
+    energy = (filled * filled).reshape(_AU_WINDOWS, _AU_WIN_SAMPLES).sum(axis=1)
     bits = (energy > np.roll(energy, -1)).astype(np.uint8)
     sig = int.from_bytes(np.packbits(bits).tobytes(), "big")
     if sig >= 1 << 63:
