@@ -32,10 +32,12 @@ one is ORACLE-BACKED, via two design moves:
 
 Scale shape (the part that matters at 100 TB): assignment is one
 mapInPandas pass per round against a BROADCAST (k x dim) int64
-centroid matrix — zero shuffle, exact int64 matmul per Arrow batch
-(the _ivf_candidates assignment pattern). The reduce is a map-side
-partial: each batch emits <= k rows of (cid, count, per-dim sums), so
-the driver collects O(batches * k) bounded metadata per round — the
+centroid matrix — zero shuffle, scored by float64 dgemm that is
+EXACT on these integer magnitudes (see _argmin_cluster; the
+_ivf_candidates assignment pattern). The reduce is a map-side
+partial: each PARTITION emits <= k rows of (cid, count, per-dim
+sums), so the driver collects O(partitions * k) bounded metadata per
+round — the
 same bounded-collect class as the IVF centroid training (CLAUDE.md
 exemption list), never a data-sized frame. Per-cluster int64 sums
 stay exact past 2^42 vectors per cluster. The oracle's n*k scored
@@ -113,6 +115,24 @@ def _round_mean(s: np.ndarray, cnt: int) -> np.ndarray:
     return np.where(s >= 0, pos, neg).astype(np.int64)
 
 
+def _score_mats(c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(float64 centroid matrix, float64 |qc|^2 row) for the exact
+    BLAS-path scoring in _argmin_cluster."""
+    return c.astype(np.float64), (c * c).sum(1).astype(np.float64)
+
+
+def _argmin_cluster(m: np.ndarray, cf: np.ndarray, normsq: np.ndarray) -> np.ndarray:
+    """Nearest-centroid index via the integer score 2<qx,qc> - |qc|^2,
+    computed in float64 dgemm — EXACT, not approximate: every product
+    (<= 2^42) and every partial sum (<= 64 * 2^42 = 2^48) is an
+    integer below 2^53, so float64 holds each intermediate exactly
+    regardless of BLAS accumulation/blocking order. The BLAS path is
+    ~20x the int64 matmul (which numpy executes as naive C loops), at
+    zero exactness cost; np.argmax takes the first maximum, matching
+    the oracle's ORDER BY score DESC, cid ASC."""
+    return (2.0 * (m.astype(np.float64) @ cf.T) - normsq[None, :]).argmax(1)
+
+
 def _lloyd(spark: SparkSession, sf_dir: str):
     """Run _N_ITER exact-integer Lloyd rounds; returns
     (cids, qc_prev, qc_final, counts) where qc_prev is the centroid
@@ -137,18 +157,24 @@ def _lloyd(spark: SparkSession, sf_dir: str):
         b_qc = _bc(spark, qc)
 
         def partials(batches):
+            # One output row-set per PARTITION, not per Arrow batch:
+            # the accumulator spans the iterator, so the driver
+            # collects O(partitions * k) rows regardless of batch
+            # count — the map-side combiner, hand-rolled.
             c = np.asarray(b_qc.value, dtype=np.int64)
-            normsq = (c * c).sum(1)
-            kk = len(c)
+            kk, dim = c.shape
+            cf, normsq = _score_mats(c)
+            sums = np.zeros((kk, dim), dtype=np.int64)
+            cnt = np.zeros(kk, dtype=np.int64)
             for pdf in batches:
                 if not len(pdf):
                     continue
                 m = np.asarray(list(pdf["qx"]), dtype=np.int64)
-                cl = (2 * (m @ c.T) - normsq[None, :]).argmax(1)
-                sums = np.zeros((kk, m.shape[1]), dtype=np.int64)
+                cl = _argmin_cluster(m, cf, normsq)
                 np.add.at(sums, cl, m)
-                cnt = np.bincount(cl, minlength=kk)
-                nz = np.nonzero(cnt)[0]
+                cnt += np.bincount(cl, minlength=kk)
+            nz = np.nonzero(cnt)[0]
+            if len(nz):
                 yield pd.DataFrame(
                     {
                         "ci": nz.astype(np.int64),
@@ -187,12 +213,12 @@ def _assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     def assign(batches):
         c = np.asarray(b_qc.value, dtype=np.int64)
         ids = np.asarray(b_cids.value, dtype=np.int64)
-        normsq = (c * c).sum(1)
+        cf, normsq = _score_mats(c)
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.asarray(list(pdf["qx"]), dtype=np.int64)
-            cl = (2 * (m @ c.T) - normsq[None, :]).argmax(1)
+            cl = _argmin_cluster(m, cf, normsq)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"].to_numpy(), "cluster": ids[cl]}
             )
