@@ -610,3 +610,100 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text_md5"),
     )
+
+
+@register(
+    "dedup_containment",
+    tags=("C2",),
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))) AS gs
+            FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                  FROM documents)
+            WHERE len(ws) >= 3
+        ), grams AS (
+            SELECT doc_id, unnest(gs) AS g FROM t
+        ), rare AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 4
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
+            WHERE a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(ta.gs, tb.gs)) AS DOUBLE)
+                 / least(len(ta.gs), len(tb.gs)) AS containment
+        FROM cand
+        JOIN t ta ON ta.doc_id = doc_a
+        JOIN t tb ON tb.doc_id = doc_b
+        WHERE CAST(len(list_intersect(ta.gs, tb.gs)) AS DOUBLE)
+                 / least(len(ta.gs), len(tb.gs)) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (C2): the ASYMMETRIC companion to
+    Jaccard — C(A,B) = |grams(A) ∩ grams(B)| / min(|A|, |B|) — which
+    catches subset duplication (a document quoted whole inside a
+    longer one) that symmetric Jaccard dilutes toward zero as the
+    host document grows (Broder 1997's "containment" resemblance).
+
+    Candidate generation is RARE-GRAM blocking, a different member of
+    the blocked-equi-join family than the prefix block
+    (ngram_jaccard_pairs) or LSH bands (dedup_minhash): a pair is a
+    candidate iff it shares a distinct word 3-gram with document
+    frequency in [2, 4]. Per-gram fan-out is then <= C(4,2) = 6 pairs
+    by construction, so the candidate set is O(|rare grams|) — linear
+    in corpus size, never all-pairs (the no-cross-join invariant,
+    tests/test_plans.py). Containment itself is exact: the gram
+    arrays are joined back for CANDIDATES ONLY and intersected
+    JVM-side (array_intersect of distinct sets). The compared double
+    is one IEEE division of exact integers — emitted raw, per the
+    no-sub-precision-round policy (mr_py_spark/functions).
+
+    Scale shape at 100 TB: two shuffles (gram df, candidate distinct)
+    plus two id-keyed payload join-backs; a hot gram can never blow up
+    the pair join because df > 4 grams are excluded from blocking by
+    definition — the degenerate-band failure audio_dup_pairs hit
+    (SCALE.md r9) is structurally impossible here."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.lower("text")).alias("w"))
+    grams = toks.select(
+        "doc_id", F.explode(F.array_distinct(ngrams_arr("w", 3))).alias("g")
+    )
+    # Gram SETS for the candidate re-rank come back through a groupBy
+    # barrier rather than a scan-local array projection: the join-back
+    # makes Catalyst infer constraints on the set column, and against a
+    # projection those inline the whole ngram expression — split()
+    # included — into scan-level Filter conditions (the O(tokens^2)
+    # inline-split trap, three copies of it; caught by test_plans). An
+    # aggregation is opaque to that rewrite, at the price of one gram-
+    # stream shuffle. A doc with < 3 words has no gram, so it cannot
+    # reach any candidate pair — the oracle's WHERE len(ws) >= 3 is
+    # vacuous on both sides, kept to make the parallel obvious.
+    t = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
+    rare = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, 4))
+        .select("g")
+    )
+    a = grams.join(rare, "g").alias("a")
+    b = grams.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gsa"))
+    tb = t.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gsb"))
+    containment = F.size(F.array_intersect("gsa", "gsb")).cast("double") / F.least(
+        F.size("gsa"), F.size("gsb")
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("doc_a", "doc_b", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.8)
+    )

@@ -839,3 +839,86 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _drain(agg, "append")
+
+
+@register(
+    "stream_outer_join",
+    tags=("C8", "C9", "B19"),
+    oracle="""
+        WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+             b AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             wm AS (SELECT least((SELECT max(ts) FROM c),
+                                 (SELECT max(ts) FROM b))
+                           - INTERVAL 1 HOUR AS w)
+        SELECT c.user_id, c.event_id AS click_id, b.event_id AS purchase_id,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               strftime(b.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM c JOIN b ON b.user_id = c.user_id
+         AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR
+        UNION ALL
+        SELECT c.user_id, c.event_id, NULL,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), NULL
+        FROM c, wm
+        WHERE c.ts + INTERVAL 1 HOUR < wm.w
+          AND NOT EXISTS (SELECT 1 FROM b WHERE b.user_id = c.user_id
+                          AND b.ts >= c.ts AND b.ts <= c.ts + INTERVAL 1 HOUR)
+    """,
+)
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join (C8): every click, with
+    its same-user purchase within the following hour or NULL-extended
+    if none arrived — the unconverted-traffic topology, and the join
+    semantic `stream_stream_join`'s inner form cannot express.
+
+    The outer semantics make WATERMARK WITHHOLDING observable: a
+    click can only be declared unmatched once the watermark proves no
+    in-window purchase can still arrive, so null-extended rows emit
+    when watermark > c_ts + 1h, and clicks in the final
+    (delay + interval) tail of a drained bounded stream are withheld
+    FOREVER — correct streaming behavior, not data loss. The oracle
+    mirrors this mechanically: Spark's global watermark is
+    min(per-side max event time) - delay (each withWatermark node
+    tracks its own input's max), so the NULL branch keeps exactly the
+    unmatched clicks with c_ts + 1h < that watermark. The strict <
+    matches Spark's eviction predicate; the fixture's microsecond-
+    grained timestamps make an exact tie (the only divergence hazard)
+    a measure-zero event, and the drain is single-micro-batch so the
+    final watermark is deterministic.
+
+    Scale shape: identical to the inner form — state partitioned by
+    user_id, each side buffers <= (delay + interval) of events, memory
+    O(rate x window) independent of stream length; the null-extension
+    adds no state, only an eviction-time emit."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        fmt_ts_us("c_ts").alias("click_ts"),
+        fmt_ts_us("p_ts").alias("purchase_ts"),
+    )
+    return _drain(joined, "append")

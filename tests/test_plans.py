@@ -423,3 +423,15 @@ def test_video_dup_pairs_inverted_index_no_cartesian(spark):
     p = plan_of(spark, "video_dup_pairs")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dedup_containment_rare_gram_block_no_cartesian(spark):
+    """Containment candidates come from the rare-gram (df in [2,4])
+    equi-join, never an all-pairs product; the df cap bounds per-gram
+    fan-out at C(4,2) pairs, so no AQE skew rescue is ever needed.
+    The n-gram token array must also stay bound (the O(tokens^2)
+    inline-split guard)."""
+    p = plan_of(spark, "dedup_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "element_at(split(" not in p
