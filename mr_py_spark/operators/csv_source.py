@@ -162,3 +162,65 @@ def avro_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av.groupBy("s_nationkey").agg(
         F.count("*").alias("n_supp"), F.max("s_acctbal").alias("max_bal")
     )
+
+
+@register(
+    "schema_evolution_merge",
+    tags=("A7", "B2", "B33"),
+    oracle="""
+        SELECT o_orderpriority,
+               count(*)                                        AS n_orders,
+               count(o_note)                                   AS n_with_note,
+               CAST(sum(CASE WHEN o_note IS NOT NULL
+                             THEN o_custkey END) AS BIGINT) AS cust_sum
+        FROM (
+            SELECT o_orderpriority, o_custkey, NULL AS o_note
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL BY NAME
+            SELECT o_orderpriority, o_custkey,
+                   'rush' AS o_note
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        GROUP BY o_orderpriority
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (A7): a warehouse directory whose parquet
+    files were written by TWO generations of a pipeline — generation 1
+    without the ``o_note`` column, generation 2 with it — read back as
+    ONE table via ``mergeSchema``, old files surfacing NULL for the
+    new column. This is the steady state of any long-lived 100 TB
+    ingest (columns get added; history is never rewritten), and the
+    footer-union read is the capability the plain catalog path never
+    exercises.
+
+    Scale note: ``mergeSchema`` unions schemas from file FOOTERS (a
+    metadata pass, cheap relative to data) but is off by default for a
+    reason — on millions of files prefer a declared read schema or a
+    table format carrying schema in the catalog; the docstringed
+    alternative IS that read-schema form, this query proves the
+    discovery form. The aggregate distinguishes generations through
+    count/sum-by-presence, so a wrong NULL-fill (or a silently dropped
+    column) breaks parity bitwise."""
+    root = os.path.join(
+        _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "orders_evo"
+    )
+    orders = tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    gen1 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    gen2 = orders.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_note", F.lit("rush")
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(root, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(root, "gen=2"))
+    evo = spark.read.option("mergeSchema", True).option(
+        "recursiveFileLookup", True
+    ).parquet(root)
+    return evo.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_note").alias("n_with_note"),
+        F.sum(F.when(F.col("o_note").isNotNull(), F.col("o_custkey")))
+        .cast("long")
+        .alias("cust_sum"),
+    )

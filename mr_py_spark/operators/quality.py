@@ -262,3 +262,87 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         expr.alias("benford"),
         (share - expr).alias("delta"),
     )
+
+
+@register(
+    "forget_users_audit",
+    tags=("B7", "B20", "B25"),
+    oracle="""
+        WITH f AS (SELECT c_custkey AS uid FROM customer
+                   WHERE c_custkey % 97 = 0)
+        SELECT 'customer' AS tbl,
+               count(*) FILTER (c_custkey % 97 = 0)  AS n_deleted,
+               count(*) FILTER (c_custkey % 97 <> 0) AS n_kept
+        FROM customer
+        UNION ALL
+        SELECT 'orders',
+               count(*) FILTER (o_custkey % 97 = 0),
+               count(*) FILTER (o_custkey % 97 <> 0)
+        FROM orders
+        UNION ALL
+        SELECT 'events',
+               count(*) FILTER (user_id % 97 = 0),
+               count(*) FILTER (user_id % 97 <> 0)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem',
+               count(*) FILTER (d.o_orderkey IS NOT NULL),
+               count(*) FILTER (d.o_orderkey IS NULL)
+        FROM lineitem l
+        LEFT JOIN (SELECT o_orderkey FROM orders WHERE o_custkey % 97 = 0) d
+               ON l.l_orderkey = d.o_orderkey
+    """,
+)
+def forget_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten audit (GDPR/CCPA delete propagation): for
+    a deterministic forget-set (custkey % 97 = 0, standing in for the
+    request table), count the rows each warehouse table would lose —
+    including the CASCADE: lineitem rows die through their parent
+    order, one FK hop away from the user id they never carry.
+
+    Scale shape per table is a single scan with a conditional
+    aggregate — the forget predicate rides the scan, no join for any
+    table that carries the user key directly. The cascade table is the
+    real pattern: lineitem LEFT-joins the deleted-order key set (1/97
+    of orders — a shuffle equi-join on the FK, AQE broadcasts it when
+    small) and counts matches; the same plan with a filter instead of
+    a count IS the production delete (rewrite kept rows, or a Delta/
+    Iceberg MERGE DELETE). Deliberately NOT a driver-side forget list:
+    the request set is data-sized, so it stays a DataFrame on the
+    build side — never a collect, never an isin() literal.
+
+    All outputs are exact longs; the four audits are independent
+    scans unioned, so Spark runs them as parallel stages."""
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    events = tbl(spark, sf_dir, "events")
+    li = tbl(spark, sf_dir, "lineitem")
+
+    def scan_audit(df: DataFrame, name: str, key: str) -> DataFrame:
+        gone = F.col(key) % 97 == 0
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.when(gone, F.lit(1))).alias("n_deleted"),
+            F.count(F.when(~gone, F.lit(1))).alias("n_kept"),
+        )
+
+    dead_orders = (
+        orders.filter(F.col("o_custkey") % 97 == 0)
+        .select(F.col("o_orderkey").alias("d_orderkey"))
+    )
+    cascade = (
+        li.join(dead_orders, li.l_orderkey == dead_orders.d_orderkey, "left")
+        .agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count("d_orderkey").alias("n_deleted"),
+            F.count(F.when(F.col("d_orderkey").isNull(), F.lit(1))).alias(
+                "n_kept"
+            ),
+        )
+    )
+    return (
+        scan_audit(cust, "customer", "c_custkey")
+        .unionByName(scan_audit(orders, "orders", "o_custkey"))
+        .unionByName(scan_audit(events, "events", "user_id"))
+        .unionByName(cascade)
+    )

@@ -469,3 +469,86 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "e1", "e2", "e3")
         .limit(20)
     )
+
+
+@register(
+    "attribution_multi_touch",
+    tags=("B35", "B2", "B33"),
+    oracle="""
+        WITH t AS (
+            SELECT event_id, event_type,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts DESC, event_id DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS conv_id
+            FROM events
+        ), touches AS (
+            SELECT conv_id, event_type AS channel
+            FROM t
+            WHERE event_type IN ('click', 'view') AND conv_id IS NOT NULL
+        ), paths AS (
+            SELECT conv_id, channel,
+                   count(*) OVER (PARTITION BY conv_id) AS n_path
+            FROM touches
+        )
+        SELECT channel,
+               count(*)                 AS n_touches,
+               count(DISTINCT conv_id)  AS n_conversions,
+               sum(CAST(floor(1000000000.0 / n_path) AS BIGINT))
+                                        AS credit_ns
+        FROM paths GROUP BY channel
+    """,
+)
+def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution (the fractional-credit companion
+    to ``attribution_last_touch``): every click/view is assigned to the
+    user's NEXT purchase (its conversion), each conversion's credit is
+    split equally across its path, and credit rolls up per channel.
+
+    Cross-engine exactness design: fractional credit is the bitwise
+    trap here — summing 1/n doubles is accumulation-order-dependent,
+    so per-channel totals could never compare across engines. Credit is
+    therefore INTEGER NANOCREDITS: floor(1e9 / n_path) as a LONG. The
+    division is one IEEE op on identical inputs (identical bits both
+    engines) and floor is tie-free (unlike round-half cases), so the
+    long sums are exact and order-free — the PageRank DECIMAL-quantize
+    argument with integers. A conversion's total credit is then
+    n_path * floor(1e9/n_path), deliberately <= 1e9: deterministic
+    truncation beats non-comparable exactness.
+
+    Scale shape: ONE keyed shuffle (the per-user DESC window carries
+    the next-purchase id backwards — the attribution_last_touch frame,
+    time-reversed), one count-over-conversion window keyed on conv_id
+    (purchase ids are near-unique, so no skewed partition), and a
+    channel-cardinality final aggregate. No self-join, no per-row
+    lookback; touches after a user's last purchase never convert and
+    drop out, matching the oracle."""
+    ev = tbl(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    conv = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    touches = (
+        ev.select("event_id", "event_type", conv.alias("conv_id"))
+        .filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("conv_id").isNotNull()
+        )
+        .select("conv_id", F.col("event_type").alias("channel"))
+    )
+    paths = touches.withColumn(
+        "n_path", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+    )
+    credit = F.floor(F.lit(1000000000.0) / F.col("n_path")).cast("long")
+    return paths.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("conv_id").alias("n_conversions"),
+        F.sum(credit).alias("credit_ns"),
+    )
