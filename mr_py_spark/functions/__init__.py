@@ -23,7 +23,18 @@ def ts_ntz(literal: str) -> Column:
 #:     then one cast to double at the end -> bit-identical outputs;
 #:   - NEVER `round()` a compared double below its true decimal precision:
 #:     engines disagree at .xx5 boundaries (Spark rounds the exact binary
-#:     value, DuckDB rounds after a double multiply);
+#:     value, DuckDB rounds after a double multiply). For RATIONAL ratios
+#:     this is a REACHABLE bug, not a theoretical one: a ratio whose reduced
+#:     denominator divides 2*10^(d+1) lands EXACTLY on a d-dp half-boundary
+#:     (e.g. jaccard k/128 at 6 dp), where Spark HALF_UPs and DuckDB
+#:     half-evens. r9 removed every round() on a compared integer ratio —
+#:     emit the raw single IEEE division; identical int inputs make it
+#:     bit-identical with no rounding at all.
+#:   - EXEMPTION — transcendental outputs (log/pow/tfidf): libm results may
+#:     differ in the last ULP between engines, so comparing raw bits is
+#:     unsound and a 6-dp round is the comparison mechanism. The boundary-tie
+#:     hazard above is measure-zero there (a transcendental never lands
+#:     exactly on a decimal half-boundary).
 #:   - raw column values are emitted unrounded (identical bits by scan).
 DEC = "decimal(10,4)"
 

@@ -322,7 +322,7 @@ def seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT t.doc_id, t.n_grams,
                coalesce(h.n_common, 0) AS n_common,
-               round(CAST(coalesce(h.n_common, 0) AS DOUBLE) / t.n_grams, 4)
+               CAST(coalesce(h.n_common, 0) AS DOUBLE) / t.n_grams
                    AS boilerplate_frac
         FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
     """,
@@ -385,7 +385,7 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_grams",
         "n_common",
-        F.round(F.col("n_common").cast("double") / F.col("n_grams"), 4).alias(
+        (F.col("n_common").cast("double") / F.col("n_grams")).alias(
             "boilerplate_frac"
         ),
     )

@@ -91,8 +91,8 @@ def dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM documents
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.ws, b.ws))), 6) AS jaccard
+               CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.ws, b.ws))) AS jaccard
         FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
     """,
 )
@@ -118,7 +118,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
         )
     )
 
@@ -650,23 +650,37 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     host document grows (Broder 1997's "containment" resemblance).
 
     Candidate generation is RARE-GRAM blocking, a different member of
-    the blocked-equi-join family than the prefix block
-    (ngram_jaccard_pairs) or LSH bands (dedup_minhash): a pair is a
-    candidate iff it shares a distinct word 3-gram with document
-    frequency in [2, 4]. Per-gram fan-out is then <= C(4,2) = 6 pairs
-    by construction, so the candidate set is O(|rare grams|) — linear
-    in corpus size, never all-pairs (the no-cross-join invariant,
-    tests/test_plans.py). Containment itself is exact: the gram
-    arrays are joined back for CANDIDATES ONLY and intersected
-    JVM-side (array_intersect of distinct sets). The compared double
-    is one IEEE division of exact integers — emitted raw, per the
-    no-sub-precision-round policy (mr_py_spark/functions).
+    the blocked family than the prefix block (ngram_jaccard_pairs) or
+    LSH bands (dedup_minhash): a pair is a candidate iff it shares a
+    distinct word 3-gram with document frequency in [2, 4]. Pairs
+    unfold from a PER-RARE-GRAM doc set built in df-filter-first
+    order: count df (partial-agged, tiny shuffle), equi-join the gram
+    stream against the rare keys, THEN collect_set(doc_id) per gram —
+    bounded at 4 ids because only rare grams survive the join — and
+    explode the <= C(4,2) = 6 pairs. Order matters twice over:
+    collecting doc sets BEFORE the df filter materializes unbounded
+    arrays for hot grams (measured slower at sf1 and a straggler/OOM
+    at 100 TB — rejected, SCALE.md r9), while a gram-stream SELF-join
+    on rare keys pays a second full shuffle of the gram stream that
+    this form sheds (the groupBy(g) reuses the join's hash
+    partitioning; local sf1 wall is a tie, the win is the shed
+    shuffle). The candidate set is O(|rare grams|) — linear in corpus
+    size, never all-pairs (the no-cross-join invariant,
+    tests/test_plans.py). Containment itself is exact: the gram sets
+    are joined back for CANDIDATES ONLY and intersected JVM-side. The
+    compared double is one IEEE division of exact integers — emitted
+    raw, per the no-sub-precision-round policy (mr_py_spark/functions).
 
-    Scale shape at 100 TB: two shuffles (gram df, candidate distinct)
-    plus two id-keyed payload join-backs; a hot gram can never blow up
-    the pair join because df > 4 grams are excluded from blocking by
-    definition — the degenerate-band failure audio_dup_pairs hit
-    (SCALE.md r9) is structurally impossible here."""
+    Scale shape at 100 TB: two gram-stream shuffles total (rare-key
+    join probe, per-doc gram-set agg) plus two id-keyed join-backs; a
+    hot gram can never blow up the pair unfold because df > 4 grams
+    are excluded by definition — the degenerate-band failure
+    audio_dup_pairs hit (SCALE.md r9) is structurally impossible here.
+    On TILED fixtures (gen_sf.py multiplies whole documents, so every
+    gram's df scales with the tile factor) the rare band empties and
+    the output is empty by construction — real corpora keep a heavy
+    hapax/rare tail at any size (Zipf), which is what the [2, 4] band
+    targets; sf0.01/sf0.001 (untiled) are the semantic fixtures."""
     docs = tbl(spark, sf_dir, "documents")
     toks = docs.select("doc_id", words(F.lower("text")).alias("w"))
     grams = toks.select(
@@ -689,11 +703,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df").between(2, 4))
         .select("g")
     )
-    a = grams.join(rare, "g").alias("a")
-    b = grams.alias("b")
+    rg = grams.join(rare, "g")
+    # array_sort makes doc_a < doc_b by construction; the two-parameter
+    # transform lambda receives the 0-based element index (the same
+    # PySpark calling convention minhash_signatures' note warns about —
+    # here it is exactly what we want).
+    ds = F.array_sort(F.collect_set("doc_id"))
+    pair_structs = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + F.lit(2), F.size("ds")),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     cand = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        rg.groupBy("g")
+        .agg(ds.alias("ds"))
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gsa"))

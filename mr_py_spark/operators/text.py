@@ -25,13 +25,13 @@ _SW_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
     oracle=f"""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_words,
-               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4)
+               CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
                                             AS chars_per_word,
-               round(CAST(len(list_filter(string_split(lower(text), ' '),
-                                          w -> w IN ({_SW_SQL}))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS stopword_ratio,
-               round(CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
-                     / len(string_split(text, ' ')), 4) AS ttr
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    w -> w IN ({_SW_SQL}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS stopword_ratio,
+               CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+                     / len(string_split(text, ' ')) AS ttr
         FROM documents
     """,
 )
@@ -48,12 +48,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(F.length("text").cast("double") / n_words, 4).alias("chars_per_word"),
-        F.round(
-            F.size(F.filter(wl, lambda w: F.array_contains(sw, w))).cast("double") / n_words,
-            4,
+        (F.length("text").cast("double") / n_words).alias("chars_per_word"),
+        (
+            F.size(F.filter(wl, lambda w: F.array_contains(sw, w))).cast("double")
+            / n_words
         ).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct(wl)).cast("double") / n_words, 4).alias("ttr"),
+        (F.size(F.array_distinct(wl)).cast("double") / n_words).alias("ttr"),
     )
 
 
@@ -63,7 +63,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang,
                count(*)                        AS n_docs,
-               round(avg(n_chars), 4)          AS avg_chars,
+               CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
                count(DISTINCT source)          AS n_sources
         FROM documents
         GROUP BY lang
@@ -74,7 +74,7 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.countDistinct("source").alias("n_sources"),
     )
 
@@ -398,12 +398,12 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), m AS (
             SELECT doc_id,
                    len(ws) AS n_words,
-                   round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 4)
+                   1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
                        AS dup_word_frac,
                    CASE WHEN len(bg) > 0
-                        THEN round(CAST(list_max(list_transform(list_distinct(bg),
+                        THEN CAST(list_max(list_transform(list_distinct(bg),
                                    x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
-                                   / len(bg), 4)
+                                   / len(bg)
                    END AS top_bigram_frac
             FROM b
         )
@@ -441,18 +441,14 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     arrays = docs.select("doc_id", ws.alias("ws"), bg.alias("bg"))
     n = F.size("ws")
-    dup_frac = F.round(
-        F.lit(1.0) - F.size(F.array_distinct("ws")).cast("double") / n, 4
-    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("ws")).cast("double") / n
     top_cnt = F.array_max(
         F.transform(
             F.array_distinct(F.col("bg")),
             lambda x: F.size(F.filter(F.col("bg"), lambda y: y == x)),
         )
     )
-    top_frac = F.when(
-        F.size("bg") > 0, F.round(top_cnt.cast("double") / F.size("bg"), 4)
-    )
+    top_frac = F.when(F.size("bg") > 0, top_cnt.cast("double") / F.size("bg"))
     return arrays.select(
         "doc_id",
         n.cast("long").alias("n_words"),

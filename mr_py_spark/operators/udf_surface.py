@@ -29,7 +29,7 @@ from mr_py_spark.sources import tbl
     oracle="""
         SELECT doc_id,
                len(string_split(text, ' '))                                  AS n_words,
-               round(CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')), 4) AS chars_per_word
+               CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_word
         FROM documents
     """,
 )
@@ -47,7 +47,7 @@ def pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id",
         "n_words",
-        F.round(F.col("n_chars").cast("double") / F.col("n_words"), 4).alias("chars_per_word"),
+        (F.col("n_chars").cast("double") / F.col("n_words")).alias("chars_per_word"),
     )
 
 

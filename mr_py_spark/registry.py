@@ -320,6 +320,15 @@ def _window_order(registry: dict[str, Query]) -> dict[str, Query]:
         # nothing proven can silently rot — it just rotates on the
         # same LRV schedule as everything else once freshly verified.
         flagship_now = q.name in FLAGSHIPS and not (g == 3 and rot >= latest_round)
+        if flagship_now and g == 3:
+            # A STALE green flagship outranks the unproven tail, not
+            # just its own category: a heavy batch of new/edited
+            # queries (r9: 39 re-stamped entries) would otherwise push
+            # the bench headliners past the 50-slot window and BENCH
+            # numbers would ride unverified code. Flagship count is
+            # bounded (len(FLAGSHIPS)), so this costs the tail at most
+            # that many slots in the worst round.
+            g = 1
         return (g, 0 if flagship_now else 1, rot)
 
     return {q.name: q for q in sorted(registry.values(), key=key)}

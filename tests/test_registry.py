@@ -39,6 +39,9 @@ def _group(q, status, fp_round) -> int:
         return 1
     if fp_round.get(q.name, 0) > row.rnd:
         return unproven
+    latest = max((r.rnd for r in status.values()), default=0)
+    if q.name in FLAGSHIPS and row.rnd < latest:
+        return 1  # stale flagship outranks the unproven tail (registry key)
     return 3
 
 
