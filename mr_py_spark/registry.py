@@ -363,6 +363,7 @@ def load_all() -> dict[str, Query]:
         timeseries,
         tpch_like,
         tpch_more,
+        tpch_partsupp,
         udf_surface,
         vectors,
         windows,

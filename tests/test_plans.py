@@ -435,3 +435,18 @@ def test_dedup_containment_rare_gram_block_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "element_at(split(" not in p
+
+
+def test_partsupp_queries_broadcast_dims_no_cartesian(spark):
+    """The derived-partsupp TPC-H trio must broadcast every dimension
+    and contain no data-dependent product — the only nested loop
+    allowed is the 1-row supplier-count (and q11 total) glue, the
+    bounded-broadcast class CLAUDE.md exempts."""
+    for name in (
+        "q2_min_cost_supplier",
+        "q11_important_stock",
+        "q20_potential_promotion",
+    ):
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastHashJoin" in p, name
