@@ -224,3 +224,54 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cust_sum"),
     )
+
+
+@register(
+    "python_datasource_agg",
+    tags=("A7", "B1"),
+    oracle="""
+        SELECT ((i * i) % 997) % 10 AS val_bucket,
+               count(*)             AS n,
+               CAST(sum(i) AS BIGINT)      AS id_sum,
+               max((i * i) % 997)   AS val_max
+        FROM (SELECT unnest(generate_series(0, 99999)) AS i)
+        GROUP BY 1
+    """,
+)
+def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON DATA SOURCE read (A7, the Spark 4 DataSource API):
+    100k rows generated by executor-side Python through
+    ``spark.read.format("intgen")`` — the connector contract for any
+    system without a built-in reader (REST cursors, KV stores,
+    queues), demonstrated with exact arithmetic so DuckDB can replay
+    the generation in SQL.
+
+    Scale shape: the reader declares partition bounds up front
+    (sources/pygen.py ``partitions()``), so Spark schedules one task
+    per slice — generation is embarrassingly parallel, the driver
+    holds only bounds, and a real connector would page through its
+    slice the same way. The aggregate proves values AND completeness
+    (count per bucket catches a dropped or duplicated partition)."""
+    from mr_py_spark.session import harden
+    from mr_py_spark.sources.pygen import IntGenDataSource
+
+    # Executors unpickle _Slice/IntGenReader from mr_py_spark.sources.
+    # pygen — every other query ships the package zip via tbl()'s
+    # harden(); this one reads no table, so harden explicitly (it is
+    # idempotent) or a fresh external session would fail worker-side.
+    harden(spark)
+    try:
+        spark.dataSource.register(IntGenDataSource)
+    except Exception:  # already registered in this session
+        pass
+    gen = (
+        spark.read.format("intgen")
+        .option("n", 100000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return gen.groupBy((F.col("val") % 10).alias("val_bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("id_sum"),
+        F.max("val").alias("val_max"),
+    )

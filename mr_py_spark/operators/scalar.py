@@ -183,3 +183,45 @@ def conditional_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(band.alias("value_band"), et.alias("et")).agg(
         F.count("*").alias("n")
     )
+
+
+@register(
+    "variant_extract_agg",
+    tags=("B32", "B1"),
+    oracle="""
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+               count(*)   AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (B32, the Spark 4 path):
+    ``parse_json`` materializes events.props as a VariantType column —
+    Spark's shredded binary JSON representation — and ``variant_get``
+    extracts a typed path from it; the bucketed aggregate proves the
+    extracted values, not the encoding.
+
+    Why this exists next to json_fns' ``get_json_object``: at 100 TB
+    the string-path form re-parses the JSON text per access, while a
+    variant column parses ONCE and every subsequent access is a binary
+    field lookup — the difference compounds with each extracted path,
+    and parquet can store the shredded variant natively. The oracle
+    extracts the same paths with DuckDB's JSON functions; only typed
+    values are compared, so the engines' internal encodings are free
+    to differ."""
+    ev = tbl(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.max("k").alias("k_max"),
+        )
+    )
