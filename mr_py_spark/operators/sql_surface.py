@@ -219,3 +219,92 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_ts("last_signup").alias("signup_ts"),
         )
     )
+
+
+@register(
+    "sql_recursive_cte",
+    tags=("A9", "B27", "B19"),
+    oracle="""
+        WITH RECURSIVE chain(c_custkey, depth) AS (
+            SELECT c_custkey, CAST(0 AS BIGINT) FROM customer
+            WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, ch.depth + 1
+            FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.c_custkey
+            WHERE c.c_custkey > 0
+        )
+        SELECT depth, count(*) AS n_nodes,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM chain GROUP BY depth
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (Spark 4 WITH RECURSIVE): walk the implicit
+    management tree parent(c) = c DIV 10 from the root customer, one
+    level per recursive step, and profile the tree by depth. The same
+    traversal family as ``khop_reach``/``recursive_hierarchy``, but
+    executed by the ENGINE's recursion operator instead of a
+    hand-rolled driver loop — the declarative form users of a SQL
+    warehouse reach for first, now expressible in Spark itself (the
+    oracle is the same statement in DuckDB dialect, `//` for DIV).
+
+    Scale note: each recursion level is one equi-join of the frontier
+    against the customer scan — the same per-level plan as the manual
+    BFS, with Spark managing the loop and the union. Depth is bounded
+    by log10(max key), so the plan depth is ~7 at 10^9 customers; the
+    frontier anti-join trick (bfs_min_dist) is unnecessary because the
+    DIV-10 tree has no cycles or revisits by construction."""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        WITH RECURSIVE chain(c_custkey, depth) AS (
+            SELECT c_custkey, CAST(0 AS BIGINT) FROM customer
+            WHERE c_custkey = 0
+            UNION ALL
+            SELECT c.c_custkey, ch.depth + 1
+            FROM customer c JOIN chain ch ON c.c_custkey DIV 10 = ch.c_custkey
+            WHERE c.c_custkey > 0
+        )
+        SELECT depth, count(*) AS n_nodes,
+               CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        FROM chain GROUP BY depth
+        """,
+    )
+
+
+@register(
+    "sql_lateral_topk",
+    tags=("B19", "B11", "B34"),
+    oracle="""
+        SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_mktsegment = s.c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+    """,
+)
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (the SQL-standard form of top-k per
+    group): for each market segment, its two largest account balances
+    with a total (acctbal DESC, custkey) tie-break. Semantically
+    identical to ``topk_window``'s row_number filter — registered to
+    prove the LATERAL surface itself, which Spark de-correlates into
+    a join + per-group limit rather than executing row-at-a-time (so
+    the 100 TB shape is the same windowed plan, written the way a SQL
+    user would write it)."""
+    return sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
+        FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+        LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer c
+            WHERE c.c_mktsegment = s.c_mktsegment
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """,
+    )
