@@ -922,3 +922,60 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts_us("p_ts").alias("purchase_ts"),
     )
     return _drain(joined, "append")
+
+
+@register(
+    "statestore_read",
+    tags=("C9", "A7", "B7"),
+    oracle="""
+        SELECT event_type, count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+)
+def statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE DATA SOURCE read (the Spark 4 ops surface for
+    stateful streaming): drain a stateful counting stream to a noop
+    sink, then open its CHECKPOINT as a batch table via
+    ``spark.read.format("statestore")`` and emit the keyed state. On a
+    fully-drained bounded stream the state content must equal the
+    batch aggregate — so this oracle checks the STATE ITSELF, not a
+    sink: a state-corruption bug (lost partition, double-applied
+    batch, bad changelog replay) breaks parity even though no result
+    was ever written.
+
+    This is the production debugging workflow at 100 TB: state lives
+    sharded across executors (RocksDB files + changelog under the
+    checkpoint), and the reader exposes it as one partitioned
+    DataFrame — inspect hot keys, audit counts, bootstrap a migration
+    — without touching the running query. Checkpoint is per-sf cached
+    and cleared before each run (the stream_dedup_filesink dir
+    pattern), so repeated drains never accumulate."""
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.rstrip("/").replace("/", "_"),
+        "statestore_read",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    ckpt = os.path.join(root, "ckpt")
+    ev = _events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    st = spark.read.format("statestore").load(ckpt)
+    return st.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+    )
