@@ -275,3 +275,38 @@ def python_datasource_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("id").alias("id_sum"),
         F.max("val").alias("val_max"),
     )
+
+
+@register(
+    "xml_source_agg",
+    tags=("A7", "B1"),
+    oracle="""
+        SELECT r_regionkey, count(*) AS n_regions, min(r_name) AS first_name
+        FROM region
+        GROUP BY r_regionkey
+    """,
+)
+def xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the region table through XML (A7; Spark 4 ships the
+    XML source in core — no external jar), read back with an explicit
+    schema, aggregate. Completes the ingest-format matrix next to
+    csv/json/orc/avro/parquet: the oracle runs over the parquet view,
+    so any XML escaping/typing mangling breaks parity. Same 100 TB
+    discipline as the CSV variant: explicit read schema, never
+    rowTag inference over the data."""
+    path = os.path.join(
+        _CSV_CACHE_ROOT, sf_dir.rstrip("/").replace("/", "_"), "region_xml"
+    )
+    region = tbl(spark, sf_dir, "region")
+    region.coalesce(1).write.mode("overwrite").option("rootTag", "regions").option(
+        "rowTag", "region"
+    ).format("xml").save(path)
+    xml = (
+        spark.read.schema("r_regionkey long, r_name string")
+        .option("rowTag", "region")
+        .format("xml")
+        .load(path)
+    )
+    return xml.groupBy("r_regionkey").agg(
+        F.count(F.lit(1)).alias("n_regions"), F.min("r_name").alias("first_name")
+    )
