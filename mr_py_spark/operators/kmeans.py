@@ -370,3 +370,85 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster")
+
+
+@register(
+    "kmeans_inertia",
+    tags=("C3", "B2", "B7"),
+    oracle=f"""
+        WITH {_kmeans_chain_sql()},
+        e AS (
+            SELECT s.cid,
+                   list_sum(list_transform(range(1, {_DIM + 1}),
+                       d -> (s.qx[d] - c.qc[d]) * (s.qx[d] - c.qc[d]))) AS sse
+            FROM s{_N_ITER} s JOIN c{_N_ITER - 1} c ON s.cid = c.cid
+        )
+        SELECT cid AS cluster,
+               count(*) AS n_vecs,
+               CAST(sum(sse) AS DECIMAL(38,0)) AS sse
+        FROM e GROUP BY cid
+    """,
+)
+def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster INERTIA (exact integer SSE) of the final Lloyd
+    assignment — the clustering-quality metric every k-means user
+    reads first (elbow curves, drift monitoring), and it stays
+    bitwise-oracle-checked because the geometry is the quantized
+    integer grid: per-vector SSE = |qx|^2 - score (the argmax score is
+    2<qx,qc> - |qc|^2, so the subtraction IS the squared distance),
+    every term an integer below 2^50 held exactly by the float64
+    dgemm path (_argmin_cluster's envelope).
+
+    SSE is measured against the centroids the final assignment scored
+    (qc_prev = the oracle's c{{N-1}}, joined to s{{N}}) — standard Lloyd
+    inertia, where the metric is consistent with the assignment.
+
+    Scale shape: the same zero-shuffle broadcast-argmax pass as
+    ``_assignment``, with a hand-rolled per-PARTITION combiner (k rows
+    of (cluster, count, sse) per partition, sse accumulated in Python
+    arbitrary-precision ints since a partition's running SSE can pass
+    2^63); the k-row partials reduce through one tiny groupBy where
+    the sums live in DECIMAL(38,0) — exact and order-free at any
+    corpus size, the PageRank decimal argument."""
+    from decimal import Decimal
+
+    cids, qc_prev, _, _ = _lloyd(spark, sf_dir)
+    b_qc = _bc(spark, qc_prev)
+    b_cids = _bc(spark, cids)
+
+    def partials(batches):
+        c = np.asarray(b_qc.value, dtype=np.int64)
+        ids = np.asarray(b_cids.value, dtype=np.int64)
+        cf, normsq = _score_mats(c)
+        cnt: dict[int, int] = {}
+        sse: dict[int, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["qx"]), dtype=np.int64)
+            cl = _argmin_cluster(m, cf, normsq)
+            # per-vector SSE = |qx|^2 - (2<qx,qc*> - |qc*|^2), all
+            # integer-exact in float64 at these magnitudes
+            mq = m.astype(np.float64)
+            score = 2.0 * np.einsum("ij,ij->i", mq, cf[cl]) - normsq[cl]
+            ev = ((mq * mq).sum(1) - score).astype(np.int64)
+            for ci, e in zip(cl, ev):
+                key = int(ids[ci])
+                cnt[key] = cnt.get(key, 0) + 1
+                sse[key] = sse.get(key, 0) + int(e)
+        if cnt:
+            yield pd.DataFrame(
+                {
+                    "cluster": list(cnt),
+                    "cnt": [cnt[k] for k in cnt],
+                    "sse": [Decimal(sse[k]) for k in cnt],
+                }
+            )
+
+    parts = _quantized(spark, sf_dir).mapInPandas(
+        partials, "cluster long, cnt long, sse decimal(38,0)"
+    )
+    return parts.groupBy("cluster").agg(
+        F.sum("cnt").alias("n_vecs"),
+        F.sum("sse").cast("decimal(38,0)").alias("sse"),
+    )
