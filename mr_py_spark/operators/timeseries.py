@@ -518,13 +518,18 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_path * floor(1e9/n_path), deliberately <= 1e9: deterministic
     truncation beats non-comparable exactness.
 
-    Scale shape: ONE keyed shuffle (the per-user DESC window carries
-    the next-purchase id backwards — the attribution_last_touch frame,
-    time-reversed), one count-over-conversion window keyed on conv_id
-    (purchase ids are near-unique, so no skewed partition), and a
-    channel-cardinality final aggregate. No self-join, no per-row
-    lookback; touches after a user's last purchase never convert and
-    drop out, matching the oracle."""
+    Scale shape: ONE keyed shuffle total. The per-user DESC window
+    carries the next-purchase id backwards (the attribution_last_touch
+    frame, time-reversed); the path-size count then windows on
+    (user_id, conv_id) — NOT bare conv_id — because a conversion
+    belongs to exactly one user, so the counts are identical while the
+    existing hashpartitioning(user_id) already satisfies the clustered
+    distribution: Spark inserts only a partition-local Sort, no second
+    Exchange (plan-asserted in tests/test_plans.py; the bare-conv_id
+    form re-shuffled the full touch stream). A channel-cardinality
+    aggregate finishes. No self-join, no per-row lookback; touches
+    after a user's last purchase never convert and drop out, matching
+    the oracle."""
     ev = tbl(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -536,15 +541,16 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ignorenulls=True,
     ).over(w)
     touches = (
-        ev.select("event_id", "event_type", conv.alias("conv_id"))
+        ev.select("event_id", "user_id", "event_type", conv.alias("conv_id"))
         .filter(
             F.col("event_type").isin("click", "view")
             & F.col("conv_id").isNotNull()
         )
-        .select("conv_id", F.col("event_type").alias("channel"))
+        .select("user_id", "conv_id", F.col("event_type").alias("channel"))
     )
     paths = touches.withColumn(
-        "n_path", F.count(F.lit(1)).over(Window.partitionBy("conv_id"))
+        "n_path",
+        F.count(F.lit(1)).over(Window.partitionBy("user_id", "conv_id")),
     )
     credit = F.floor(F.lit(1000000000.0) / F.col("n_path")).cast("long")
     return paths.groupBy("channel").agg(

@@ -450,3 +450,13 @@ def test_partsupp_queries_broadcast_dims_no_cartesian(spark):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
         assert "BroadcastHashJoin" in p, name
+
+
+def test_attribution_multi_touch_single_exchange(spark):
+    """The path-size window keys on (user_id, conv_id) so it reuses
+    the per-user window's hashpartitioning(user_id): exactly ONE
+    Exchange may precede the two WindowExecs (the r9 bare-conv_id
+    form paid a second full-stream shuffle there)."""
+    p = plan_of(spark, "attribution_multi_touch")
+    pre_agg = p.split("HashAggregate")[-1]  # below the channel agg
+    assert pre_agg.count("Exchange hashpartitioning") == 1, pre_agg
