@@ -133,6 +133,15 @@ def _argmin_cluster(m: np.ndarray, cf: np.ndarray, normsq: np.ndarray) -> np.nda
     return (2.0 * (m.astype(np.float64) @ cf.T) - normsq[None, :]).argmax(1)
 
 
+def _qx_mat(rb, col: int) -> np.ndarray:
+    """(rows, _DIM) int64 view of an Arrow list<int64> column — the
+    contiguous flatten/reshape trick from the PQ ADC kernel
+    (similarity.py): zero per-row Python objects, unlike a pandas
+    object Series of lists. Valid because qx is a fixed 64-wide
+    transform with no nulls."""
+    return np.asarray(rb.column(col).flatten()).reshape(len(rb), _DIM)
+
+
 def _lloyd(spark: SparkSession, sf_dir: str):
     """Run _N_ITER exact-integer Lloyd rounds; returns
     (cids, qc_prev, qc_final, counts) where qc_prev is the centroid
@@ -160,30 +169,41 @@ def _lloyd(spark: SparkSession, sf_dir: str):
             # One output row-set per PARTITION, not per Arrow batch:
             # the accumulator spans the iterator, so the driver
             # collects O(partitions * k) rows regardless of batch
-            # count — the map-side combiner, hand-rolled.
+            # count — the map-side combiner, hand-rolled. Arrow, not
+            # pandas: qx arrives as a contiguous list<int64> buffer
+            # that reshapes zero-copy into the (rows, dim) matrix.
+            # Measured at sf10 (SCALE.md r9): conversion 0.81 s ->
+            # 0.01 s per full pass; round wall is dgemm/scan-bound so
+            # the win is small HERE, but per-row Python list objects
+            # scale with row count while the reshape stays O(1) per
+            # batch — the PQ ADC kernel's argument (similarity.py).
+            import pyarrow as pa
+
             c = np.asarray(b_qc.value, dtype=np.int64)
             kk, dim = c.shape
             cf, normsq = _score_mats(c)
             sums = np.zeros((kk, dim), dtype=np.int64)
             cnt = np.zeros(kk, dtype=np.int64)
-            for pdf in batches:
-                if not len(pdf):
+            for rb in batches:
+                if not len(rb):
                     continue
-                m = np.asarray(list(pdf["qx"]), dtype=np.int64)
+                m = _qx_mat(rb, 1)
                 cl = _argmin_cluster(m, cf, normsq)
                 np.add.at(sums, cl, m)
                 cnt += np.bincount(cl, minlength=kk)
             nz = np.nonzero(cnt)[0]
             if len(nz):
-                yield pd.DataFrame(
-                    {
-                        "ci": nz.astype(np.int64),
-                        "cnt": cnt[nz].astype(np.int64),
-                        "psum": list(sums[nz]),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(nz.astype(np.int64)),
+                        pa.array(cnt[nz].astype(np.int64)),
+                        pa.array([r.tolist() for r in sums[nz]],
+                                 type=pa.list_(pa.int64())),
+                    ],
+                    ["ci", "cnt", "psum"],
                 )
 
-        rows = q.mapInPandas(partials, "ci long, cnt long, psum array<long>").collect()
+        rows = q.mapInArrow(partials, "ci long, cnt long, psum array<long>").collect()
         tot = np.zeros_like(qc)
         cnts = np.zeros(k, dtype=np.int64)
         for r in rows:  # bounded: <= batches * k metadata rows
@@ -211,19 +231,20 @@ def _assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_cids = _bc(spark, cids)
 
     def assign(batches):
+        import pyarrow as pa
+
         c = np.asarray(b_qc.value, dtype=np.int64)
         ids = np.asarray(b_cids.value, dtype=np.int64)
         cf, normsq = _score_mats(c)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not len(rb):
                 continue
-            m = np.asarray(list(pdf["qx"]), dtype=np.int64)
-            cl = _argmin_cluster(m, cf, normsq)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"].to_numpy(), "cluster": ids[cl]}
+            cl = _argmin_cluster(_qx_mat(rb, 1), cf, normsq)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), pa.array(ids[cl])], ["vec_id", "cluster"]
             )
 
-    return _quantized(spark, sf_dir).mapInPandas(assign, "vec_id long, cluster long")
+    return _quantized(spark, sf_dir).mapInArrow(assign, "vec_id long, cluster long")
 
 
 def _kmeans_chain_sql(n_iter: int = _N_ITER) -> str:
@@ -417,35 +438,50 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_cids = _bc(spark, cids)
 
     def partials(batches):
+        import pyarrow as pa
+
         c = np.asarray(b_qc.value, dtype=np.int64)
         ids = np.asarray(b_cids.value, dtype=np.int64)
         cf, normsq = _score_mats(c)
         cnt: dict[int, int] = {}
         sse: dict[int, int] = {}
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if not len(rb):
                 continue
-            m = np.asarray(list(pdf["qx"]), dtype=np.int64)
+            m = _qx_mat(rb, 1)
             cl = _argmin_cluster(m, cf, normsq)
             # per-vector SSE = |qx|^2 - (2<qx,qc*> - |qc*|^2), all
-            # integer-exact in float64 at these magnitudes
+            # integer-exact in float64 at these magnitudes; the
+            # per-cluster fold runs in numpy (bincount), lifted to
+            # Python bigints only at the <= k accumulator entries.
             mq = m.astype(np.float64)
             score = 2.0 * np.einsum("ij,ij->i", mq, cf[cl]) - normsq[cl]
             ev = ((mq * mq).sum(1) - score).astype(np.int64)
-            for ci, e in zip(cl, ev):
-                key = int(ids[ci])
-                cnt[key] = cnt.get(key, 0) + 1
-                sse[key] = sse.get(key, 0) + int(e)
+            # Exactness guard: per-vector SSE <= 2^50, so an int64
+            # partial sum holds <= 2^13 rows safely; fold 8192-row
+            # slices into the Python-bigint accumulators (a float-
+            # weighted bincount would silently round past 2^53).
+            for lo in range(0, len(ev), 8192):
+                sl = slice(lo, lo + 8192)
+                bc = np.bincount(cl[sl], minlength=len(ids))
+                bs = np.zeros(len(ids), dtype=np.int64)
+                np.add.at(bs, cl[sl], ev[sl])
+                for ci in np.nonzero(bc)[0]:
+                    key = int(ids[ci])
+                    cnt[key] = cnt.get(key, 0) + int(bc[ci])
+                    sse[key] = sse.get(key, 0) + int(bs[ci])
         if cnt:
-            yield pd.DataFrame(
-                {
-                    "cluster": list(cnt),
-                    "cnt": [cnt[k] for k in cnt],
-                    "sse": [Decimal(sse[k]) for k in cnt],
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(cnt), type=pa.int64()),
+                    pa.array([cnt[k] for k in cnt], type=pa.int64()),
+                    pa.array([Decimal(sse[k]) for k in cnt],
+                             type=pa.decimal128(38, 0)),
+                ],
+                ["cluster", "cnt", "sse"],
             )
 
-    parts = _quantized(spark, sf_dir).mapInPandas(
+    parts = _quantized(spark, sf_dir).mapInArrow(
         partials, "cluster long, cnt long, sse decimal(38,0)"
     )
     return parts.groupBy("cluster").agg(
