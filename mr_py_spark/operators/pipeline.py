@@ -156,3 +156,119 @@ def multi_sink_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_clean", F.lit(0)).alias("n_clean"),
         F.coalesce("clean_chars", F.lit(0)).alias("clean_chars"),
     )
+
+
+@register(
+    "training_pipeline_summary",
+    tags=("B27", "C1", "C2", "C5", "B28"),
+    oracle="""
+        WITH quality AS (
+            SELECT doc_id, text, lang, n_chars
+            FROM (
+                SELECT *, string_split(text, ' ') AS w FROM documents
+            )
+            WHERE len(w) >= 5
+              AND 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w) <= 0.55
+        ),
+        exact AS (
+            SELECT min(doc_id) AS doc_id FROM quality GROUP BY text
+        ),
+        near AS (
+            SELECT min(q.doc_id) AS doc_id
+            FROM quality q JOIN exact e ON q.doc_id = e.doc_id
+            GROUP BY substring(q.text, 1, 80)
+        ),
+        surv AS (
+            SELECT q.doc_id, q.text, q.lang, q.n_chars
+            FROM quality q JOIN near n ON q.doc_id = n.doc_id
+        ),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        ngr AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(w, s, s + 5), ' ')) AS ng
+            FROM (SELECT doc_id, w, unnest(range(1, len(w) - 4)) AS s
+                  FROM toks WHERE len(w) >= 6)
+        ),
+        ev AS (SELECT DISTINCT ng FROM ngr WHERE doc_id % 13 = 0),
+        contaminated AS (
+            SELECT DISTINCT t.doc_id
+            FROM ngr t JOIN ev e ON e.ng = t.ng
+            WHERE t.doc_id % 13 <> 0
+        ),
+        clean AS (
+            SELECT s.* FROM surv s
+            WHERE s.doc_id % 13 <> 0
+              AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        )
+        SELECT CASE WHEN substring(sha256(text), 1, 8) < 'fae147ae' THEN 'train'
+                    WHEN substring(sha256(text), 1, 8) < 'fd70a3d7' THEN 'val'
+                    ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM clean
+        GROUP BY 1, 2
+    """,
+)
+def training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data pipeline as ONE declarative plan
+    (B27 job chaining x C1/C2/C5): quality filter (>= 5 words, word
+    dup fraction <= 0.55) -> exact dedup (min doc_id per text) ->
+    prefix near-dedup (min per 80-char key) -> benchmark
+    decontamination (drop eval docs and anything sharing a 6-gram
+    with them — decontaminate_ngrams' exact rule) -> content-hash
+    train/val/test split -> per-(split, lang) corpus accounting.
+    Every stage reuses a registered operator's exact semantics, so
+    this is the composition a reference user would run nightly,
+    oracle-checked end to end — stage-boundary bugs (a dedup that
+    drops the wrong twin, a split that moves with doc_id instead of
+    content) break parity even when each stage looks fine alone.
+
+    Scale shape: the stages compose into one Catalyst plan — the
+    quality predicate rides the scan; the two dedups are keyed
+    aggregations + semi-join-shaped joins on doc_id; the decontam
+    eval side is benchmark-sized and broadcasts; the contaminated-id
+    set anti-joins; the split is a row-local sha256. No stage
+    materializes to disk, no driver-side state — the lazy-DAG
+    equivalent of five chained MapReduce jobs."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "text", "lang", "n_chars", words("text").alias("w"))
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("w")).cast("double") / F.size("w")
+    quality = toks.filter((F.size("w") >= 5) & (dup_frac <= 0.55)).select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    exact = quality.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    near = (
+        quality.join(exact, "doc_id")
+        .groupBy(F.substring("text", 1, 80))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    surv = quality.join(near, "doc_id")
+    # decontaminate_ngrams' exact rule (corpus_prep._DECON_N/_DECON_MOD)
+    base = docs.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 6)
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 5),
+        lambda s: F.md5(F.array_join(F.slice("w", s, 6), " ")),
+    )
+    ngr = base.select("doc_id", F.explode(ngrams).alias("ng"))
+    ev = ngr.filter(F.col("doc_id") % 13 == 0).select("ng").distinct()
+    contaminated = (
+        ngr.filter(F.col("doc_id") % 13 != 0)
+        .join(F.broadcast(ev), "ng")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = surv.filter(F.col("doc_id") % 13 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    bucket = F.substring(F.sha2("text", 256), 1, 8)
+    split = (
+        F.when(bucket < "fae147ae", "train")
+        .when(bucket < "fd70a3d7", "val")
+        .otherwise("test")
+    )
+    return clean.groupBy(split.alias("split"), "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
