@@ -558,3 +558,79 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("conv_id").alias("n_conversions"),
         F.sum(credit).alias("credit_ns"),
     )
+
+
+@register(
+    "ewma_daily",
+    tags=("B39", "B35", "B30"),
+    oracle="""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(10,4))) AS DOUBLE) AS x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY date_trunc('day', ts)) AS rn
+            FROM events
+            GROUP BY 1, 2
+        ),
+        walk(event_type, day, rn, x, ewma) AS (
+            SELECT event_type, day, rn, x, x FROM daily WHERE rn = 1
+            UNION ALL
+            SELECT d.event_type, d.day, d.rn, d.x, (d.x + w.ewma) / 2
+            FROM daily d JOIN walk w
+              ON d.event_type = w.event_type AND d.rn = w.rn + 1
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x AS daily_value,
+               ewma
+        FROM walk
+    """,
+)
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event value per
+    type (alpha = 1/2) — the smoothing/forecast primitive (the
+    recurrence is Holt's level equation; the next-day forecast IS the
+    last EWMA). A sequential per-key recurrence is the one aggregate
+    shape neither a window frame nor a commutative reduce expresses —
+    the canonical ``applyInPandas`` stateful fold (B39).
+
+    Cross-engine exactness design: alpha = 1/2 makes every update
+    ``(x + prev) / 2`` — one IEEE add and one exponent decrement, both
+    exact functions of their inputs — and the day totals enter through
+    the DECIMAL(10,4)-sum policy, so the whole chain is bitwise
+    reproducible. The oracle replays the identical recurrence as a
+    RECURSIVE CTE stepping row_number order; Spark replays it as a
+    per-group pandas fold over day-sorted rows. An arbitrary alpha
+    would still match (same literal, same op order) but 1/2 keeps the
+    values exactly representable, removing even the shared-rounding
+    caveat.
+
+    Scale shape: the daily aggregate is one keyed shuffle; the fold
+    groups by event_type with each group bounded by CALENDAR LENGTH
+    (days), not data size — at 10^9 events a group is still <= a few
+    thousand rows, and a per-user variant partitions the same way.
+    The day totals, not raw events, cross into Python."""
+    import pandas as pd
+
+    ev = tbl(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(dec4("value")).cast("double").alias("x"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        ew = []
+        prev = None
+        for x in pdf["x"]:
+            prev = x if prev is None else (x + prev) / 2
+            ew.append(prev)
+        pdf["ewma"] = ew
+        return pdf
+
+    out = daily.groupBy("event_type").applyInPandas(
+        fold, "event_type string, day timestamp_ntz, x double, ewma double"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("daily_value"),
+        "ewma",
+    )

@@ -50,7 +50,14 @@ def _normalize_events_oracle(sql: str | None) -> str | None:
     if sql is None or not re.search(r"\bevents\b", sql):
         return sql
     if re.match(r"\s*WITH\b", sql, re.IGNORECASE):
-        return re.sub(r"(?i)\bWITH\b", f"WITH {_EVENTS_US_CTE},", sql, count=1)
+        # RECURSIVE must stay glued to WITH (it flags the whole CTE
+        # list), so the shadow CTE slots in after it.
+        return re.sub(
+            r"(?i)\bWITH(\s+RECURSIVE)?\b",
+            lambda m: f"WITH{m.group(1) or ''} {_EVENTS_US_CTE},",
+            sql,
+            count=1,
+        )
     return f"WITH {_EVENTS_US_CTE}\n{sql}"
 
 
