@@ -185,3 +185,73 @@ def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
     )
+
+
+@register(
+    "null_semantics_audit",
+    tags=("B33", "B1", "B19"),
+    oracle="""
+        WITH t AS (
+            SELECT nullif(l_linenumber % 3, 0) AS k,
+                   CASE WHEN l_quantity > 45 THEN NULL
+                        ELSE CAST(l_quantity AS DECIMAL(10,4)) END AS v,
+                   l_orderkey
+            FROM lineitem
+        ),
+        d AS (SELECT nullif(o_orderkey % 7, 0) AS jk, o_orderkey AS dk
+              FROM orders),
+        j AS (
+            SELECT t.k, t.v
+            FROM t LEFT JOIN d ON nullif(t.l_orderkey % 7, 0) = d.jk
+                               AND t.l_orderkey = d.dk
+        )
+        SELECT k,
+               count(*)                          AS n_rows,
+               count(v)                          AS n_nonnull,
+               CAST(sum(v) AS DOUBLE)            AS v_sum,
+               count(DISTINCT v)                 AS n_distinct_nonnull
+        FROM j
+        GROUP BY k
+    """,
+)
+def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI NULL semantics, audited cross-engine (B33): the fixture
+    tables are dense, so nothing else exercises the NULL edge rules a
+    migrating user relies on — this query manufactures NULLs with
+    nullif and pins four of them at once: (1) GROUP BY collects NULL
+    keys into ONE group (grouping equality), while (2) a JOIN predicate
+    on a NULL key matches NOTHING (comparison semantics — the same
+    value behaving differently in the two contexts is the classic
+    trap); (3) count(*) counts rows but count(v)/count(DISTINCT v)
+    skip NULLs; (4) sum(v) ignores NULLs and stays DECIMAL-exact.
+    The left join's null-extended rows fold back into the aggregate,
+    so a wrong join-null rule changes n_rows and breaks parity.
+
+    Scale shape: one scan each side, the manufactured join keys keep
+    orders broadcastable, one keyed aggregate — the semantics are the
+    point, the plan is routine."""
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    t = li.select(
+        F.nullif(F.col("l_linenumber") % 3, F.lit(0)).alias("k"),
+        F.when(F.col("l_quantity") > 45, F.lit(None))
+        .otherwise(F.col("l_quantity").cast("decimal(10,4)"))
+        .alias("v"),
+        "l_orderkey",
+    )
+    d = orders.select(
+        F.nullif(F.col("o_orderkey") % 7, F.lit(0)).alias("jk"),
+        F.col("o_orderkey").alias("dk"),
+    )
+    j = t.join(
+        F.broadcast(d),
+        (F.nullif(F.col("l_orderkey") % 7, F.lit(0)) == F.col("jk"))
+        & (F.col("l_orderkey") == F.col("dk")),
+        "left",
+    ).select("k", "v")
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_nonnull"),
+        F.sum("v").cast("double").alias("v_sum"),
+        F.countDistinct("v").alias("n_distinct_nonnull"),
+    )
