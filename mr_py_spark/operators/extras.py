@@ -201,13 +201,14 @@ def range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         d AS (SELECT nullif(o_orderkey % 7, 0) AS jk, o_orderkey AS dk
               FROM orders),
         j AS (
-            SELECT t.k, t.v
+            SELECT t.k, t.v, d.dk
             FROM t LEFT JOIN d ON nullif(t.l_orderkey % 7, 0) = d.jk
                                AND t.l_orderkey = d.dk
         )
         SELECT k,
                count(*)                          AS n_rows,
                count(v)                          AS n_nonnull,
+               count(dk)                         AS n_matched,
                CAST(sum(v) AS DOUBLE)            AS v_sum,
                count(DISTINCT v)                 AS n_distinct_nonnull
         FROM j
@@ -224,12 +225,17 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     value behaving differently in the two contexts is the classic
     trap); (3) count(*) counts rows but count(v)/count(DISTINCT v)
     skip NULLs; (4) sum(v) ignores NULLs and stays DECIMAL-exact.
-    The left join's null-extended rows fold back into the aggregate,
-    so a wrong join-null rule changes n_rows and breaks parity.
+    The join-null rule is made OBSERVABLE through n_matched =
+    count(d-side key): a lineitem whose manufactured key is NULL must
+    null-extend (ANSI: NULL = NULL is unknown), so an engine that
+    matched NULL keys would inflate n_matched — merely counting rows
+    could not tell, since the dk equality keeps the join 1:<=1
+    either way.
 
-    Scale shape: one scan each side, the manufactured join keys keep
-    orders broadcastable, one keyed aggregate — the semantics are the
-    point, the plan is routine."""
+    Scale shape: one scan each side, a shuffle equi-join on the
+    composite key (orders is a FACT table — no broadcast hint; AQE
+    may still choose one at small sf), one keyed aggregate — the
+    semantics are the point, the plan is routine."""
     li = tbl(spark, sf_dir, "lineitem")
     orders = tbl(spark, sf_dir, "orders")
     t = li.select(
@@ -244,14 +250,15 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("dk"),
     )
     j = t.join(
-        F.broadcast(d),
+        d,
         (F.nullif(F.col("l_orderkey") % 7, F.lit(0)) == F.col("jk"))
         & (F.col("l_orderkey") == F.col("dk")),
         "left",
-    ).select("k", "v")
+    ).select("k", "v", "dk")
     return j.groupBy("k").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count("v").alias("n_nonnull"),
+        F.count("dk").alias("n_matched"),
         F.sum("v").cast("double").alias("v_sum"),
         F.countDistinct("v").alias("n_distinct_nonnull"),
     )
