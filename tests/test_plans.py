@@ -460,3 +460,31 @@ def test_attribution_multi_touch_single_exchange(spark):
     p = plan_of(spark, "attribution_multi_touch")
     pre_agg = p.split("HashAggregate")[-1]  # below the channel agg
     assert pre_agg.count("Exchange hashpartitioning") == 1, pre_agg
+
+
+def test_q20_shipdate_pushdown_and_pruned_scan(spark):
+    """The lineitem date filter must reach the parquet scan
+    (PushedFilters) and the scan must read only the four needed
+    columns — the 60M-row aggregate is the whole cost of Q20."""
+    p = plan_of(spark, "q20_potential_promotion")
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+    assert "struct<l_partkey:bigint,l_suppkey:bigint,l_quantity:double,l_shipdate" in p
+
+
+def test_training_pipeline_no_cartesian_anti_join(spark):
+    """The five-stage pipeline composes into one plan: contaminated
+    ids leave via LeftAnti, the eval n-gram set broadcasts, and no
+    stage introduces a product."""
+    p = plan_of(spark, "training_pipeline_summary")
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_ewma_daily_is_grouped_pandas_fold(spark):
+    """The EWMA recurrence runs as one applyInPandas over the
+    day-aggregated frame — groups bounded by calendar length, raw
+    events never cross into Python."""
+    p = plan_of(spark, "ewma_daily")
+    assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p, p
+    assert p.count("HashAggregate") >= 2  # daily rollup below the fold
