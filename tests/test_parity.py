@@ -17,8 +17,22 @@ from mr_py_spark.registry import load_all
 from tests.conftest import SF_DIR
 
 REG = load_all()
-ORACLE_QUERIES = sorted(name for name, q in REG.items() if q.oracle is not None)
-ROWS_ONLY_QUERIES = sorted(name for name, q in REG.items() if q.oracle is None)
+# Mirror scripts/duckdb_baseline.py's SKIP_QUERIES: at sf >= 1 a few
+# ORACLES are inherently infeasible (knn_selfjoin's all-pairs,
+# graph_triangles' two-hop wedge join, khop_reach's walk-enumerating
+# recursive CTE) — skip by name, e.g.
+#   SPARK_GRAFT_TEST_SF_DIR=/tmp/sparkgraft/sf1 \
+#   SKIP_QUERIES=knn_selfjoin,graph_triangles,khop_reach \
+#   pytest tests/test_parity.py -q
+import os as _os
+
+_SKIP = set(_os.environ.get("SKIP_QUERIES", "").split(",")) - {""}
+ORACLE_QUERIES = sorted(
+    name for name, q in REG.items() if q.oracle is not None and name not in _SKIP
+)
+ROWS_ONLY_QUERIES = sorted(
+    name for name, q in REG.items() if q.oracle is None and name not in _SKIP
+)
 
 
 def canon(rows, colnames):
