@@ -30,6 +30,14 @@ def ts_ntz(literal: str) -> Column:
 #:     half-evens. r9 removed every round() on a compared integer ratio —
 #:     emit the raw single IEEE division; identical int inputs make it
 #:     bit-identical with no rounding at all.
+#:   - DECIMAL->DOUBLE casts must be SINGLE-ROUNDED: round(sum, 4) in DECIMAL
+#:     before the double cast whenever the sum's scaled integer can exceed
+#:     2^53 (any scale-8 product sum past ~9e7) — DuckDB converts via
+#:     int128->double->/10^scale, which DOUBLE-ROUNDS where Spark's
+#:     BigDecimal.doubleValue is correctly rounded (measured 1-ULP q14
+#:     divergence at sf1, SCALE.md r9). Decimal rounding itself is exact
+#:     integer arithmetic with the same half-away rule in both engines.
+#:     Scale-4 keeps conversions single-rounded through ~9e11 magnitudes.
 #:   - EXEMPTION — transcendental outputs (log/pow/tfidf): libm results may
 #:     differ in the last ULP between engines, so comparing raw bits is
 #:     unsound and a 6-dp round is the comparison mechanism. The boundary-tie

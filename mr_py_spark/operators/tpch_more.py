@@ -31,12 +31,12 @@ def _one():
     tags=("B19", "B33"),
     oracle="""
         SELECT CAST(100 AS DOUBLE) * (
-                 CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                 CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
                                THEN CAST(l.l_extendedprice AS DECIMAL(10,4))
                                     * (1 - CAST(l.l_discount AS DECIMAL(10,4)))
-                               ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
-                            * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE)
+                               ELSE 0 END), 4) AS DOUBLE)
+                 / CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE)
                ) AS promo_pct
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -59,8 +59,14 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .agg(
-            F.sum(promo).cast("double").alias("pr"),
-            F.sum(rev).cast("double").alias("tr"),
+            # round(sum, 4) BEFORE the double cast (the q3/q5 house
+            # pattern): a scale-8 decimal sum past ~9e7 needs > 53
+            # bits scaled, and DuckDB's int128/10^8 conversion then
+            # DOUBLE-ROUNDS where Spark's BigDecimal is correctly
+            # rounded — measured 1-ULP divergence at sf1 (SCALE.md
+            # r9). Scale-4 stays single-rounded through ~9e11.
+            F.round(F.sum(promo), 4).cast("double").alias("pr"),
+            F.round(F.sum(rev), 4).cast("double").alias("tr"),
         )
         .select(
             (F.lit(100.0) * (F.col("pr") / F.col("tr"))).alias("promo_pct")
@@ -290,12 +296,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B19", "B33"),
     oracle="""
         SELECT year(o.o_orderdate) AS o_year,
-               CAST(sum(CASE WHEN n2.n_nationkey = 1
+               CAST(round(sum(CASE WHEN n2.n_nationkey = 1
                              THEN CAST(l.l_extendedprice AS DECIMAL(10,4))
                                   * (1 - CAST(l.l_discount AS DECIMAL(10,4)))
-                             ELSE 0 END) AS DOUBLE)
-                 / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
-                            * (1 - CAST(l.l_discount AS DECIMAL(10,4)))) AS DOUBLE)
+                             ELSE 0 END), 4) AS DOUBLE)
+                 / CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE)
                  AS mkt_share
         FROM lineitem l
         JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -312,8 +318,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: one nation's share of revenue sold into one region,
     per year — the nation dim joined twice under different roles, a
-    conditional-aggregation ratio on top. Ratio divides two doubles
-    derived identically in both engines (no rounding needed)."""
+    conditional-aggregation ratio on top. The two sums are rounded to
+    4 dp IN DECIMAL before their double casts (q14's double-rounding
+    note); the ratio then divides bit-identical doubles."""
     li = tbl(spark, sf_dir, "lineitem")
     o = tbl(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= ts_ntz("1996-01-01 00:00:00"))
@@ -337,8 +344,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.sum(target).cast("double").alias("tr"),
-            F.sum(rev).cast("double").alias("ar"),
+            # round-before-cast: see q14_promo_revenue's note.
+            F.round(F.sum(target), 4).cast("double").alias("tr"),
+            F.round(F.sum(rev), 4).cast("double").alias("ar"),
         )
         .select("o_year", (F.col("tr") / F.col("ar")).alias("mkt_share"))
     )
