@@ -20,7 +20,11 @@ Fixtures: python scripts/gen_sf.py --out /tmp/sparkgraft/sf1 --factor 10
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
