@@ -1587,3 +1587,29 @@ def test_video_dup_pairs_inverted_index_is_exact(spark):
     }
     assert got == brute
     assert any(b - a == _VARIANT_OFFSET for a, b, *_ in got)  # non-vacuous
+
+
+def test_dedup_containment_rare_gram_blocking_semantics(spark, tmp_path):
+    """Pins the two rules future edits could silently break:
+    (1) a subset-duplicate pair IS found when it shares a gram with
+    df in [2,4] — doc 2 embeds doc 1 whole, so containment = 1.0;
+    (2) docs that only share HOT grams (df > 4) are NEVER candidates,
+    no matter how similar — the df cap is what bounds fan-out, so a
+    regression here is a quadratic blowup, not a wrong number."""
+    hot = "alpha beta gamma delta epsilon zeta eta"  # shared by 6 docs
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over lazy dog", "en"),
+            (2, "quick brown fox jumps over lazy dog tail tokens", "en"),
+            # six hot-gram docs: every shared gram has df = 6 > 4
+            *[(10 + i, hot, "en") for i in range(6)],
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in REG["dedup_containment"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(pairs) == {(1, 2)}, pairs  # hot-gram clones invisible
+    assert pairs[(1, 2)] == 1.0  # doc 1's gram set fully inside doc 2
