@@ -1613,3 +1613,46 @@ def test_dedup_containment_rare_gram_blocking_semantics(spark, tmp_path):
     }
     assert set(pairs) == {(1, 2)}, pairs  # hot-gram clones invisible
     assert pairs[(1, 2)] == 1.0  # doc 1's gram set fully inside doc 2
+
+
+def test_stream_outer_join_withholds_tail(spark, tmp_path):
+    """Pins the watermark-withholding model the oracle encodes: a
+    click is null-extended only once the min-of-sides watermark passes
+    its match window (c_ts + 1h), and clicks inside the final
+    delay+interval tail are withheld entirely — correct streaming
+    semantics, not data loss. Hand-placed timestamps make each case
+    unambiguous: final watermark = min(max click, max purchase) - 1h
+    = 09:00."""
+    from datetime import datetime
+
+    def ev(eid, ts, uid, typ):
+        return (eid, datetime(2024, 1, 1, *ts), uid, typ, 1.0, "{}")
+
+    rows = [
+        ev(1, (6, 0), 1, "click"),      # matched by eid 2
+        ev(2, (6, 30), 1, "purchase"),
+        ev(3, (6, 0), 2, "click"),      # no purchase; 07:00 < 09:00 -> null row
+        ev(4, (8, 30), 3, "click"),     # 09:30 > 09:00 -> WITHHELD
+        ev(5, (10, 0), 98, "click"),    # anchors: per-side max = 10:00
+        ev(6, (10, 0), 99, "purchase"),
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # one parquet FILE named events.parquet (the fixture layout — the
+    # stream helper glob-filters on the file name, so a directory-
+    # shaped Spark write would match nothing)
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = REG["stream_outer_join"].fn(spark, str(tmp_path)).collect()
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in out}
+    assert got == {(1, 1, 2), (2, 3, None)}, got
