@@ -205,6 +205,29 @@ _DECON_N = 6
 _DECON_MOD = 13
 
 
+def contamination_hits(docs: DataFrame) -> DataFrame:
+    """(doc_id, ng) pairs where a TRAIN document (doc_id % _DECON_MOD
+    != 0) shares an md5'd 6-gram with the eval set (doc_id % _DECON_MOD
+    == 0) — the shared kernel of ``decontaminate_ngrams`` and the
+    decontamination stage of ``training_pipeline_summary`` (one
+    definition, so the two registered queries cannot drift). The eval
+    side is DISTINCT n-grams only — benchmark-sized at any corpus
+    scale, so the join broadcasts and the train side never shuffles."""
+    w = words(F.col("text"))
+    ngrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("w")) - (_DECON_N - 1)),
+        lambda s: F.md5(F.array_join(F.slice(F.col("w"), s, _DECON_N), " ")),
+    )
+    base = (
+        docs.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= _DECON_N)
+        .select("doc_id", F.explode(ngrams).alias("ng"))
+    )
+    ev = base.filter(F.col("doc_id") % _DECON_MOD == 0).select("ng").distinct()
+    tr = base.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return tr.join(F.broadcast(ev), "ng")
+
+
 @register(
     "decontaminate_ngrams",
     tags=("C5", "C2", "B20"),
@@ -228,25 +251,11 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     share any 6-gram with the held-out eval set — the overlap check a
     training pipeline runs against its benchmark suites before a run.
     N-grams are md5-hashed in place (32-byte join keys instead of raw
-    text), the eval side is DISTINCT n-grams only — at 100 TB that set
-    is benchmark-sized (millions of n-grams, MBs), so the join
-    broadcasts and the train side never shuffles. One scan each side,
-    one broadcast hash join, one partial-aggregated count."""
-    docs = tbl(spark, sf_dir, "documents")
-    w = words(F.col("text"))
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("w")) - (_DECON_N - 1)),
-        lambda s: F.md5(F.array_join(F.slice(F.col("w"), s, _DECON_N), " ")),
-    )
-    base = (
-        docs.select("doc_id", w.alias("w"))
-        .filter(F.size("w") >= _DECON_N)
-        .select("doc_id", F.explode(ngrams).alias("ng"))
-    )
-    ev = base.filter(F.col("doc_id") % _DECON_MOD == 0).select("ng").distinct()
-    tr = base.filter(F.col("doc_id") % _DECON_MOD != 0)
+    text); candidate generation is ``contamination_hits`` (broadcast
+    eval side, zero train-side shuffle), finished by one
+    partial-aggregated count."""
     return (
-        tr.join(F.broadcast(ev), "ng")
+        contamination_hits(tbl(spark, sf_dir, "documents"))
         .groupBy("doc_id")
         .agg(F.count_distinct("ng").alias("n_contaminated_ngrams"))
     )

@@ -245,20 +245,12 @@ def training_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     surv = quality.join(near, "doc_id")
-    # decontaminate_ngrams' exact rule (corpus_prep._DECON_N/_DECON_MOD)
-    base = docs.select("doc_id", words("text").alias("w")).filter(F.size("w") >= 6)
-    ngrams = F.transform(
-        F.sequence(F.lit(1), F.size("w") - 5),
-        lambda s: F.md5(F.array_join(F.slice("w", s, 6), " ")),
-    )
-    ngr = base.select("doc_id", F.explode(ngrams).alias("ng"))
-    ev = ngr.filter(F.col("doc_id") % 13 == 0).select("ng").distinct()
-    contaminated = (
-        ngr.filter(F.col("doc_id") % 13 != 0)
-        .join(F.broadcast(ev), "ng")
-        .select("doc_id")
-        .distinct()
-    )
+    # decontaminate_ngrams' exact rule, via its own kernel — one
+    # definition of the contamination join, so the stage and the
+    # standalone query cannot drift (corpus_prep.contamination_hits).
+    from mr_py_spark.operators.corpus_prep import contamination_hits
+
+    contaminated = contamination_hits(docs).select("doc_id").distinct()
     clean = surv.filter(F.col("doc_id") % 13 != 0).join(
         contaminated, "doc_id", "left_anti"
     )
