@@ -225,3 +225,55 @@ def variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("k_max"),
         )
     )
+
+
+@register(
+    "calendar_semantics_audit",
+    tags=("B30", "B1"),
+    oracle="""
+        SELECT quarter(o_orderdate)                       AS q,
+               isodow(o_orderdate) - 1                    AS wd,
+               count(*)                                   AS n_orders,
+               CAST(sum(CASE WHEN o_orderdate = last_day(o_orderdate)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end,
+               CAST(max(day((o_orderdate + INTERVAL 1 MONTH)::DATE))
+                    AS BIGINT)                             AS max_am_day,
+               CAST(count(DISTINCT week(o_orderdate)) AS BIGINT) AS n_iso_weeks
+        FROM orders
+        GROUP BY 1, 2
+    """,
+)
+def calendar_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function semantics pinned cross-engine (B30): the
+    date-arithmetic rules migrating SQL relies on but nothing else in
+    the suite observes — (1) add_months clamps month-end overflow
+    (Jan 31 + 1 month = Feb 29, Spark's add_months = DuckDB's
+    + INTERVAL); (2) last_day month-end detection; (3) the weekday
+    NUMBERING trap: Spark weekday() is 0 = Monday, matching DuckDB's
+    isodow() - 1, while dayofweek()/dow() disagree on both the anchor
+    AND the range — the classic silent off-by-one in ported reports;
+    (4) ISO week numbers (weekofyear = week, incl. the year-boundary
+    week-52/53 wrap); (5) quarter. Aggregated per (quarter, weekday)
+    so every rule must hold on every date in the fixture, widths
+    pinned LONG both sides.
+
+    Scale shape: pure row-local date expressions riding the scan into
+    one small keyed aggregate — semantics are the point."""
+    o = tbl(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        o.select(
+            F.quarter(d).cast("long").alias("q"),
+            F.weekday(d).cast("long").alias("wd"),
+            (d == F.last_day(d)).alias("is_me"),
+            F.dayofmonth(F.add_months(d, 1)).cast("long").alias("am_day"),
+            F.weekofyear(d).cast("long").alias("iso_w"),
+        )
+        .groupBy("q", "wd")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("is_me").cast("long")).alias("n_month_end"),
+            F.max("am_day").alias("max_am_day"),
+            F.countDistinct("iso_w").alias("n_iso_weeks"),
+        )
+    )
