@@ -277,3 +277,57 @@ def calendar_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("iso_w").alias("n_iso_weeks"),
         )
     )
+
+
+@register(
+    "string_semantics_audit",
+    tags=("B29", "B1"),
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(strpos(text, 'the')) AS BIGINT)        AS sum_pos,
+               CAST(sum(len(string_split(text, 'e'))) AS BIGINT) AS sum_parts,
+               CAST(sum(len(list_filter(string_split(text, 'e'),
+                                        p -> p = ''))) AS BIGINT) AS sum_empty,
+               min(md5(substring(text, -7, 7)))                 AS tail_md5,
+               min(md5(lpad(substring(text, 1, 3), 8, '*')))    AS pad_md5
+        FROM documents
+        GROUP BY source
+    """,
+)
+def string_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function edge semantics pinned cross-engine (B29): the
+    rules that silently differ across SQL dialects, observed on every
+    document — (1) NEGATIVE substring start counts from the end
+    (substring(s,-7,7) = last seven chars, Spark == DuckDB; several
+    dialects error or return empty); (2) split keeps EMPTY segments
+    for adjacent/trailing separators (counted explicitly — engines
+    that drop empties change sum_parts AND sum_empty); (3) instr/
+    strpos is 1-based with 0 on miss (an off-by-one here shifts
+    sum_pos by n_docs); (4) lpad TRUNCATES when the string exceeds
+    the target length. Text-valued probes travel as md5 so the hash
+    compares content, not representation.
+
+    Scale shape: row-local expressions on the scan into a
+    source-cardinality aggregate — semantics are the point."""
+    docs = tbl(spark, sf_dir, "documents")
+    sp = F.split("text", "e")
+    return (
+        docs.select(
+            "source",
+            F.instr("text", "the").cast("long").alias("pos"),
+            F.size(sp).cast("long").alias("n_parts"),
+            F.size(F.filter(sp, lambda p: p == "")).cast("long").alias("n_empty"),
+            F.md5(F.substring("text", -7, 7)).alias("tail_md5"),
+            F.md5(F.lpad(F.substring("text", 1, 3), 8, "*")).alias("pad_md5"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pos").alias("sum_pos"),
+            F.sum("n_parts").alias("sum_parts"),
+            F.sum("n_empty").alias("sum_empty"),
+            F.min("tail_md5").alias("tail_md5"),
+            F.min("pad_md5").alias("pad_md5"),
+        )
+    )
