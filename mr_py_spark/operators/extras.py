@@ -262,3 +262,65 @@ def null_semantics_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("v").cast("double").alias("v_sum"),
         F.countDistinct("v").alias("n_distinct_nonnull"),
     )
+
+
+@register(
+    "empty_set_agg_audit",
+    tags=("B2", "B33", "B19"),
+    oracle="""
+        WITH r AS (SELECT r_regionkey FROM region),
+        agg AS (
+            SELECT n_regionkey,
+                   count(*)                    AS n_rows,
+                   CAST(sum(CASE WHEN n_nationkey > 9999
+                                 THEN n_nationkey END) AS BIGINT) AS s_none,
+                   max(CASE WHEN n_nationkey > 9999
+                            THEN n_nationkey END)      AS m_none
+            FROM nation GROUP BY n_regionkey
+        )
+        SELECT r.r_regionkey,
+               coalesce(a.n_rows, -1)  AS n_rows,
+               a.s_none                AS s_none,
+               a.m_none                AS m_none,
+               (SELECT count(*) FROM nation WHERE n_nationkey > 9999)
+                                       AS global_count_empty,
+               (SELECT CAST(sum(n_nationkey) AS BIGINT) FROM nation
+                WHERE n_nationkey > 9999) AS global_sum_empty
+        FROM r LEFT JOIN agg a ON a.n_regionkey = r.r_regionkey
+    """,
+)
+def empty_set_agg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empty-set aggregate semantics (B2/B33): the ANSI rules a port
+    silently gets wrong — a GLOBAL aggregate over zero rows returns
+    ONE row with count = 0 and sum/max = NULL (never an empty result,
+    never 0 for sum), while a GROUP BY over zero rows returns NO rows
+    (surfaced here through a dimension left join); and an all-NULL
+    argument inside a non-empty group likewise sums/maxes to NULL
+    while count(*) still counts. All three distinctions are pinned in
+    one result: per-region rows with NULL-on-empty conditional
+    aggregates, plus the global empty-filter count (0) and sum (NULL)
+    glued on as 1-row broadcast aggregates (the bounded class)."""
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region").select("r_regionkey")
+    none_val = F.when(F.col("n_nationkey") > 9999, F.col("n_nationkey"))
+    agg = nation.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(none_val).cast("long").alias("s_none"),
+        F.max(none_val).alias("m_none"),
+    )
+    empty = nation.filter(F.col("n_nationkey") > 9999).agg(
+        F.count(F.lit(1)).alias("global_count_empty"),
+        F.sum("n_nationkey").cast("long").alias("global_sum_empty"),
+    )
+    return (
+        region.join(agg, region.r_regionkey == agg.n_regionkey, "left")
+        .crossJoin(F.broadcast(empty))
+        .select(
+            "r_regionkey",
+            F.coalesce("n_rows", F.lit(-1)).alias("n_rows"),
+            "s_none",
+            "m_none",
+            "global_count_empty",
+            "global_sum_empty",
+        )
+    )
