@@ -40,7 +40,9 @@ sums), so the driver collects O(partitions * k) bounded metadata per
 round — the
 same bounded-collect class as the IVF centroid training (CLAUDE.md
 exemption list), never a data-sized frame. Per-cluster int64 sums
-stay exact past 2^42 vectors per cluster. The oracle's n*k scored
+stay exact to ~2^41 max-magnitude vectors per cluster (per-dim |q|
+<= 1.3*2^20 ~ 2^21, and _round_mean's 2*s doubling costs one more
+bit off the naive 2^42 envelope). The oracle's n*k scored
 cross join exists ONLY oracle-side (DuckDB at sf0.01); the Spark plan
 never materializes it.
 
@@ -53,7 +55,9 @@ quadratic. Pair similarity is the repo's standard fold-dot on the
 original double-cast embeddings (bitwise vs DuckDB's
 list_dot_product — the cosine_near_dup_pairs precedent), and the
 keep rule is the house star rule: drop a vector iff some
-lower-vec_id cluster-mate has sim >= 0.9.
+lower-vec_id cluster-mate has sim >= _TAU (0.35 here — the classic
+SemDeDup epsilon of 0.9 is vacuous on the synthetic embeddings, see
+the _TAU comment).
 """
 
 from __future__ import annotations
@@ -362,8 +366,10 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): embedding near-dup removal with
     candidate pairs restricted to k-means cluster-mates. Survivors =
-    vectors with NO lower-vec_id cluster-mate at cosine >= 0.9 (the
-    house star rule; embeddings are unit-norm so fold-dot == cosine).
+    vectors with NO lower-vec_id cluster-mate at cosine >= _TAU (0.35
+    — the classic SemDeDup epsilon 0.9 is vacuous on this fixture,
+    see the _TAU comment; the house star rule otherwise; embeddings
+    are unit-norm so fold-dot == cosine).
 
     Scale shape: the pair join is an EQUI-join on the cluster id —
     never a cross join — and k grows with n (avg cluster ~64), so
@@ -406,7 +412,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT cid AS cluster,
                count(*) AS n_vecs,
-               CAST(sum(sse) AS DECIMAL(38,0)) AS sse
+               CAST(sum(sse) AS BIGINT) AS sse
         FROM e GROUP BY cid
     """,
 )
@@ -430,7 +436,17 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary-precision ints since a partition's running SSE can pass
     2^63); the k-row partials reduce through one tiny groupBy where
     the sums live in DECIMAL(38,0) — exact and order-free at any
-    corpus size, the PageRank decimal argument."""
+    corpus size, the PageRank decimal argument.
+
+    The FINAL emit narrows to BIGINT on both sides (r10, the r7
+    skew_audit / r9 attribution false-red class: Spark Decimal vs
+    DuckDB DECIMAL(38,0) reach the driver's pandas hash as different
+    dtypes despite equal values). The narrowing is exact while a
+    cluster's total SSE < 2^63: unit embeddings give per-vector SSE
+    <= |qx - qc|^2 <= 4 * 2^40 = 2^42, so BIGINT holds ~2^21 (~2M)
+    vectors per cluster — 64 expected under the n-adaptive k; past
+    that, flip the two casts back to DECIMAL(38,0), the internal
+    accumulators already carry it."""
     from decimal import Decimal
 
     cids, qc_prev, _, _ = _lloyd(spark, sf_dir)
@@ -486,5 +502,5 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parts.groupBy("cluster").agg(
         F.sum("cnt").alias("n_vecs"),
-        F.sum("sse").cast("decimal(38,0)").alias("sse"),
+        F.sum("sse").cast("long").alias("sse"),
     )

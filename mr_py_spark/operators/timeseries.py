@@ -496,8 +496,8 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT channel,
                count(*)                 AS n_touches,
                count(DISTINCT conv_id)  AS n_conversions,
-               sum(CAST(floor(1000000000.0 / n_path) AS BIGINT))
-                                        AS credit_ns
+               CAST(sum(CAST(floor(1000000000.0 / n_path) AS BIGINT))
+                    AS BIGINT)          AS credit_ns
         FROM paths GROUP BY channel
     """,
 )
@@ -516,7 +516,13 @@ def attribution_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     long sums are exact and order-free — the PageRank DECIMAL-quantize
     argument with integers. A conversion's total credit is then
     n_path * floor(1e9/n_path), deliberately <= 1e9: deterministic
-    truncation beats non-comparable exactness.
+    truncation beats non-comparable exactness. The oracle's outer sum
+    is CAST back to BIGINT because DuckDB promotes sum(BIGINT) to
+    HUGEINT, which pandas materializes as float64 and the driver hash
+    then sees a different dtype than Spark's long — the r7 skew_audit
+    false-red class. Safe: each credit <= 1e9, so the per-channel sum
+    stays < 2^63 up to ~9.2e9 touches per channel (cardinality bound,
+    not a fixture bound).
 
     Scale shape: ONE keyed shuffle total. The per-user DESC window
     carries the next-purchase id backwards (the attribution_last_touch
