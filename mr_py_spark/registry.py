@@ -341,11 +341,52 @@ def _window_order(registry: dict[str, Query]) -> dict[str, Query]:
     return {q.name: q for q in sorted(registry.values(), key=key)}
 
 
+def verification_ledger(registry: dict[str, Query] | None = None) -> dict[str, dict]:
+    """Per-query verification staleness report (VERDICT r9 item 5):
+    for every registered query, its latest driver CORRECTNESS round,
+    whether that row was green/red/rows-only, the round its current
+    fingerprint was stamped (edits after the last green row reset the
+    proof), and the derived state:
+
+    - ``never``    — no driver row yet (or edited since the last one)
+    - ``red``      — latest driver row failed
+    - ``green``    — proven, ``staleness`` = rounds since that proof
+
+    Run ``python -m mr_py_spark.registry`` to print it, oldest first.
+    tests/test_registry.py asserts the staleness budget: once the
+    never-verified debt is drained, no oracle-backed query's proof may
+    be older than the full rotation cycle (ceil(n/50) + margin).
+    """
+    if registry is None:
+        registry = load_all()
+    status = _driver_status()
+    fp_round = _fingerprint_rounds(registry)
+    latest = max((r.rnd for r in status.values()), default=0)
+    out: dict[str, dict] = {}
+    for name, q in registry.items():
+        row = status.get(name)
+        if row is None or fp_round.get(name, 0) > row.rnd:
+            state, staleness = "never", None
+        elif not row.ok:
+            state, staleness = "red", None
+        else:
+            state, staleness = "green", latest - row.rnd
+        out[name] = {
+            "state": state,
+            "last_round": None if row is None else row.rnd,
+            "rows_only": bool(row and row.rows_only),
+            "oracle": q.oracle is not None,
+            "staleness": staleness,
+        }
+    return out
+
+
 def load_all() -> dict[str, Query]:
     """Import every operator module (side effect: registration) and return the registry."""
     # Imports are inside the function so `import mr_py_spark` stays cheap.
     from mr_py_spark.operators import (  # noqa: F401
         bpe,
+        bucketed,
         cdc,
         corpus_prep,
         csv_source,
@@ -378,3 +419,24 @@ def load_all() -> dict[str, Query]:
     from mr_py_spark import streaming  # noqa: F401
 
     return _window_order(REGISTRY)
+
+
+if __name__ == "__main__":
+    # staleness report, oldest proof first (never/red at the top).
+    # Under `python -m` this file runs as a SECOND module object with
+    # its own empty REGISTRY; route through the canonical sys.modules
+    # copy the operator modules registered into.
+    from mr_py_spark.registry import verification_ledger as _canonical_ledger
+
+    led = _canonical_ledger()
+    order = {"red": 0, "never": 1, "green": 2}
+
+    def _k(item):
+        st = item[1]
+        return (order[st["state"]], -(st["staleness"] or 0), item[0])
+
+    for name, st in sorted(led.items(), key=_k):
+        age = "-" if st["staleness"] is None else f"{st['staleness']}r old"
+        kind = "oracle" if st["oracle"] else "rows-only"
+        last = "-" if st["last_round"] is None else f"r{st['last_round']}"
+        print(f"{st['state']:6s} {age:8s} {last:4s} {kind:9s} {name}")

@@ -23,13 +23,18 @@ def write_partitioned(df: DataFrame, path: str, *cols: str, mode: str = "overwri
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, n_buckets: int = 8, mode: str = "overwrite"
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Persist as a bucketed, per-bucket-sorted managed table (B22)."""
-    (
-        df.write.mode(mode)
-        .bucketBy(n_buckets, key)
-        .sortBy(key)
-        .format("parquet")
-        .saveAsTable(table)
-    )
+    """Persist as a bucketed, per-bucket-sorted table (B22). With
+    ``path`` the table is EXTERNAL (data at ``path``, only metadata in
+    the catalog) — required on externally-owned sessions whose static
+    ``spark.sql.warehouse.dir`` points somewhere unwritable."""
+    w = df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key).format("parquet")
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)

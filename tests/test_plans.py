@@ -488,3 +488,46 @@ def test_ewma_daily_is_grouped_pandas_fold(spark):
     p = plan_of(spark, "ewma_daily")
     assert "FlatMapGroupsInPandas" in p or "FlatMapGroupsInArrow" in p, p
     assert p.count("HashAggregate") >= 2  # daily rollup below the fold
+
+
+def test_q5_bucketed_fact_join_no_exchange(spark):
+    """q5_bucketed's whole point: lineitem ⋈ orders runs as a
+    co-bucketed sort-merge join with ZERO exchange on either fact
+    side. Broadcast is disabled for the assertion (tiny test tables
+    would broadcast the orders side, which bypasses bucketing — the
+    100 TB shape is the SMJ), mirroring
+    tests/test_sinks.py::test_bucketed_join_skips_shuffle."""
+    from mr_py_spark.operators.bucketed import q5_bucketed
+    from tests.conftest import SF_DIR as _SF
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q5_bucketed(spark, _SF)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    # the orderkey join is a sort-merge join fed by bucketed scans:
+    # neither side may shuffle on the order key
+    assert "SortMergeJoin [l_orderkey" in p, p[:3000]
+    assert "Exchange hashpartitioning(l_orderkey" not in p, p[:3000]
+    assert "Exchange hashpartitioning(o_orderkey" not in p, p[:3000]
+    assert "Bucketed: true" in p and "SelectedBucketsCount: 16 out of 16" in p
+    # ASIA prune + date filter still reach the scans
+    assert "EqualTo(r_name,ASIA)" in p
+    assert "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate" in p
+
+
+def test_q5_bucketed_matches_shuffle_form(spark):
+    """Same answer from the bucketed layout as from the plain-parquet
+    shuffle form, bitwise (both also share one oracle)."""
+    a = sorted(map(tuple, REG["q5_bucketed"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, REG["q5_local_supplier"].fn(spark, SF_DIR).collect()))
+    assert a == b

@@ -212,3 +212,34 @@ def test_normalize_merges_into_existing_with():
 def test_normalize_leaves_non_events_alone():
     assert _normalize_events_oracle("SELECT 1 FROM lineitem") == "SELECT 1 FROM lineitem"
     assert _normalize_events_oracle(None) is None
+
+
+def test_verification_ledger_shape_and_staleness_budget():
+    """VERDICT r9 item 5: the staleness budget. With n queries and a
+    50-slot driver window, a full re-verification cycle is
+    ceil(n/50) rounds; allow +2 rounds of margin for inflow (new and
+    edited queries outrank the rotating tail). No green proof may be
+    older than that — if this fires, the window ordering has stalled
+    or the query count has outgrown the rotation (time to prune or
+    shard the registry)."""
+    import math
+
+    from mr_py_spark.registry import verification_ledger
+
+    reg = load_all()
+    led = verification_ledger(reg)
+    assert set(led) == set(reg)
+    budget = math.ceil(len(reg) / 50) + 2
+    over = {
+        n: st["staleness"]
+        for n, st in led.items()
+        if st["state"] == "green" and st["staleness"] > budget
+    }
+    assert not over, f"stale proofs past the {budget}-round budget: {over}"
+    # reds and never-verified must be inside the upcoming driver window
+    # (they ARE the debt the rotation exists to drain)
+    names = list(reg)
+    debt = [n for n, st in led.items() if st["state"] in ("red", "never")]
+    if len(debt) <= 50:
+        outside = [n for n in debt if names.index(n) >= 50]
+        assert not outside, f"unproven queries outside the window: {outside}"
