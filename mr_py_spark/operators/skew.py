@@ -119,6 +119,75 @@ def salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_join_stress",
+    tags=("A5", "B19"),
+    oracle="""
+        WITH f AS (
+            SELECT event_type,
+                   1000 // ((event_id % 1000) + 1) AS jk,
+                   CAST(value AS DECIMAL(10,4)) AS v
+            FROM events
+        ), d AS (
+            SELECT jk, count(*) AS key_rows FROM f GROUP BY jk
+        )
+        SELECT CASE WHEN d.key_rows * 20 >= (SELECT sum(key_rows) FROM d)
+                    THEN 'hot' ELSE 'cold' END AS band,
+               count(*)              AS n_events,
+               count(DISTINCT f.jk)  AS n_keys,
+               CAST(sum(f.v) AS DOUBLE) AS total_value
+        FROM f JOIN d ON f.jk = d.jk
+        GROUP BY 1
+    """,
+)
+def skew_join_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliberately zipf-keyed shuffle join — the stress shape AQE's
+    skew-join splitting exists for (§4 skew handling, the one lever
+    previously exercised only implicitly). The join key is the exact
+    zipf transform jk = 1000 div ((event_id % 1000) + 1): key 1 owns
+    ~50% of the fact rows, key 2 ~17%, key 3 ~8%... so a plain
+    sort-merge join stalls on the key-1 reducer no matter the cluster
+    width. The dim side is the per-key count (the classic enrich-with-
+    group-stats join back), banded hot/cold at a >= 5% row share.
+
+    The query itself stays DECLARATIVE — no salt, no hint: at scale
+    AQE detects the oversized post-shuffle partition and splits it
+    while replicating the matching dim partition
+    (OptimizeSkewedJoin), which tests/test_plans.py proves
+    end-to-end by lowering the skew thresholds to fixture size and
+    asserting the executed plan carries the skew=true SMJ. Contrast
+    with ``salted_join`` (the explicit cure when neither broadcast
+    nor AQE applies) and ``salted_agg`` (aggregation skew, where AQE
+    cannot help). The global-total window runs over the dim frame,
+    bounded at <= 1000 rows by the key transform's range — the
+    bounded-metadata class, never data-sized."""
+    from pyspark.sql import Window
+
+    ev = tbl(spark, sf_dir, "events")
+    f = ev.select(
+        "event_type",
+        F.expr("1000 div ((event_id % 1000) + 1)").alias("jk"),
+        dec4("value").alias("v"),
+    )
+    d = f.groupBy("jk").agg(F.count(F.lit(1)).alias("key_rows"))
+    d = d.withColumn(
+        "band",
+        F.when(
+            F.col("key_rows") * 20 >= F.sum("key_rows").over(Window.partitionBy()),
+            F.lit("hot"),
+        ).otherwise(F.lit("cold")),
+    ).select("jk", "band")
+    return (
+        f.join(d, "jk")
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("jk").alias("n_keys"),
+            F.sum("v").cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
     "skew_audit",
     tags=("A5", "B7"),
     oracle="""

@@ -531,3 +531,46 @@ def test_q5_bucketed_matches_shuffle_form(spark):
     a = sorted(map(tuple, REG["q5_bucketed"].fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, REG["q5_local_supplier"].fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_skew_join_stress_aqe_splits_hot_partition(spark, monkeypatch):
+    """skew_join_stress end-to-end: AQE's OptimizeSkewedJoin must
+    detect the zipf-hot post-shuffle partition and split it
+    (SortMergeJoin(skew=true) + an 'and skewed' AQEShuffleRead) with
+    NO salting in the query. Two fixture-scale adaptations, neither
+    changing the plan shape under test: (1) the input is repartitioned
+    so the jk shuffle has >1 mapper — the fixture parquet is a single
+    row group, i.e. one map task, and AQE cannot split a reduce
+    partition below map-output granularity; (2) skew thresholds are
+    lowered to fixture bytes AFTER the (lazy) DataFrame is built,
+    because harden() treats '-1' broadcast thresholds as unset and
+    would re-raise them during tbl()."""
+    import mr_py_spark.operators.skew as skewmod
+    from mr_py_spark.sources import tbl as real_tbl
+
+    monkeypatch.setattr(
+        skewmod, "tbl", lambda s, sf, name: real_tbl(s, sf, name).repartition(16)
+    )
+    df = skewmod.skew_join_stress(spark, SF_DIR)
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": "0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        rows = {r.band: r.n_events for r in df.collect()}
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v) if v is not None else spark.conf.unset(k)
+    assert "SortMergeJoin(skew=true)" in p, p[:3000]
+    assert "skewed" in p, p[:3000]
+    # the zipf transform really is skewed: the <= 4 hot keys carry ~80%
+    assert rows["hot"] > 3 * rows["cold"], rows
