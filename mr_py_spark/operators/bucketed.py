@@ -30,7 +30,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mr_py_spark.functions import dec4, ts_ntz
+from mr_py_spark.functions import dec4, fmt_ts, ts_ntz
 from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 from mr_py_spark.sources.sinks import write_bucketed
@@ -152,5 +152,77 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("double")
             .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q3_bucketed",
+    tags=("B22", "B19", "B11"),
+    oracle="""
+        SELECT l.l_orderkey,
+               CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(10,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(10,4)))), 4) AS DOUBLE) AS revenue,
+               strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S')          AS order_date,
+               o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+)
+def q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 over the bucketed warehouse — same oracle and bitwise
+    answer as ``q3_shipping_priority``, with the lineitem ⋈ orders
+    join running exchange-free on the bucket layout.
+
+    The key observation enabling the reorder: Q3 emits NO customer
+    column — customer is purely a membership filter (each order has
+    exactly one customer, so the inner join neither duplicates nor
+    needs customer attributes). The shuffle form must join customer
+    into orders FIRST (broadcast at small sf), which would re-
+    partition orders on custkey and forfeit the bucket layout here;
+    instead the fact ⋈ fact join goes first (zero exchange, both
+    sides date-pruned at the scan) and the BUILDING-customer
+    membership applies after as a LEFT SEMI on o_custkey — AQE
+    broadcasts the segment-filtered key set at small sf, and at
+    100 TB it is one shuffle of the already doubly-date-filtered
+    joined fact (Q3's filters are the selective ones). Top-10 stays
+    TakeOrderedAndProject. Plan-asserted in tests/test_plans.py."""
+    li_b = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    o_b = _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+
+    li = li_b.filter(F.col("l_shipdate") > ts_ntz("1998-01-01 00:00:00")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = o_b.filter(F.col("o_orderdate") < ts_ntz("1998-01-01 00:00:00")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    c = (
+        tbl(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    fact = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    one = F.lit(1).cast("decimal(10,4)")
+    revenue = F.round(
+        F.sum(dec4("l_extendedprice") * (one - dec4("l_discount"))), 4
+    ).cast("double")
+    return (
+        fact.join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            fmt_ts("o_orderdate").alias("order_date"),
+            "o_orderpriority",
         )
     )

@@ -68,6 +68,20 @@ def q5_layout_study(spark, reg, sf_dir: str, reps: int) -> None:
         print(f"q5 rep{rep}: shuffle={a:.2f}s bucketed={b:.2f}s", flush=True)
 
 
+def q3_layout_study(spark, reg, sf_dir: str, reps: int) -> None:
+    from mr_py_spark.operators.bucketed import _bucketed_table
+
+    _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    shuffle_fn = reg["q3_shipping_priority"].fn
+    bucket_fn = reg["q3_bucketed"].fn
+    _run(shuffle_fn(spark, sf_dir)), _run(bucket_fn(spark, sf_dir))  # warm
+    for rep in range(reps):
+        a = _run(shuffle_fn(spark, sf_dir))
+        b = _run(bucket_fn(spark, sf_dir))
+        print(f"q3 rep{rep}: shuffle={a:.2f}s bucketed={b:.2f}s", flush=True)
+
+
 def late_family_rows(spark, reg, con, sf_dir: str, reps: int) -> None:
     for name in ("dedup_containment", "paragraph_dedup"):
         q = reg[name]
@@ -178,6 +192,9 @@ def main() -> None:
     if not only or "q5" in only:
         print("== q5 layout study @ sf10 ==", flush=True)
         q5_layout_study(spark, reg, args.sf10, args.reps)
+    if not only or "q3" in only:
+        print("== q3 layout study @ sf10 ==", flush=True)
+        q3_layout_study(spark, reg, args.sf10, args.reps)
     if not only or "late" in only:
         print("== r9 late family @ sf10 ==", flush=True)
         late_family_rows(spark, reg, con, args.sf10, args.reps)

@@ -59,3 +59,54 @@ def test_kmeans_inertia_r9_oracle_form_flagged(spark, oracle):
         old="CAST(sum(sse) AS DECIMAL(38,0)) AS sse",
         new="CAST(sum(sse) AS BIGINT) AS sse",
     )
+
+
+def test_compare_frames_dtype_classes_pure_pandas():
+    """Comparator unit coverage without engines: the dtype-class gate
+    must flag int-vs-float and decimal-vs-float columns on equal
+    values, pass bitwise-equal frames (incl. arrays and NaNs), treat
+    all-null columns as classless, and compare rows order-free."""
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from tests.test_parity import compare_frames
+
+    # equal values, diverging dtype -> flagged (the driver hash's view)
+    a = pd.DataFrame({"x": np.array([1, 2], dtype="int64")})
+    b = pd.DataFrame({"x": np.array([1.0, 2.0], dtype="float64")})
+    assert any("dtype class" in e for e in compare_frames(a, b))
+
+    d = pd.DataFrame({"x": [Decimal("1"), Decimal("2")]})
+    assert any("dtype class" in e for e in compare_frames(d, b))
+
+    # bitwise-equal frames pass, row order free, NaN == NaN
+    a1 = pd.DataFrame({"x": [1.5, float("nan")], "y": ["p", "q"]})
+    a2 = pd.DataFrame({"x": [float("nan"), 1.5], "y": ["q", "p"]})
+    assert compare_frames(a1, a2) == []
+
+    # 1-ULP float difference -> value mismatch (bitwise policy)
+    b1 = pd.DataFrame({"x": [1.0 + 2**-52]})
+    b2 = pd.DataFrame({"x": [1.0]})
+    assert compare_frames(b1, b2)
+
+    # arrays compare elementwise; list vs numpy array is equal content
+    c1 = pd.DataFrame({"v": [np.array([1, 2]), np.array([3])]})
+    c2 = pd.DataFrame({"v": [[1, 2], [3]]})
+    assert compare_frames(c1, c2) == []
+    c3 = pd.DataFrame({"v": [[1, 2], [4]]})
+    assert compare_frames(c1, c3)
+
+    # int inside an array vs float inside an array -> mismatch
+    c4 = pd.DataFrame({"v": [[1.0, 2.0], [3.0]]})
+    assert compare_frames(c1, c4)
+
+    # all-null column carries no dtype evidence on either side
+    n1 = pd.DataFrame({"x": pd.array([None, None], dtype="object"), "k": [1, 2]})
+    n2 = pd.DataFrame({"x": np.array([np.nan, np.nan]), "k": [1, 2]})
+    assert compare_frames(n1, n2) == []
+
+    # column-name and row-count gates
+    assert compare_frames(pd.DataFrame({"x": [1]}), pd.DataFrame({"y": [1]}))
+    assert compare_frames(pd.DataFrame({"x": [1]}), pd.DataFrame({"x": [1, 1]}))

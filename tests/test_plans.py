@@ -500,12 +500,14 @@ def test_q5_bucketed_fact_join_no_exchange(spark):
     from mr_py_spark.operators.bucketed import q5_bucketed
     from tests.conftest import SF_DIR as _SF
 
+    # build FIRST: harden() inside tbl() re-raises a '-1' adaptive
+    # broadcast threshold, so confs must be pinned after the lazy build
+    df = q5_bucketed(spark, _SF)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
-        df = q5_bucketed(spark, _SF)
         df.collect()
         p = df._jdf.queryExecution().executedPlan().toString()
     finally:
@@ -574,3 +576,48 @@ def test_skew_join_stress_aqe_splits_hot_partition(spark, monkeypatch):
     assert "skewed" in p, p[:3000]
     # the zipf transform really is skewed: the <= 4 hot keys carry ~80%
     assert rows["hot"] > 3 * rows["cold"], rows
+
+
+def test_q3_bucketed_fact_join_no_exchange(spark):
+    """q3_bucketed's 100 TB shape: the BUILDING-customer membership is
+    a BROADCAST semi join on the orders side (broadcasts preserve the
+    streamed side's bucket partitioning), so lineitem ⋈ orders runs as
+    an SMJ with ZERO exchange anywhere, and the top-10 needs no global
+    sort. Thresholds are pinned to a value where the tiny customer key
+    set broadcasts but the facts do not (fully disabling broadcast is
+    the WRONG stress here: Catalyst then pushes the semi down as an
+    SMJ on custkey, which legitimately re-partitions orders — the
+    bucketed layout's payoff is precisely that the dim membership can
+    ride a broadcast). Set AFTER the lazy build — harden() re-raises
+    '-1' adaptive thresholds."""
+    from mr_py_spark.operators.bucketed import q3_bucketed
+    from tests.conftest import SF_DIR as _SF
+
+    df = q3_bucketed(spark, _SF)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16KB")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "16KB")
+    try:
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    final = p.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin [l_orderkey" in final, final[:3000]
+    assert "Exchange hashpartitioning" not in final, final[:3000]
+    assert "BroadcastHashJoin [o_custkey" in final and "LeftSemi" in final
+    assert "TakeOrderedAndProject" in final
+    # both date filters reached the bucketed scans
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in final
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in final
+
+
+def test_q3_bucketed_matches_shuffle_form(spark):
+    a = sorted(map(tuple, REG["q3_bucketed"].fn(spark, SF_DIR).collect()))
+    b = sorted(map(tuple, REG["q3_shipping_priority"].fn(spark, SF_DIR).collect()))
+    assert a == b
