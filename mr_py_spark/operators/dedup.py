@@ -166,6 +166,35 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_band_entries(sig: DataFrame) -> DataFrame:
+    """LSH banding of a minhash_signatures frame: one row per
+    (doc, band) carrying the full signature plus (band_id, band_key)
+    — the standing near-dup INDEX a production warehouse materializes
+    (and would bucket by band_key, making index-side lookups
+    exchange-free — the q5_bucketed argument). band_key = hash of the
+    band's signature slice; a scan-local explode, zero shuffle."""
+    n_bands = _N_HASHES // _BAND_ROWS
+    return sig.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(_N_HASHES)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", *[f"mh{i}" for i in range(_N_HASHES)], "band.band_id", "band.band_key"
+    )
+
+
 @register("dedup_minhash", tags=("C2",), oracle=None)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (C2). Rows-only: hash
@@ -186,26 +215,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join exists anywhere in the plan.
     """
     docs = tbl(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
-
-    n_bands = _N_HASHES // _BAND_ROWS
-    band_entries = sig.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(_N_HASHES)],
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", *[f"mh{i}" for i in range(_N_HASHES)], "band.band_id", "band.band_key")
+    band_entries = lsh_band_entries(minhash_signatures(docs))
 
     a = band_entries.alias("a")
     b = band_entries.alias("b")
@@ -523,6 +533,105 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return first_seen.join(corpus, "h", "left_anti").select(
         "doc_id", "n_delta_copies"
     )
+
+
+def minhash_delta_status(
+    corpus: DataFrame, delta: DataFrame, tau: float = 0.5
+) -> DataFrame:
+    """Incremental NEAR-dup triage of a delta batch (doc_id, text)
+    against a standing corpus — the fuzzy companion to
+    ``incremental_dedup``'s exact digest anti-join, and the production
+    ingest shape for MinHash dedup: re-banding the whole corpus per
+    snapshot is the naive O(total) alternative.
+
+    Returns one row per delta doc: (doc_id, status, match_id) with
+    status 'dup_of_corpus' (some corpus doc agrees on >= tau of the
+    signature; match_id = min such corpus doc), else
+    'dup_within_delta' (the house star rule: some LOWER-doc_id delta
+    doc matches; match_id = min such), else 'new' (match_id null).
+    Corpus-vs-corpus pairs are never formed.
+
+    Scale shape: the corpus contributes ONLY its LSH index
+    (lsh_band_entries — bands + 16 longs per doc, never text), which
+    a standing warehouse keeps materialized and bucketed by band_key
+    so the candidate lookup is exchange-free on the corpus side; the
+    delta side is small by construction and AQE broadcasts it at
+    runtime (declarative — no hint, the q5 fact-hint lesson). Work is
+    O(delta x bucket-occupancy), independent of corpus size. The
+    within-delta pass is dedup_minhash restricted to the delta.
+    Candidate fan-out is band-bucket-bounded; no cross join (asserted
+    in tests/test_plans.py)."""
+    dband = lsh_band_entries(minhash_signatures(delta))
+    cband = lsh_band_entries(minhash_signatures(corpus))
+
+    def agree(a_pref: str, b_pref: str):
+        return sum(
+            F.when(F.col(f"{a_pref}{i}") == F.col(f"{b_pref}{i}"), 1).otherwise(0)
+            for i in range(_N_HASHES)
+        )
+
+    def verified_matches(other: DataFrame, cond) -> DataFrame:
+        """min matching partner per delta doc from a band equi-join."""
+        d, o = dband.alias("d"), other.alias("o")
+        cand = (
+            d.join(
+                o,
+                (F.col("d.band_id") == F.col("o.band_id"))
+                & (F.col("d.band_key") == F.col("o.band_key"))
+                & cond,
+            )
+            .select(
+                F.col("d.doc_id").alias("doc_id"),
+                F.col("o.doc_id").alias("partner"),
+                *[F.col(f"d.mh{i}").alias(f"dmh{i}") for i in range(_N_HASHES)],
+                *[F.col(f"o.mh{i}").alias(f"omh{i}") for i in range(_N_HASHES)],
+            )
+            .distinct()
+        )
+        return (
+            cand.filter(
+                agree("dmh", "omh") / F.lit(float(_N_HASHES)) >= F.lit(tau)
+            )
+            .groupBy("doc_id")
+            .agg(F.min("partner").alias("match_id"))
+        )
+
+    vs_corpus = verified_matches(cband, F.lit(True)).withColumnRenamed(
+        "match_id", "corpus_match"
+    )
+    vs_delta = verified_matches(
+        dband, F.col("o.doc_id") < F.col("d.doc_id")
+    ).withColumnRenamed("match_id", "delta_match")
+
+    return (
+        delta.select("doc_id")
+        .distinct()
+        .join(vs_corpus, "doc_id", "left")
+        .join(vs_delta, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_match").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("delta_match").isNotNull(), F.lit("dup_within_delta"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("corpus_match", "delta_match").alias("match_id"),
+        )
+    )
+
+
+@register("incremental_minhash_dedup", tags=("C2", "C1", "B19"), oracle=None)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_delta_status`` bound to the fixture's deterministic
+    snapshot split (the incremental_dedup buckets: delta = bucket
+    {_INC_DELTA_BUCKET} of {_INC_BUCKETS}). Rows-only — hash
+    permutations are engine-specific; correctness is property-tested
+    on planted cross-batch and within-batch near-dups plus a
+    no-corpus-pairs invariant (tests/test_properties.py)."""
+    docs = tbl(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+    delta = docs.filter(b == _INC_DELTA_BUCKET)
+    corpus = docs.filter(b != _INC_DELTA_BUCKET)
+    return minhash_delta_status(corpus, delta)
 
 
 #: paragraph_dedup unit: non-overlapping 32-word windows.

@@ -621,3 +621,15 @@ def test_q3_bucketed_matches_shuffle_form(spark):
     a = sorted(map(tuple, REG["q3_bucketed"].fn(spark, SF_DIR).collect()))
     b = sorted(map(tuple, REG["q3_shipping_priority"].fn(spark, SF_DIR).collect()))
     assert a == b
+
+
+def test_incremental_minhash_dedup_no_cartesian(spark):
+    """Delta-vs-corpus and within-delta candidates both come from band
+    equi-joins; the corpus contributes only its LSH index columns."""
+    p = plan_of(spark, "incremental_minhash_dedup")
+    assert "CartesianProduct" not in p
+    assert "band_key" in p
+    # corpus text never crosses the join: only doc_id/signature/band
+    # columns appear in the candidate-join ReadSchemas beyond the scan
+    scans = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scans, p[:2000]

@@ -1656,3 +1656,66 @@ def test_stream_outer_join_withholds_tail(spark, tmp_path):
     out = REG["stream_outer_join"].fn(spark, str(tmp_path)).collect()
     got = {(r.user_id, r.click_id, r.purchase_id) for r in out}
     assert got == {(1, 1, 2), (2, 3, None)}, got
+
+
+def test_minhash_delta_status_planted(spark):
+    """incremental_minhash_dedup's core on planted docs: a delta
+    near-dup of a corpus doc is 'dup_of_corpus' (min corpus partner),
+    a delta near-dup of a LOWER-id delta doc is 'dup_within_delta',
+    distinct content is 'new', and corpus precedence beats
+    within-delta. Deterministic across runs."""
+    from pyspark.sql import Row
+
+    from mr_py_spark.operators.dedup import minhash_delta_status
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark engines and parquet files "
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=base + "suffix")]
+    )
+    delta = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base + "tail words"),  # dups corpus 1 AND 2
+            Row(doc_id=11, text=other),
+            Row(doc_id=12, text=other + "plus"),  # dups delta 11
+            Row(doc_id=13, text="entirely novel words " * 10),
+        ]
+    )
+    out1 = {r.doc_id: (r.status, r.match_id) for r in minhash_delta_status(corpus, delta).collect()}
+    assert out1[10] == ("dup_of_corpus", 1)  # min corpus partner, corpus wins
+    assert out1[11] == ("new", None)
+    assert out1[12] == ("dup_within_delta", 11)
+    assert out1[13] == ("new", None)
+    out2 = {r.doc_id: (r.status, r.match_id) for r in minhash_delta_status(corpus, delta).collect()}
+    assert out1 == out2
+
+
+def test_incremental_minhash_dedup_invariants(spark):
+    """Fixture-level invariants: exactly one row per delta doc; every
+    corpus match points into the corpus bucket, every within-delta
+    match at a LOWER delta doc_id; statuses within the enum."""
+    from mr_py_spark.operators.dedup import (
+        _INC_BUCKETS,
+        _INC_DELTA_BUCKET,
+        _INC_MULT,
+    )
+
+    out = rows(spark, "incremental_minhash_dedup")
+    docs = REG["incremental_minhash_dedup"].fn  # noqa: F841 (query under test)
+    delta_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter((F.col("doc_id") * _INC_MULT) % _INC_BUCKETS == _INC_DELTA_BUCKET)
+        .select("doc_id")
+        .collect()
+    }
+    assert {r.doc_id for r in out} == delta_ids
+    assert len(out) == len(delta_ids)
+    for r in out:
+        assert r.status in ("dup_of_corpus", "dup_within_delta", "new")
+        if r.status == "dup_of_corpus":
+            assert (r.match_id * _INC_MULT) % _INC_BUCKETS != _INC_DELTA_BUCKET
+        elif r.status == "dup_within_delta":
+            assert r.match_id in delta_ids and r.match_id < r.doc_id
+        else:
+            assert r.match_id is None
