@@ -92,6 +92,19 @@ def late_family_rows(spark, reg, con, sf_dir: str, reps: int) -> None:
             print(f"{name} rep{rep}: spark={s:.2f}s duckdb={d:.2f}s", flush=True)
 
 
+def incremental_minhash_study(spark, reg, sf_dir: str, reps: int) -> None:
+    """O(delta) claim measured: triaging the 1/10 delta against the
+    corpus index vs re-banding the WHOLE corpus for all pairs
+    (dedup_minhash, the naive per-snapshot alternative)."""
+    inc_fn = reg["incremental_minhash_dedup"].fn
+    full_fn = reg["dedup_minhash"].fn
+    _run(inc_fn(spark, sf_dir)), _run(full_fn(spark, sf_dir))  # warm
+    for rep in range(reps):
+        a = _run(inc_fn(spark, sf_dir))
+        b = _run(full_fn(spark, sf_dir))
+        print(f"incmh rep{rep}: delta-triage={a:.2f}s full-corpus-minhash={b:.2f}s", flush=True)
+
+
 def video_cap_study(spark, sf_dir: str, out_root: str, reps: int) -> None:
     from mr_py_spark.operators.multimodal import (
         _VID_JACCARD,
@@ -195,6 +208,9 @@ def main() -> None:
     if not only or "q3" in only:
         print("== q3 layout study @ sf10 ==", flush=True)
         q3_layout_study(spark, reg, args.sf10, args.reps)
+    if not only or "incmh" in only:
+        print("== incremental minhash study @ sf10 ==", flush=True)
+        incremental_minhash_study(spark, reg, args.sf10, args.reps)
     if not only or "late" in only:
         print("== r9 late family @ sf10 ==", flush=True)
         late_family_rows(spark, reg, con, args.sf10, args.reps)
