@@ -35,15 +35,25 @@ from mr_py_spark.registry import register
 from mr_py_spark.sources import tbl
 from mr_py_spark.sources.sinks import write_bucketed
 
-_BUCKETS = 16
+#: Bucket count = this deployment's core count (local[32]). A bucketed
+#: scan reads ONE task per bucket, so the bucket count CAPS scan
+#: parallelism: the r10 sf100 A/B measured the 16-bucket layout at only
+#: ~1.1x over the shuffle form because 16 tasks scanned 13 GB of
+#: lineitem on 32 cores (vs 1.5-1.6x at sf10 where the scan fit the
+#: task width) — size buckets to the cluster's parallelism, not the
+#: fixture. At 100 TB that means thousands of buckets.
+_BUCKETS = 32
 _CACHE_ROOT_NAME = "spark_graft_bucketed"
 
 
 def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """The fixture table ``name`` as a catalog table bucketed+sorted on
     ``key`` (built/registered on first use per sf_dir; cached on disk
-    and in the session catalog thereafter)."""
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    and in the session catalog thereafter). The bucket count is baked
+    into the table name AND cache dir: a knob change must never
+    re-attach files written under a different count — the CREATE TABLE
+    bucket spec is metadata the files cannot contradict-check."""
+    tag = f"b{_BUCKETS}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     table = f"mrps_bkt_{name}_{tag}"
     if not spark.catalog.tableExists(table):
         root = os.path.join(tempfile.gettempdir(), _CACHE_ROOT_NAME, tag)
@@ -132,7 +142,7 @@ def q5_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < ts_ntz("1998-01-01 00:00:00"))
     ).select("o_orderkey", "o_custkey")
     # broadcast joins preserve the streamed side's bucket partitioning,
-    # so li_asia still satisfies hashpartitioning(l_orderkey, 16)
+    # so li_asia still satisfies hashpartitioning(l_orderkey, _BUCKETS)
     li_asia = li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
     fact = li_asia.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
     return (
