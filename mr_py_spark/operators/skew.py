@@ -159,7 +159,17 @@ def skew_join_stress(spark: SparkSession, sf_dir: str) -> DataFrame:
     nor AQE applies) and ``salted_agg`` (aggregation skew, where AQE
     cannot help). The global-total window runs over the dim frame,
     bounded at <= 1000 rows by the key transform's range — the
-    bounded-metadata class, never data-sized."""
+    bounded-metadata class, never data-sized.
+
+    Measured at sf100 (100M events, SCALE.md r10): with default confs
+    AQE sidesteps the skew entirely by runtime-BROADCASTING the tiny
+    dim (22 s, no straggler) — the split is the fallback for when
+    both sides are big. Forcing SMJ, the split needs
+    ``forceOptimizeSkewedJoin=true`` (now set by harden()): vanilla
+    OptimizeSkewedJoin vetoes any split that would add an exchange,
+    and this join's output feeds a different-key aggregation, so the
+    veto always fires on exactly the shape that needs help. With
+    force: 9.4 s vs 27-32 s unsplit (3.3x)."""
     from pyspark.sql import Window
 
     ev = tbl(spark, sf_dir, "events")

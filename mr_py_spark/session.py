@@ -34,6 +34,18 @@ _RUNTIME_CONFS = {
     # AQE: runtime re-planning (partition coalescing, skew join splitting).
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Skew-join splitting is VETOED by default whenever splitting would
+    # add an exchange — which is exactly the common skewed shape (join
+    # output feeding a different-key aggregation: OptimizeSkewedJoin
+    # sees the agg's future exchange and declines). Measured at sf100
+    # on the zipf join (skew_join_stress, 100M rows, SCALE.md r10):
+    # without force the hot reducer runs solo at 27-32 s; with force
+    # the split fires and the query takes 9.4 s (3.3x). The adversarial
+    # shape (groupBy ON the join key, where force could add a real
+    # exchange) measured NO regression — detection still requires a
+    # partition past threshold AND factor x median, so this only ever
+    # acts where a straggler already dominates.
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     # Arrow for any pandas_udf / toPandas boundary crossing.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
