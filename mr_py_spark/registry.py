@@ -163,27 +163,67 @@ def _src_of(fn) -> str:
         return f"{fn.__module__}.{fn.__qualname__}"
 
 
-def _dep_sources(fn) -> list[str]:
-    """Source of every mr_py_spark function transitively reachable from
-    ``fn``'s code — module globals referenced by name, including names
-    used inside nested closures/lambdas. Folding these into the
-    fingerprint means a behavior-changing edit to a SHARED helper (the
-    r8 case: the IVF candidate machinery under knn_ivf_topk) re-stamps
-    every registered query that uses it, so they re-enter the driver's
-    verification window instead of silently keeping a stale green row.
-    Attribute names in co_names that happen to collide with unrelated
-    module globals can only ADD source to the hash — a spurious
-    re-verification at worst, never a missed one."""
+_SIMPLE_CONST = (int, float, str, bool, bytes, type(None))
+
+
+def _const_repr(v, depth: int = 0) -> str | None:
+    """Deterministic repr for simple module-level data (ints, strings,
+    and containers thereof); None for anything whose repr could carry
+    object identity (instances, classes, modules) or excessive depth."""
+    if depth > 3:
+        return None
+    if isinstance(v, _SIMPLE_CONST) and not isinstance(v, type):
+        return repr(v)
+    if isinstance(v, (tuple, list)):
+        items = [_const_repr(x, depth + 1) for x in v]
+        if any(i is None for i in items):
+            return None
+        return f"{type(v).__name__}[{','.join(items)}]"
+    if isinstance(v, (set, frozenset)):
+        items = [_const_repr(x, depth + 1) for x in sorted(v, key=repr)]
+        if any(i is None for i in items):
+            return None
+        return f"{type(v).__name__}[{','.join(items)}]"
+    if isinstance(v, dict):
+        items = []
+        for k in v:
+            kr = _const_repr(k, depth + 1)
+            vr = _const_repr(v[k], depth + 1)
+            if kr is None or vr is None:
+                return None
+            items.append(f"{kr}:{vr}")
+        return "dict{" + ",".join(items) + "}"
+    return None
+
+
+def _dep_closure(fn) -> tuple[list[str], list[str]]:
+    """(function sources, data-constant reprs) for everything in
+    mr_py_spark transitively reachable from ``fn``'s code — module
+    globals referenced by name, including names used inside nested
+    closures/lambdas. Folding function sources into the fingerprint
+    means a behavior-changing edit to a SHARED helper (the r8 case:
+    the IVF candidate machinery under knn_ivf_topk) re-stamps every
+    registered query that uses it; folding referenced DATA constants
+    (fp schema v2, r10) closes the blind spot that a module-level knob
+    (_TAU, _BUCKETS, _RUNTIME_CONFS) changes behavior without touching
+    any function source — the r10 harden() conf change escaped
+    re-stamping exactly this way. Attribute names in co_names that
+    happen to collide with unrelated module globals can only ADD
+    material to the hash — a spurious re-verification at worst, never
+    a missed one."""
     import types
 
     seen: dict[tuple[str, str], object] = {}
+    consts: dict[str, str] = {}
     stack = [fn]
     while stack:
         f = stack.pop()
         code = getattr(f, "__code__", None)
         if code is None:
             continue
-        g = getattr(inspect.getmodule(f), "__dict__", None) or {}
+        mod = inspect.getmodule(f)
+        mod_name = getattr(mod, "__name__", "") or ""
+        g = getattr(mod, "__dict__", None) or {}
         names: set[str] = set()
         codes = [code]
         while codes:
@@ -201,21 +241,41 @@ def _dep_sources(fn) -> list[str]:
                 if key not in seen:
                     seen[key] = obj
                     stack.append(obj)
-    return [_src_of(seen[k]) for k in sorted(seen)]
+            elif mod_name.startswith("mr_py_spark") and name in g:
+                r = _const_repr(obj)
+                if r is not None:
+                    consts[f"{mod_name}.{name}"] = r
+    return (
+        [_src_of(seen[k]) for k in sorted(seen)],
+        [f"{k}={consts[k]}" for k in sorted(consts)],
+    )
+
+
+#: Fingerprint schema version. Bump when _fingerprint's INPUTS change
+#: (not when code changes): _fingerprint_rounds migrates entries whose
+#: recorded version differs by re-hashing while KEEPING their round —
+#: trusting history like the bootstrap path — so a schema change never
+#: dumps all 200+ queries back into the verification window at once.
+_FP_VERSION = 2
 
 
 def _fingerprint(q: Query) -> str:
     """Content hash of a query's implementation (own source + the
-    source of transitively-referenced mr_py_spark helpers, see
-    ``_dep_sources``) + oracle. A green driver row only proves the code
-    that existed when the row was recorded; a fingerprint change after
-    that round means the query is unproven again and must re-enter the
-    verification window."""
+    source and data constants of transitively-referenced mr_py_spark
+    helpers, see ``_dep_closure``) + oracle. A green driver row only
+    proves the code that existed when the row was recorded; a
+    fingerprint change after that round means the query is unproven
+    again and must re-enter the verification window."""
     h = hashlib.sha256()
     h.update(_src_of(q.fn).encode())
-    for dep in _dep_sources(q.fn):
+    sources, consts = _dep_closure(q.fn)
+    for dep in sources:
         h.update(b"\x00")
         h.update(dep.encode())
+    h.update(b"\x00\x01")
+    for c in consts:
+        h.update(b"\x00")
+        h.update(c.encode())
     h.update(b"\x00\x00")
     h.update((q.oracle or "").encode())
     return h.hexdigest()[:16]
@@ -245,11 +305,18 @@ def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:
     for name, q in registry.items():
         fp = _fingerprint(q)
         prev = sidecar.get(name)
-        if isinstance(prev, dict) and prev.get("fp") == fp:
+        if isinstance(prev, dict) and int(prev.get("v", 1)) != _FP_VERSION:
+            # fp-schema migration: the hash INPUTS changed, not the
+            # query — keep the recorded round (trust history, like
+            # bootstrap) and store the re-hashed entry under the new
+            # version. Real edits after this are caught normally.
+            out[name] = int(prev.get("round", 0))
+            dirty[name] = {"fp": fp, "round": out[name], "v": _FP_VERSION}
+        elif isinstance(prev, dict) and prev.get("fp") == fp:
             out[name] = int(prev.get("round", 0))
         else:
             out[name] = 0 if bootstrap else upcoming
-            dirty[name] = {"fp": fp, "round": out[name]}
+            dirty[name] = {"fp": fp, "round": out[name], "v": _FP_VERSION}
     if dirty:
         # Merge into a FRESH read of the sidecar so a process holding
         # stale imports (e.g. a driver run spanning a source edit, where

@@ -243,3 +243,44 @@ def test_verification_ledger_shape_and_staleness_budget():
     if len(debt) <= 50:
         outside = [n for n in debt if names.index(n) >= 50]
         assert not outside, f"unproven queries outside the window: {outside}"
+
+
+def test_fingerprint_sees_module_data_constants(monkeypatch):
+    """fp schema v2: changing a referenced module-level data constant
+    (a threshold, a bucket count, a conf dict) must change the
+    fingerprint — the r10 harden() conf edit escaped re-stamping
+    because only function sources were hashed."""
+    import mr_py_spark.operators.kmeans as km
+    from mr_py_spark.registry import _fingerprint
+
+    reg = load_all()
+    q = reg["semantic_dedup"]
+    before = _fingerprint(q)
+    monkeypatch.setattr(km, "_TAU", 0.99)
+    after = _fingerprint(q)
+    assert before != after
+
+
+def test_fingerprint_schema_migration_keeps_rounds(tmp_path, monkeypatch):
+    """Bumping _FP_VERSION re-hashes entries but KEEPS their recorded
+    round (trust history, like bootstrap) — a schema change must never
+    dump every query back into the 50-slot window at once."""
+    import json as _json
+
+    import mr_py_spark.registry as regmod
+
+    reg = load_all()
+    victim = next(iter(reg))
+    side = tmp_path / ".fingerprints.json"
+    side.write_text(_json.dumps({victim: {"fp": "stale-v1-hash", "round": 3}}))
+    monkeypatch.setattr(regmod, "_FP_PATH", str(side))
+    rounds = regmod._fingerprint_rounds({victim: reg[victim]})
+    assert rounds[victim] == 3  # preserved, not re-stamped to upcoming
+    stored = _json.loads(side.read_text())[victim]
+    assert stored["v"] == regmod._FP_VERSION
+    assert stored["fp"] != "stale-v1-hash"
+    # and a REAL change after migration is still caught
+    stored2 = dict(stored, fp="now-stale-again")
+    side.write_text(_json.dumps({victim: stored2}))
+    rounds2 = regmod._fingerprint_rounds({victim: reg[victim]})
+    assert rounds2[victim] > 3
