@@ -46,34 +46,85 @@ _BUCKETS = 32
 _CACHE_ROOT_NAME = "spark_graft_bucketed"
 
 
+def _src_stamp(sf_dir: str, name: str) -> str:
+    """Content stamp of the source fixture file (size + mtime_ns): a
+    regenerated fixture at the SAME path must invalidate the cached
+    warehouse — gen_sf.py rewrites /tmp/sparkgraft/sfN in place, and a
+    stale bucketed copy would silently diverge from what DuckDB and
+    every other query read."""
+    st = os.stat(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """The fixture table ``name`` as a catalog table bucketed+sorted on
     ``key`` (built/registered on first use per sf_dir; cached on disk
     and in the session catalog thereafter). The bucket count is baked
     into the table name AND cache dir: a knob change must never
     re-attach files written under a different count — the CREATE TABLE
-    bucket spec is metadata the files cannot contradict-check."""
+    bucket spec is metadata the files cannot contradict-check. The
+    _COMPLETE marker stores the SOURCE file's content stamp, so a
+    regenerated fixture rebuilds instead of serving stale buckets; a
+    mkdir lock serializes concurrent first builds (two overwriting
+    writers would interleave files, then both stamp complete)."""
     tag = f"b{_BUCKETS}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     table = f"mrps_bkt_{name}_{tag}"
-    if not spark.catalog.tableExists(table):
+    stamp = _src_stamp(sf_dir, name)
+
+    def marker_ok(done: str) -> bool:
+        try:
+            with open(done) as f:
+                return f.read().strip() == stamp
+        except OSError:
+            return False
+
+    if spark.catalog.tableExists(table):
         root = os.path.join(tempfile.gettempdir(), _CACHE_ROOT_NAME, tag)
-        path = os.path.join(root, name)
-        done = os.path.join(root, f"_{name}_COMPLETE")
-        src = tbl(spark, sf_dir, name)
-        if os.path.exists(done):
-            # files survive from an earlier session: re-attach. The
-            # bucket spec is catalog metadata, so the DDL must state it.
-            cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema)
-            spark.sql(
-                f"CREATE TABLE {table} ({cols}) USING parquet "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {_BUCKETS} BUCKETS "
-                f"LOCATION '{path}'"
-            )
+        if marker_ok(os.path.join(root, f"_{name}_COMPLETE")):
+            return spark.table(table)
+        spark.sql(f"DROP TABLE {table}")  # fixture regenerated under us
+    root = os.path.join(tempfile.gettempdir(), _CACHE_ROOT_NAME, tag)
+    path = os.path.join(root, name)
+    done = os.path.join(root, f"_{name}_COMPLETE")
+    lock = os.path.join(root, f"_{name}_LOCK")
+    src = tbl(spark, sf_dir, name)
+    if not marker_ok(done):
+        os.makedirs(root, exist_ok=True)
+        import time
+
+        for _ in range(600):  # wait out a concurrent builder (60 s cap)
+            try:
+                os.mkdir(lock)
+                break
+            except FileExistsError:
+                time.sleep(0.1)
+                if marker_ok(done):
+                    break
         else:
-            os.makedirs(root, exist_ok=True)
-            shutil.rmtree(path, ignore_errors=True)
-            write_bucketed(src, table, key, _BUCKETS, path=path)
-            open(done, "w").close()
+            raise RuntimeError(f"bucketed build lock stuck: {lock}")
+        try:
+            if not marker_ok(done):
+                try:
+                    os.remove(done)
+                except OSError:
+                    pass
+                shutil.rmtree(path, ignore_errors=True)
+                write_bucketed(src, table, key, _BUCKETS, path=path)
+                tmp = done + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(stamp)
+                os.replace(tmp, done)
+        finally:
+            shutil.rmtree(lock, ignore_errors=True)
+    if not spark.catalog.tableExists(table):
+        # files built by this or an earlier session: (re-)attach. The
+        # bucket spec is catalog metadata, so the DDL must state it.
+        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema)
+        spark.sql(
+            f"CREATE TABLE {table} ({cols}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {_BUCKETS} BUCKETS "
+            f"LOCATION '{path}'"
+        )
     return spark.table(table)
 
 

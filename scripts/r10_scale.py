@@ -191,7 +191,7 @@ def main() -> None:
     ap.add_argument("--sf10", default="/tmp/sparkgraft/sf10")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
-        "--only", default="", help="comma list of studies: q5,late,video (default all)"
+        "--only", default="", help="comma list of studies: q5,q3,incmh,late,video (default all)"
     )
     args = ap.parse_args()
     only = set(args.only.split(",")) - {""}

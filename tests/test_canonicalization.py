@@ -110,3 +110,19 @@ def test_compare_frames_dtype_classes_pure_pandas():
     # column-name and row-count gates
     assert compare_frames(pd.DataFrame({"x": [1]}), pd.DataFrame({"y": [1]}))
     assert compare_frames(pd.DataFrame({"x": [1]}), pd.DataFrame({"x": [1, 1]}))
+
+
+def test_compare_frames_struct_field_order_cannot_mispair_rows():
+    """Row pairing sorts on a canonical string: two engines returning
+    equal structs with different field insertion order must still pair
+    row-for-row (str() of a dict is order-dependent; the canonical
+    form sorts keys)."""
+    import pandas as pd
+
+    from tests.test_parity import compare_frames
+
+    a = pd.DataFrame({"s": [{"a": 1, "b": 2}, {"a": 3, "b": 4}], "k": [1, 2]})
+    b = pd.DataFrame({"s": [{"b": 4, "a": 3}, {"b": 2, "a": 1}], "k": [2, 1]})
+    assert compare_frames(a, b) == []
+    c = pd.DataFrame({"s": [{"b": 9, "a": 3}, {"b": 2, "a": 1}], "k": [2, 1]})
+    assert compare_frames(a, c)

@@ -131,8 +131,19 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _canon_str(v) -> str:
+    """Canonical sort string: dicts serialize with SORTED keys so two
+    engines' field orders cannot mispair rows (str() of a dict depends
+    on insertion order); sequences recurse."""
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{_canon_str(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon_str(x) for x in v) + "]"
+    return str(v)
+
+
 def _sort_key(row):
-    return tuple((_is_null(v), str(v)) for v in row)
+    return tuple((_is_null(v), _canon_str(v)) for v in row)
 
 
 def canon_frame(df: pd.DataFrame):

@@ -1701,7 +1701,6 @@ def test_incremental_minhash_dedup_invariants(spark):
     )
 
     out = rows(spark, "incremental_minhash_dedup")
-    docs = REG["incremental_minhash_dedup"].fn  # noqa: F841 (query under test)
     delta_ids = {
         r.doc_id
         for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")

@@ -284,3 +284,21 @@ def test_fingerprint_schema_migration_keeps_rounds(tmp_path, monkeypatch):
     side.write_text(_json.dumps({victim: stored2}))
     rounds2 = regmod._fingerprint_rounds({victim: reg[victim]})
     assert rounds2[victim] > 3
+
+
+def test_fingerprint_sees_harden_conf_dict(monkeypatch):
+    """Regression for the exact r10 escape: every query reaches
+    harden() through tbl(), and harden's behavior is driven by the
+    module-level _RUNTIME_CONFS dict — editing it must re-stamp (under
+    fp schema v1 it did not, which is why schema v2 exists)."""
+    import mr_py_spark.session as sess
+    from mr_py_spark.registry import _fingerprint
+
+    reg = load_all()
+    q = reg["q1_pricing_summary"]
+    before = _fingerprint(q)
+    monkeypatch.setattr(
+        sess, "_RUNTIME_CONFS", dict(sess._RUNTIME_CONFS, **{"x.y": "z"})
+    )
+    after = _fingerprint(q)
+    assert before != after

@@ -96,3 +96,29 @@ def test_bucketed_join_skips_shuffle(spark):
         assert joined.count() == lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_bucketed_warehouse_rebuilds_on_fixture_regeneration(spark, tmp_path):
+    """The warehouse cache is content-stamped: regenerating the source
+    fixture at the SAME path must invalidate the cached buckets (a
+    stale copy would silently diverge from what every other query and
+    the DuckDB oracle read)."""
+    import shutil as _sh
+
+    from mr_py_spark.operators.bucketed import _bucketed_table
+    from tests.conftest import SF_DIR as _SF
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        _sh.copy(f"{_SF}/{t}.parquet", f"{sf}/{t}.parquet")
+    n1 = _bucketed_table(spark, sf, "orders", "o_orderkey").count()
+    # regenerate: halve the fixture in place (new size + mtime)
+    half = spark.read.parquet(f"{_SF}/orders.parquet").limit(700)
+    tmp_out = str(tmp_path / "half")
+    half.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = next(p for p in os.listdir(tmp_out) if p.endswith(".parquet"))
+    _sh.copy(os.path.join(tmp_out, part), f"{sf}/orders.parquet")
+    n2 = _bucketed_table(spark, sf, "orders", "o_orderkey").count()
+    assert n1 > 700 and n2 == 700, (n1, n2)
