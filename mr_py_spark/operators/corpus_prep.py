@@ -677,3 +677,90 @@ def length_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile", "source")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+#: Acceptance-threshold granularity for temperature_sampling: 16^5
+#: (five hex chars of md5), giving ~1e-6 rate resolution.
+_TEMP_GRAN = 16**5
+
+
+@register(
+    "temperature_sampling",
+    tags=("C5", "B12", "B2"),
+    oracle=f"""
+        WITH s AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        m AS (SELECT min(n_docs) AS n_min FROM s),
+        r AS (SELECT s.lang, s.n_docs,
+                     sqrt(CAST(m.n_min AS DOUBLE) / s.n_docs) AS keep_rate,
+                     CAST(floor(sqrt(CAST(m.n_min AS DOUBLE) / s.n_docs)
+                                * {_TEMP_GRAN}) AS BIGINT) AS t
+              FROM s, m),
+        k AS (SELECT d.lang, count(*) AS n_kept
+              FROM documents d JOIN r ON d.lang = r.lang
+              WHERE r.t >= {_TEMP_GRAN}
+                 OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 5)
+                    < printf('%05x', r.t)
+              GROUP BY d.lang)
+        SELECT r.lang, r.n_docs, r.keep_rate,
+               coalesce(k.n_kept, 0) AS n_kept
+        FROM r LEFT JOIN k ON r.lang = k.lang
+    """,
+)
+def temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (C5/B12) — the standard
+    training-data rebalancing move: sample stratum d with probability
+    proportional to n_d^alpha (alpha = 0.5 here), i.e. per-doc keep
+    rate sqrt(n_min / n_d), so the rarest stratum keeps everything and
+    head strata are subsampled toward the tempered mix (no
+    upsampling). Keyed on LANGUAGE (the fixture's source column is
+    uniform by construction; lang is skewed ~3:1, so the subsampling
+    branch genuinely exercises). Output is the per-stratum audit row a
+    pipeline logs: (lang, n_docs, keep_rate, n_kept).
+
+    Cross-engine exactness: alpha = 0.5 is deliberate — sqrt is
+    REQUIRED to be correctly rounded by IEEE 754 (unlike pow), so
+    sqrt(one exact division of exact longs) is bit-identical on both
+    engines; the acceptance threshold floor(rate * 16^5) is then an
+    exact integer, rendered as five lowercase hex chars
+    (format_string/printf '%05x') and compared against an md5 prefix
+    — the stratified_sample_hash determinism argument with continuous
+    rates. rate >= 1 (the min domain) bypasses the string compare:
+    its 6-char threshold would sort BELOW 5-char hex strings.
+
+    Scale shape: per-domain counts in one partial-agg'd shuffle; the
+    min is a 1-row broadcast (CLAUDE.md bounded-aggregate class); the
+    rate table is |domains| rows and broadcasts into the acceptance
+    scan; kept counts are a second scan + one keyed shuffle. No data-
+    sized collect, no RNG (reproducible across engines, runs, and
+    repartitioning — corpus versioning needs the exact row set)."""
+    docs = tbl(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    m = s.agg(F.min("n_docs").alias("n_min"))
+    r = s.crossJoin(F.broadcast(m)).select(
+        "lang",
+        "n_docs",
+        F.sqrt(F.col("n_min").cast("double") / F.col("n_docs")).alias("keep_rate"),
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_docs"))
+            * F.lit(_TEMP_GRAN)
+        ).cast("long").alias("t"),
+    )
+    accept = (F.col("t") >= F.lit(_TEMP_GRAN)) | (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 5)
+        < F.format_string("%05x", F.col("t"))
+    )
+    k = (
+        docs.join(F.broadcast(r), "lang")
+        .filter(accept)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        r.join(k, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "keep_rate",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
