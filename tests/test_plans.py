@@ -636,3 +636,14 @@ def test_incremental_minhash_dedup_no_cartesian(spark):
     # columns appear in the candidate-join ReadSchemas beyond the scan
     scans = [l for l in p.splitlines() if "ReadSchema" in l]
     assert scans, p[:2000]
+
+
+def test_temperature_sampling_broadcasts_rate_table(spark):
+    """The per-stratum rate table (|langs| rows) must broadcast into
+    the acceptance scan, and the only nested loop is the 1-row min
+    glue (the bounded-aggregate exemption, CLAUDE.md)."""
+    p = plan_of(spark, "temperature_sampling")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # both aggregations partial-agg before their exchange
+    assert p.count("HashAggregate") >= 4
