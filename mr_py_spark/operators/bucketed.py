@@ -92,18 +92,29 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> Da
         os.makedirs(root, exist_ok=True)
         import time
 
-        for _ in range(600):  # wait out a concurrent builder (60 s cap)
-            try:
-                os.mkdir(lock)
-                break
-            except FileExistsError:
-                time.sleep(0.1)
-                if marker_ok(done):
-                    break
-        else:
-            raise RuntimeError(f"bucketed build lock stuck: {lock}")
+        # Wait out a concurrent builder. The cap must dwarf the
+        # worst-case one-time build (sf100 lineitem+orders measured
+        # 146 s; allow an hour — a spurious "stuck" here aborts a
+        # correct run, while a genuinely dead builder is a crashed
+        # process whose lock a human clears). Only the process that
+        # actually CREATED the lock dir may remove it: a waiter that
+        # exits via marker_ok must not delete a lock a rebuilder just
+        # re-acquired after a fixture regeneration (ADVICE r10).
+        acquired = False
         try:
-            if not marker_ok(done):
+            deadline = time.monotonic() + 3600
+            while True:
+                try:
+                    os.mkdir(lock)
+                    acquired = True
+                    break
+                except FileExistsError:
+                    if marker_ok(done):
+                        break
+                    if time.monotonic() > deadline:
+                        raise RuntimeError(f"bucketed build lock stuck: {lock}")
+                    time.sleep(0.1)
+            if acquired and not marker_ok(done):
                 try:
                     os.remove(done)
                 except OSError:
@@ -115,7 +126,8 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> Da
                     f.write(stamp)
                 os.replace(tmp, done)
         finally:
-            shutil.rmtree(lock, ignore_errors=True)
+            if acquired:
+                shutil.rmtree(lock, ignore_errors=True)
     if not spark.catalog.tableExists(table):
         # files built by this or an earlier session: (re-)attach. The
         # bucket spec is catalog metadata, so the DDL must state it.

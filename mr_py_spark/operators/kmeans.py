@@ -500,7 +500,30 @@ def kmeans_inertia(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = _quantized(spark, sf_dir).mapInArrow(
         partials, "cluster long, cnt long, sse decimal(38,0)"
     )
-    return parts.groupBy("cluster").agg(
+    agg = parts.groupBy("cluster").agg(
         F.sum("cnt").alias("n_vecs"),
-        F.sum("sse").cast("long").alias("sse"),
+        F.sum("sse").alias("sse_dec"),
+    )
+    # Guard the DECIMAL(38,0)->BIGINT narrowing: past 2^63 the
+    # non-ANSI cast silently yields NULL, turning overflow into a
+    # wrong compared value instead of an error (ADVICE r10). The
+    # docstring's envelope (~2M max-magnitude vectors per cluster) is
+    # far beyond the fixture, so the branch is dead here — it exists
+    # for the 100 TB deployment that outgrows it.
+    return agg.select(
+        "cluster",
+        "n_vecs",
+        F.when(
+            F.col("sse_dec") > F.lit(2**63 - 1),
+            F.raise_error(
+                F.concat(
+                    F.lit("kmeans_inertia: cluster SSE overflows int64; "
+                          "emit DECIMAL(38,0) instead (cluster "),
+                    F.col("cluster").cast("string"),
+                    F.lit(")"),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("sse_dec").cast("long"))
+        .alias("sse"),
     )

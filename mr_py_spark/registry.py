@@ -281,6 +281,29 @@ def _fingerprint(q: Query) -> str:
     return h.hexdigest()[:16]
 
 
+def _fingerprint_v1(q: Query) -> str:
+    """The RETIRED v1 hash (function sources + oracle, no data
+    constants), kept so a schema migration can tell "only the hash
+    INPUTS changed" from "the query changed in the same sync": on a
+    version mismatch, _fingerprint_rounds preserves the recorded round
+    only when the OLD-schema hash still matches — a real source/oracle
+    edit landing alongside an _FP_VERSION bump re-enters the
+    verification window instead of riding the migration (ADVICE r10)."""
+    h = hashlib.sha256()
+    h.update(_src_of(q.fn).encode())
+    sources, _ = _dep_closure(q.fn)
+    for dep in sources:
+        h.update(b"\x00")
+        h.update(dep.encode())
+    h.update(b"\x00\x00")
+    h.update((q.oracle or "").encode())
+    return h.hexdigest()[:16]
+
+
+#: version -> that schema's hash function, for migration re-checks.
+_FP_BY_VERSION = {1: _fingerprint_v1, 2: _fingerprint}
+
+
 def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:
     """Per query, the round at which its CURRENT (fn source, oracle)
     fingerprint first appeared, per the ``.fingerprints.json`` sidecar.
@@ -306,11 +329,18 @@ def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:
         fp = _fingerprint(q)
         prev = sidecar.get(name)
         if isinstance(prev, dict) and int(prev.get("v", 1)) != _FP_VERSION:
-            # fp-schema migration: the hash INPUTS changed, not the
-            # query — keep the recorded round (trust history, like
-            # bootstrap) and store the re-hashed entry under the new
-            # version. Real edits after this are caught normally.
-            out[name] = int(prev.get("round", 0))
+            # fp-schema migration. "The hash INPUTS changed, not the
+            # query" must be PROVEN, not assumed: re-hash under the
+            # RECORDED version's algorithm and keep the round only if
+            # that still matches — a real source/oracle edit sharing a
+            # sync with the _FP_VERSION bump would otherwise be stamped
+            # with its old round and never re-verified (ADVICE r10).
+            # Unknown recorded versions (no keeper fn) re-verify.
+            old_fp_fn = _FP_BY_VERSION.get(int(prev.get("v", 1)))
+            if old_fp_fn is not None and old_fp_fn(q) == prev.get("fp"):
+                out[name] = int(prev.get("round", 0))
+            else:
+                out[name] = 0 if bootstrap else upcoming
             dirty[name] = {"fp": fp, "round": out[name], "v": _FP_VERSION}
         elif isinstance(prev, dict) and prev.get("fp") == fp:
             out[name] = int(prev.get("round", 0))

@@ -263,26 +263,43 @@ def test_fingerprint_sees_module_data_constants(monkeypatch):
 
 def test_fingerprint_schema_migration_keeps_rounds(tmp_path, monkeypatch):
     """Bumping _FP_VERSION re-hashes entries but KEEPS their recorded
-    round (trust history, like bootstrap) — a schema change must never
-    dump every query back into the 50-slot window at once."""
+    round — PROVIDED the old-schema hash still matches (the query
+    itself is unchanged). A real edit that shares a sync with the
+    version bump must NOT ride the migration: it re-enters the window
+    (ADVICE r11 — the exact miss class the sidecar exists to prevent)."""
     import json as _json
 
     import mr_py_spark.registry as regmod
 
     reg = load_all()
     victim = next(iter(reg))
+    q = reg[victim]
+    v1_fp = regmod._fingerprint_v1(q)
     side = tmp_path / ".fingerprints.json"
-    side.write_text(_json.dumps({victim: {"fp": "stale-v1-hash", "round": 3}}))
+    side.write_text(_json.dumps({victim: {"fp": v1_fp, "round": 3, "v": 1}}))
     monkeypatch.setattr(regmod, "_FP_PATH", str(side))
-    rounds = regmod._fingerprint_rounds({victim: reg[victim]})
-    assert rounds[victim] == 3  # preserved, not re-stamped to upcoming
+    rounds = regmod._fingerprint_rounds({victim: q})
+    assert rounds[victim] == 3  # unchanged query: preserved
     stored = _json.loads(side.read_text())[victim]
     assert stored["v"] == regmod._FP_VERSION
-    assert stored["fp"] != "stale-v1-hash"
-    # and a REAL change after migration is still caught
-    stored2 = dict(stored, fp="now-stale-again")
-    side.write_text(_json.dumps({victim: stored2}))
-    rounds2 = regmod._fingerprint_rounds({victim: reg[victim]})
+    assert stored["fp"] == regmod._fingerprint(q)
+    # an entry whose OLD-schema hash does NOT match (the query was
+    # edited in the same sync as the bump) is re-stamped to upcoming
+    side.write_text(
+        _json.dumps({victim: {"fp": "edited-alongside-bump", "round": 3, "v": 1}})
+    )
+    rounds_edit = regmod._fingerprint_rounds({victim: q})
+    assert rounds_edit[victim] > 3
+    # an UNKNOWN recorded version (no keeper hash fn) also re-verifies
+    side.write_text(_json.dumps({victim: {"fp": "???", "round": 3, "v": 99}}))
+    assert regmod._fingerprint_rounds({victim: q})[victim] > 3
+    # and a REAL change after a completed migration is still caught
+    side.write_text(
+        _json.dumps(
+            {victim: {"fp": "now-stale-again", "round": 3, "v": regmod._FP_VERSION}}
+        )
+    )
+    rounds2 = regmod._fingerprint_rounds({victim: q})
     assert rounds2[victim] > 3
 
 
