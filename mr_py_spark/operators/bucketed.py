@@ -56,20 +56,32 @@ def _src_stamp(sf_dir: str, name: str) -> str:
     return f"{st.st_size}:{st.st_mtime_ns}"
 
 
-def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
-    """The fixture table ``name`` as a catalog table bucketed+sorted on
-    ``key`` (built/registered on first use per sf_dir; cached on disk
-    and in the session catalog thereafter). The bucket count is baked
-    into the table name AND cache dir: a knob change must never
-    re-attach files written under a different count — the CREATE TABLE
-    bucket spec is metadata the files cannot contradict-check. The
-    _COMPLETE marker stores the SOURCE file's content stamp, so a
-    regenerated fixture rebuilds instead of serving stale buckets; a
-    mkdir lock serializes concurrent first builds (two overwriting
-    writers would interleave files, then both stamp complete)."""
+def _bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    key: str,
+    frame_of=None,
+    src_name: str | None = None,
+) -> DataFrame:
+    """The fixture table ``name`` — or, with ``frame_of``, an arbitrary
+    DERIVED frame (e.g. the standing LSH band index) — as a catalog
+    table bucketed+sorted on ``key`` (built/registered on first use per
+    sf_dir; cached on disk and in the session catalog thereafter).
+    ``frame_of`` is a zero-arg builder returning the frame to persist;
+    ``src_name`` names the fixture parquet whose content stamp
+    invalidates the cache (defaults to ``name`` — a derived frame must
+    pass the table it derives from). The bucket count is baked into
+    the table name AND cache dir: a knob change must never re-attach
+    files written under a different count — the CREATE TABLE bucket
+    spec is metadata the files cannot contradict-check. The _COMPLETE
+    marker stores the SOURCE file's content stamp, so a regenerated
+    fixture rebuilds instead of serving stale buckets; a mkdir lock
+    serializes concurrent first builds (two overwriting writers would
+    interleave files, then both stamp complete)."""
     tag = f"b{_BUCKETS}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     table = f"mrps_bkt_{name}_{tag}"
-    stamp = _src_stamp(sf_dir, name)
+    stamp = _src_stamp(sf_dir, src_name or name)
 
     def marker_ok(done: str) -> bool:
         try:
@@ -87,7 +99,7 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, name: str, key: str) -> Da
     path = os.path.join(root, name)
     done = os.path.join(root, f"_{name}_COMPLETE")
     lock = os.path.join(root, f"_{name}_LOCK")
-    src = tbl(spark, sf_dir, name)
+    src = frame_of() if frame_of is not None else tbl(spark, sf_dir, name)
     if not marker_ok(done):
         os.makedirs(root, exist_ok=True)
         import time

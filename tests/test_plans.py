@@ -638,6 +638,27 @@ def test_incremental_minhash_dedup_no_cartesian(spark):
     assert scans, p[:2000]
 
 
+def test_incremental_minhash_indexed_reads_index_not_text(spark):
+    """The standing-index form (incremental_minhash_dedup_indexed):
+    cartesian-free, and the corpus side is the materialized bucketed
+    index table — corpus TEXT is never scanned (the only text scans
+    belong to the delta), so the per-snapshot cost excludes the corpus
+    re-shingling pass entirely."""
+    p = plan_of(spark, "incremental_minhash_dedup_indexed")
+    assert "CartesianProduct" not in p
+    assert "mrps_bkt_lsh_bands" in p  # the standing index scan
+    # every scan that reads `text` also reads doc_id with the delta's
+    # bucket filter pushed down; the index scans read mh*/band columns
+    text_scans = [
+        l for l in p.splitlines() if "ReadSchema" in l and "text:string" in l
+    ]
+    assert text_scans, p[:3000]
+    for line in text_scans:
+        assert "mrps_bkt_lsh_bands" not in line
+    idx_scans = [l for l in p.splitlines() if "mrps_bkt_lsh_bands" in l and "ReadSchema" in l]
+    assert idx_scans and all("text" not in l for l in idx_scans)
+
+
 def test_temperature_sampling_broadcasts_rate_table(spark):
     """The per-stratum rate table (|langs| rows) must broadcast into
     the acceptance scan, and the only nested loop is the 1-row min

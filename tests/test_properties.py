@@ -1718,3 +1718,84 @@ def test_incremental_minhash_dedup_invariants(spark):
             assert r.match_id in delta_ids and r.match_id < r.doc_id
         else:
             assert r.match_id is None
+
+
+def test_incremental_minhash_indexed_matches_recompute(spark):
+    """The standing-index form must return EXACTLY the recomputing
+    form's frame: corpus_lsh_index materializes lsh_band_entries of
+    the same corpus split, so (status, match_id) per delta doc are
+    bit-identical. This is the correctness anchor for the O(delta)
+    production path."""
+    a = sorted(map(tuple, rows(spark, "incremental_minhash_dedup")))
+    b = sorted(map(tuple, rows(spark, "incremental_minhash_dedup_indexed")))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_lsh_index_append_maintenance(spark, tmp_path):
+    """Index upkeep end-to-end on a PRIVATE table: triage a delta
+    against the index, admit its survivors via lsh_index_append, and
+    the same docs re-triage as dup_of_corpus (each matches its own
+    index entry at sim 1.0; earlier admissions win min-partner) —
+    per-snapshot cost never re-bands the standing corpus."""
+    from pyspark.sql import Row
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.dedup import (
+        lsh_band_entries,
+        lsh_index_append,
+        minhash_delta_status,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark engines and parquet files "
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=base + "suffix")]
+    )
+    delta = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base + "tail words"),
+            Row(doc_id=11, text=other),
+            Row(doc_id=12, text=other + "plus"),
+            Row(doc_id=13, text="entirely novel words " * 10),
+        ]
+    )
+    table = "mrps_test_lsh_maint"
+    try:
+        write_bucketed(
+            lsh_band_entries(minhash_signatures(corpus)),
+            table,
+            "band_key",
+            _BUCKETS,
+            path=str(tmp_path / "idx"),
+        )
+        out1 = {
+            r.doc_id: (r.status, r.match_id)
+            for r in minhash_delta_status(
+                None, delta, corpus_bands=spark.table(table)
+            ).collect()
+        }
+        assert out1[10] == ("dup_of_corpus", 1)
+        assert out1[11] == ("new", None)
+        assert out1[12] == ("dup_within_delta", 11)
+        assert out1[13] == ("new", None)
+        # admit the snapshot's survivors (status 'new') to the index
+        lsh_index_append(
+            delta.filter(F.col("doc_id").isin([11, 13])), table
+        )
+        out2 = {
+            r.doc_id: (r.status, r.match_id)
+            for r in minhash_delta_status(
+                None, delta, corpus_bands=spark.table(table)
+            ).collect()
+        }
+        # corpus precedence now wins everywhere: 11/13 match their own
+        # entries, 12's partner 11 is corpus now, 10 unchanged
+        assert out2[10] == ("dup_of_corpus", 1)
+        assert out2[11] == ("dup_of_corpus", 11)
+        assert out2[12] == ("dup_of_corpus", 11)
+        assert out2[13] == ("dup_of_corpus", 13)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
