@@ -13,8 +13,25 @@ to the source, so data distributions — and therefore plan selectivity
 — match the original fixture. pyarrow end-to-end: preserves the
 TIMESTAMP(NANOS) events schema Spark/DuckDB both special-case.
 
+--mutate (documents.text only) makes replicas NEAR- but not
+byte-identical, fixing the r10 near-dup DNF-by-fixture: byte-identical
+replication gives every text ~factor exact copies with identical
+MinHash signatures, so LSH bucket mass grows QUADRATICALLY in the
+factor — a corpus shape exact dedup exists to strip, and one that says
+nothing about near-dup cost on real data. Mutated replicas instead
+mirror a post-exact-dedup corpus: copy 0 stays byte-identical to the
+source (so key offsets and plan selectivity hold), copies 1-2 are
+LIGHT token mutations (every 32nd token rewritten -> ~90% of 3-word
+shingles survive, shingle-Jaccard ~0.8 vs the base — true near-dups,
+cluster size bounded at 3 regardless of factor), and every later copy
+is HEAVY (every 2nd token rewritten -> every 3-word shingle contains a
+mutated token, so shingle sets are disjoint — distinct documents).
+All decisions are pure integer arithmetic on (doc_id, copy, token
+index): deterministic, no RNG, reproducible across runs.
+
 Usage: python scripts/gen_sf.py [--src /root/testdata/sf0.1] \
-           [--out /tmp/sparkgraft/sf1] [--factor 10]
+           [--out /tmp/sparkgraft/sf1] [--factor 10] [--mutate] \
+           [--tables documents,embeddings]
 """
 
 from __future__ import annotations
@@ -53,8 +70,41 @@ OFFSET_COLS = {
 }
 
 
+#: --mutate knobs: copies 1.._N_LIGHT are near-dup variants (1 token in
+#: _LIGHT_STEP rewritten), later copies are distinct (1 in _HEAVY_STEP).
+_N_LIGHT = 2
+_LIGHT_STEP = 32
+_HEAVY_STEP = 2
+_MULT = 2654435761  # Knuth multiplicative hash (the repo's split hash)
+
+
+def mutate_texts(texts: list, doc_ids: list, copy: int) -> list:
+    """Deterministic token-level edits for replica ``copy`` (>= 1) of
+    ``documents.text``. The mutation offset varies per (doc, copy) so
+    two light copies of one base mutate DIFFERENT positions (they stay
+    near-dups of each other too, just farther); the replacement token
+    keeps the original as a prefix so token-length distributions move
+    minimally."""
+    step = _LIGHT_STEP if copy <= _N_LIGHT else _HEAVY_STEP
+    out = []
+    for d, t in zip(doc_ids, texts):
+        toks = t.split(" ")
+        off = (d * _MULT + copy * 40503) % step
+        salt = (copy * 131 + d) % 9973
+        for j in range(off, len(toks), step):
+            toks[j] = f"{toks[j]}x{salt + j}"
+        out.append(" ".join(toks))
+    return out
+
+
 def scale_table(
-    src: str, out: str, name: str, factor: int, bases: dict, row_group_size: int
+    src: str,
+    out: str,
+    name: str,
+    factor: int,
+    bases: dict,
+    row_group_size: int,
+    mutate: bool = False,
 ) -> int:
     table = pq.read_table(f"{src}/{name}.parquet")
     # Stream one copy at a time so factor=100 never holds 100 copies in
@@ -72,6 +122,16 @@ def scale_table(
                 if space is not None:
                     shifted = pc.add(col, i * bases[space])
                     col = shifted.cast(col.type)  # keep the source int width
+                elif mutate and name == "documents" and col_name == "text":
+                    base_ids = table.column("doc_id").to_pylist()
+                    col = pa.chunked_array(
+                        [
+                            pa.array(
+                                mutate_texts(col.to_pylist(), base_ids, i),
+                                type=col.type,
+                            )
+                        ]
+                    )
                 cols.append(col)
             writer.write_table(
                 pa.table(dict(zip(table.column_names, cols))),
@@ -86,8 +146,15 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/sparkgraft/sf1")
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--row-group-size", type=int, default=150_000)
+    ap.add_argument("--mutate", action="store_true",
+                    help="token-mutate replicated documents.text (near-dup "
+                         "copies 1-2, distinct copies 3+)")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset of tables to generate "
+                         "(default: all)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
+    only = set(args.tables.split(",")) if args.tables else None
 
     bases = {}
     for space, (tbl_name, col) in SPACES.items():
@@ -95,12 +162,19 @@ def main() -> None:
         bases[space] = int(pc.max(t.column(col)).as_py()) + 1
 
     for name in COPY_AS_IS:
+        if only is not None and name not in only:
+            continue
         t = pq.read_table(f"{args.src}/{name}.parquet")
         pq.write_table(t, f"{args.out}/{name}.parquet")
         print(f"{name}: {t.num_rows} rows (copied)")
     for name in OFFSET_COLS:
-        n = scale_table(args.src, args.out, name, args.factor, bases, args.row_group_size)
-        print(f"{name}: {n} rows (x{args.factor})")
+        if only is not None and name not in only:
+            continue
+        n = scale_table(
+            args.src, args.out, name, args.factor, bases,
+            args.row_group_size, mutate=args.mutate,
+        )
+        print(f"{name}: {n} rows (x{args.factor}{', mutated' if args.mutate and name == 'documents' else ''})")
 
 
 if __name__ == "__main__":
