@@ -1004,6 +1004,30 @@ def video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         avi_variants(spark, sf_dir)
     )
     sigs = video_sig_of(corpus).select("doc_id", "fhash").distinct()
+    return video_pairs_from_sigs(sigs)
+
+
+def video_pairs_from_sigs(sigs: DataFrame, df_cap: int | None = None) -> DataFrame:
+    """Frame-set Jaccard pair mining over a distinct (doc_id, fhash)
+    frame. With ``df_cap``, frame hashes appearing in more than that
+    many documents are stripped BEFORE candidate generation via a
+    broadcast anti-join (the hot set is small by definition — it is
+    the hashes with df above the cap): the stop-frame mitigation of
+    SCALE.md's r10 study (30x on a planted hub), algebraically the
+    prefix-filter/stop-word rule of set-similarity joins. The cap
+    removes the hub hash from every doc's set symmetrically, so the
+    surviving pair set is EXACTLY the uncapped pair set of the
+    hub-stripped corpus (property-tested); pairs whose overlap was
+    carried by boilerplate frames disappear, all others keep their
+    hub-free Jaccard."""
+    if df_cap is not None:
+        hot = (
+            sigs.groupBy("fhash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("fhash")
+        )
+        sigs = sigs.join(F.broadcast(hot), "fhash", "left_anti")
     sizes = sigs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sigs.alias("a"), sigs.alias("b")
     inter = (
@@ -1033,3 +1057,30 @@ def video_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= _VID_JACCARD)
         .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
     )
+
+
+#: video_dup_pairs_capped: drop frame hashes shared by more than this
+#: many documents from candidate generation. Sized well above the
+#: fixture's max frame df (twins give df=2) so the capped form is a
+#: proven NO-OP there; at 100 TB the cap is what bounds the hottest
+#: bucket — SCALE.md r10 measured 30x on a planted stop-frame hub.
+_VID_DF_CAP = 32
+
+
+@register("video_dup_pairs_capped", tags=("C2", "C4", "B19", "A5"), oracle=None)
+def video_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``video_dup_pairs``: identical inverted-
+    index topology plus the document-frequency cap on join keys — the
+    100 TB stop-frame (black/title-card) hot-bucket mitigation, now
+    registered rather than living only in a SCALE.md study (verdict
+    r10 item 3). Rows-only; property tests prove (a) equality with the
+    uncapped pair set on the hub-free fixture (the cap is a no-op
+    until a hub exists) and (b) on a planted-hub corpus, the capped
+    pair set equals the uncapped pair set of the hub-stripped corpus
+    (only hub-carried pairs drop). Plan-asserted: broadcast anti-join
+    for the strip, no cartesian anywhere."""
+    corpus = video_table(spark, sf_dir).filter(F.col("doc_id") % 4 == 0).unionByName(
+        avi_variants(spark, sf_dir)
+    )
+    sigs = video_sig_of(corpus).select("doc_id", "fhash").distinct()
+    return video_pairs_from_sigs(sigs, df_cap=_VID_DF_CAP)

@@ -425,6 +425,17 @@ def test_video_dup_pairs_inverted_index_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_video_dup_pairs_capped_broadcast_anti_join(spark):
+    """The production df-capped form: the hot-hash strip is a
+    broadcast ANTI join (the hot set is tiny by definition), candidate
+    generation stays the inverted-index equi-join — no cartesian, no
+    nested loop."""
+    p = plan_of(spark, "video_dup_pairs_capped")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
 def test_dedup_containment_rare_gram_block_no_cartesian(spark):
     """Containment candidates come from the rare-gram (df in [2,4])
     equi-join, never an all-pairs product; the df cap bounds per-gram

@@ -1589,6 +1589,59 @@ def test_video_dup_pairs_inverted_index_is_exact(spark):
     assert any(b - a == _VARIANT_OFFSET for a, b, *_ in got)  # non-vacuous
 
 
+def test_video_dup_pairs_capped_noop_without_hub(spark):
+    """The df-capped production form equals the uncapped pair set on
+    the hub-free fixture: no frame hash reaches the cap, so the
+    broadcast anti-join strips nothing — the cap only ever acts on a
+    hub that exists."""
+    a = sorted(map(tuple, rows(spark, "video_dup_pairs")))
+    b = sorted(map(tuple, rows(spark, "video_dup_pairs_capped")))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_video_dup_pairs_capped_drops_only_hub_pairs(spark):
+    """Planted-hub semantics: inject a synthetic boilerplate frame
+    hash into every doc's signature set (df = n_docs >> cap). The
+    capped pair set over the hubbed corpus must equal the UNCAPPED
+    pair set over the hub-stripped corpus — the cap removes exactly
+    the hub rows and nothing else, so only hub-carried pairs drop."""
+    from pyspark.sql import Row
+
+    from mr_py_spark.operators.multimodal import video_pairs_from_sigs
+
+    # small synthetic frame-set corpus: 40 docs in 20 twin pairs
+    # (jaccard 2/4 = tau) plus a private filler frame per doc
+    rows_ = []
+    for d in range(40):
+        base = d // 2 * 100
+        rows_ += [Row(doc_id=d, fhash=base + k) for k in (1, 2)]
+        rows_.append(Row(doc_id=d, fhash=10_000 + d))  # private frame
+    sigs = spark.createDataFrame(rows_)
+    # the hubbed corpus: every doc gains the boilerplate frame, plus 5
+    # title-card-only clips whose WHOLE set is the hub frame
+    hub = sigs.select("doc_id").distinct().withColumn("fhash", F.lit(-7))
+    only_hub = spark.createDataFrame(
+        [Row(doc_id=100 + i, fhash=-7) for i in range(5)]
+    )
+    hubbed = sigs.unionByName(hub.select("doc_id", "fhash")).unionByName(only_hub)
+    cap = 8  # hub df = 45 >> cap; every real frame df <= 2
+    capped_on_hubbed = {
+        tuple(r) for r in video_pairs_from_sigs(hubbed, df_cap=cap).collect()
+    }
+    uncapped_on_clean = {
+        tuple(r) for r in video_pairs_from_sigs(sigs).collect()
+    }
+    assert capped_on_hubbed == uncapped_on_clean
+    assert len(capped_on_hubbed) == 20  # the twin pairs survive
+    # without the cap the hub manufactures C(5,2) jaccard-1.0 pairs
+    # between unrelated title-card-only clips
+    uncapped_on_hubbed = {
+        tuple(r) for r in video_pairs_from_sigs(hubbed).collect()
+    }
+    assert len(uncapped_on_hubbed) == 30
+
+
 def test_dedup_containment_rare_gram_blocking_semantics(spark, tmp_path):
     """Pins the two rules future edits could silently break:
     (1) a subset-duplicate pair IS found when it shares a gram with
