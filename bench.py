@@ -3,13 +3,23 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "sf1": {"queries": {...}, "value": N}}
 
 Method: one warm-up execution per query (JIT, code cache, broadcast
 build), then best of 3 timed runs. Plans are executed with the `noop`
 sink so the full physical plan runs without driver-side result
 transfer skewing the numbers. The query set mirrors BASELINE.md's
 DuckDB-measured rows.
+
+The ``sf1`` block (VERDICT r10 item 6) re-times the same queries at
+scale factor 1 (lineitem 6M rows), where Spark's ~0.15-0.7 s
+per-action JVM floor no longer dominates — round-over-round deltas at
+sf0.1 are mostly floor noise; the sf1 block is the comparable signal.
+The sf1 fixture lives in /tmp (driver fixtures are read-only) and is
+regenerated via scripts/gen_sf.py when absent; if generation fails the
+block degrades to an "error" key rather than failing the sf0.1 run.
+BASELINE.md carries the matching DuckDB sf1 column.
 """
 
 from __future__ import annotations
@@ -72,18 +82,66 @@ def main() -> None:
     except ValueError:
         sf = None  # non-standard dir name; don't discard the timings over it
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # sf1 block: only when the primary run was the default sf0.1 (an
+    # explicit $SPARK_GRAFT_SF_DIR run is a targeted measurement; don't
+    # double it), and opt-out via SPARK_GRAFT_NO_SF1=1.
+    if sf == 0.1 and not os.environ.get("SPARK_GRAFT_NO_SF1"):
+        try:
+            sf1_dir = _ensure_sf1()
+            t1: dict[str, float] = {}
+            for name in BENCH_QUERIES:
+                if name in skip:
+                    continue
+                df = reg[name].fn(spark, sf1_dir)
+                df.write.format("noop").mode("overwrite").save()  # warm-up
+                best = min(
+                    (lambda t0: (
+                        df.write.format("noop").mode("overwrite").save(),
+                        time.perf_counter() - t0,
+                    )[1])(time.perf_counter())
+                    for _ in range(2)
+                )
+                t1[name] = round(best, 4)
+            out["sf1"] = {"queries": t1, "value": round(sum(t1.values()), 4),
+                          "unit": "sec"}
+        except Exception as e:  # degrade, never fail the sf0.1 numbers
+            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
+
+    print(json.dumps(out))
     spark.stop()
+
+
+def _ensure_sf1() -> str:
+    """The sf1 fixture dir, generated on first use (and regenerated
+    when the complete-marker is missing — /tmp vanishes between
+    rounds). gen_sf.py is deterministic, so a kept fixture is
+    byte-stable across rounds."""
+    import subprocess
+
+    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft/sf1")
+    marker = os.path.join(sf1, "_GEN_COMPLETE")
+    tables = "region nation customer supplier part orders lineitem events documents embeddings"
+    have_all = all(
+        os.path.exists(os.path.join(sf1, f"{t}.parquet")) for t in tables.split()
+    )
+    if not (have_all and os.path.exists(marker)):
+        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "gen_sf.py")
+        subprocess.run(
+            [sys.executable, script, "--out", sf1, "--factor", "10"],
+            check=True, capture_output=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return sf1
 
 
 if __name__ == "__main__":

@@ -319,3 +319,26 @@ def test_fingerprint_sees_harden_conf_dict(monkeypatch):
     )
     after = _fingerprint(q)
     assert before != after
+
+
+def test_survey8_table_matches_registry():
+    """SURVEY.md §8's coverage table is GENERATED from registry tags
+    (VERDICT r10 item 4: the hand table had drifted by 32 queries) —
+    this pins it byte-for-byte: every registered query appears under
+    each of its tags, no ghost entries, counts in the footer match.
+    On failure: python scripts/gen_survey8.py --write."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_survey8", os.path.join(root, "scripts", "gen_survey8.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with open(os.path.join(root, "SURVEY.md")) as f:
+        text = f.read()
+    assert mod.current_block(text) == mod.generated_table(), (
+        "SURVEY.md §8 drifted from registry tags; run "
+        "scripts/gen_survey8.py --write"
+    )
