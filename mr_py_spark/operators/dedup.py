@@ -883,7 +883,6 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream shuffle. A doc with < 3 words has no gram, so it cannot
     # reach any candidate pair — the oracle's WHERE len(ws) >= 3 is
     # vacuous on both sides, kept to make the parallel obvious.
-    t = grams.groupBy("doc_id").agg(F.collect_set("g").alias("gs"))
     rare = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -911,6 +910,25 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(pair_structs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+    # Gram sets are consumed ONLY for candidate docs, so restrict the
+    # collect_set aggregation to them with a semi-join BEFORE the
+    # barrier (r11: the unrestricted form aggregated sets for every
+    # doc in the corpus — a full gram-stream shuffle whose spill, on
+    # top of the df-count and probe shuffles all held live to job end,
+    # exhausted 46 GB of disk at 5M docs while candidates named only
+    # ~15k of them; candidate doc count is bounded by 6x the rare-gram
+    # count, never corpus-sized). Semantically exact: the oracle's `t`
+    # is likewise only ever dereferenced at candidate doc ids.
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    t = (
+        grams.join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("g").alias("gs"))
     )
     ta = t.select(F.col("doc_id").alias("doc_a"), F.col("gs").alias("gsa"))
     tb = t.select(F.col("doc_id").alias("doc_b"), F.col("gs").alias("gsb"))

@@ -90,9 +90,17 @@ def mutate_texts(texts: list, doc_ids: list, copy: int) -> list:
     for d, t in zip(doc_ids, texts):
         toks = t.split(" ")
         off = (d * _MULT + copy * 40503) % step
-        salt = (copy * 131 + d) % 9973
+        # The replacement token is unique per (doc, copy, position):
+        # a bounded salt space (the first cut used mod-9973) lets
+        # mutated tokens COLLIDE across the corpus, and over a
+        # small-vocabulary fixture those collisions manufactured a
+        # 45M-gram df-in-[2,4] band at factor 1000 — a rare-gram
+        # blocking structure no real corpus has (measured: the r11
+        # containment disk-exhaustion probe). Uniqueness makes every
+        # mutated 3-gram hapax by construction, so gram df of the
+        # mutated corpus is driven by the SOURCE df alone.
         for j in range(off, len(toks), step):
-            toks[j] = f"{toks[j]}x{salt + j}"
+            toks[j] = f"{toks[j]}x{d}c{copy}j{j}"
         out.append(" ".join(toks))
     return out
 
