@@ -99,9 +99,21 @@ def test_ann_plans_have_no_cartesian(spark):
         "knn_ivf_multitable_topk",
         "knn_rplsh_topk",
         "knn_ivfpq_topk",
+        "knn_ivf_topk_indexed",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
+
+
+def test_knn_ivf_indexed_reads_standing_index(spark):
+    """The indexed ANN form: the corpus side is the persisted
+    bucket-bucketed inverted file — no quantizer training collect, no
+    assignment pass, no raw embeddings scan (the only embeddings.parquet
+    scan feeds the bounded query set)."""
+    p = plan_of(spark, "knn_ivf_topk_indexed")
+    assert "mrps_bkt_ivf_assign" in p
+    assert "mrps_bkt_ivf_cent" in p
+    assert "MapInPandas" not in p  # assignment never re-runs at query time
 
 
 def test_decontaminate_embeddings_no_join(spark):

@@ -1852,3 +1852,14 @@ def test_lsh_index_append_maintenance(spark, tmp_path):
         assert out2[13] == ("dup_of_corpus", 13)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_knn_ivf_indexed_matches_per_run(spark):
+    """The standing-index ANN form returns EXACTLY the per-run form's
+    frame: ivf_index persists the same deterministic centroids and
+    argmax assignment knn_ivf_topk recomputes, so probe sets,
+    candidates, and ranks coincide bit-for-bit."""
+    a = sorted(map(tuple, rows(spark, "knn_ivf_topk")))
+    b = sorted(map(tuple, rows(spark, "knn_ivf_topk_indexed")))
+    assert a == b
+    assert len(a) > 0
