@@ -979,3 +979,121 @@ def statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.event_type").alias("event_type"),
         F.col("value.count").alias("n_events"),
     )
+
+
+def _lsh_maintenance_step(
+    spark: SparkSession, table: str, out: str, idx_path: str
+):
+    """The per-micro-batch body of ``stream_lsh_index_maintenance``,
+    split out so the two-batch planted test can drive it over a
+    controlled file sequence. Triage the batch against the standing
+    index (empty on the first batch), append the statuses to ``out``,
+    and ADMIT the survivors — status 'new', which is exactly the
+    min-id representative of every within-batch near-dup cluster plus
+    all genuinely novel docs — into the index under the existing
+    bucket spec (lsh_index_append). Everything is executor-side
+    except Spark's own bounded planning; per-batch work is
+    O(batch x bucket occupancy), independent of corpus size."""
+    from pyspark.sql import functions as SF
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.dedup import (
+        lsh_band_entries,
+        lsh_index_append,
+        minhash_delta_status,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        have_index = spark.catalog.tableExists(table)
+        status = minhash_delta_status(
+            batch.limit(0) if not have_index else None,
+            batch,
+            corpus_bands=spark.table(table) if have_index else None,
+        )
+        # persist + count forces materialization BEFORE the admission
+        # write below reads/extends the index the statuses were
+        # computed against (the stream_cdc_latest_filesink race note)
+        status.persist().count()
+        status.withColumn("batch_id", SF.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+        new_docs = batch.join(
+            status.filter(SF.col("status") == "new").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        entries = lsh_band_entries(minhash_signatures(new_docs))
+        if have_index:
+            lsh_index_append(new_docs, table)
+        else:
+            write_bucketed(entries, table, "band_key", _BUCKETS, path=idx_path)
+        status.unpersist()
+
+    return step
+
+
+@register("stream_lsh_index_maintenance", tags=("C9", "C2", "C1", "A8"))
+def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest loop for the STANDING LSH index (C9 + C2): the
+    capstone that ties the round's standing-index tier into the
+    streaming surface. Each micro-batch of newly-crawled documents is
+    (1) fuzzy-triaged against the index (``minhash_delta_status`` over
+    the materialized band table — no corpus re-banding, the O(delta)
+    path), (2) its statuses appended to a parquet result sink, and
+    (3) its SURVIVORS (status 'new' = each within-batch cluster's
+    min-id representative + novel docs) admitted to the index via
+    ``lsh_index_append`` under the same bucket spec — so the index the
+    NEXT batch sees includes this batch's survivors. foreachBatch is
+    the right tool because the state is a queryable warehouse table,
+    not operator state: downstream batch queries join against the
+    live index between micro-batches (the continuous-aggregate
+    pattern, stream_cdc_latest_filesink's argument).
+
+    Rows-only (MinHash statuses are engine-specific): the two-batch
+    cross-batch semantics — batch-2 near-dups of batch-1 docs report
+    dup_of_corpus, the index accumulates exactly the survivor set —
+    are property-tested over a controlled two-file stream
+    (tests/test_streaming_sink.py); the fixture drain is checked for
+    one-status-per-doc and determinism."""
+    import re as _re
+    import shutil
+    import tempfile
+
+    harden(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.rstrip("/").replace("/", "_"),
+        "lsh_maint",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    idx_path = os.path.join(root, "index")
+    os.makedirs(out, exist_ok=True)
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    table = f"mrps_stream_lsh_idx_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _lsh_maintenance_step(spark, table, out, idx_path)
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select("doc_id", "status", "match_id", "batch_id")

@@ -140,3 +140,108 @@ def test_cdc_upsert_batch_merges_and_rewrites_only_touched_buckets(spark, tmp_pa
         bucket = int(path.split("bucket=")[1].split("/")[0])
         if bucket not in touched:
             assert os.path.exists(path) and os.path.getmtime(path) == mtime, path
+
+
+def test_stream_lsh_maintenance_fixture_drain(spark):
+    """One status row per fixture doc; statuses in the enum; the
+    per-sf_dir index table ends populated with exactly the admitted
+    survivor set; a second drain (fresh root) reproduces the same
+    statuses — the file source delivers the single fixture file as one
+    deterministic batch."""
+    from mr_py_spark.registry import load_all
+
+    reg = load_all()
+    out1 = {
+        r.doc_id: (r.status, r.match_id)
+        for r in reg["stream_lsh_index_maintenance"].fn(spark, SF_DIR).collect()
+    }
+    n_docs = tbl(spark, SF_DIR, "documents").count()
+    assert len(out1) == n_docs
+    assert set(s for s, _ in out1.values()) <= {"new", "dup_within_delta"}
+    import re
+
+    table = "mrps_stream_lsh_idx_" + re.sub(r"[^0-9a-zA-Z]+", "_", SF_DIR.strip("/"))
+    idx_ids = {r.doc_id for r in spark.table(table).select("doc_id").distinct().collect()}
+    assert idx_ids == {d for d, (s, _) in out1.items() if s == "new"}
+    out2 = {
+        r.doc_id: (r.status, r.match_id)
+        for r in reg["stream_lsh_index_maintenance"].fn(spark, SF_DIR).collect()
+    }
+    assert out1 == out2
+
+
+def test_stream_lsh_maintenance_cross_batch(spark, tmp_path):
+    """Two controlled micro-batches: batch-2 near-dups of batch-1
+    docs report dup_of_corpus AGAINST THE MAINTAINED INDEX (including
+    a doc admitted in batch 1), within-batch-2 dups report
+    dup_within_delta, and the index ends with exactly the survivors
+    of both batches."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mr_py_spark.streaming import _lsh_maintenance_step
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark engines and parquet files "
+    novel = "entirely novel words " * 10
+    d = tmp_path / "feed"
+    d.mkdir()
+    f1 = str(d / "b1.parquet")
+    f2 = str(d / "b2.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [1, 2], "text": [base, other]}), f1
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [base + " tail words", other + "plus", novel, novel + " extra"],
+            }
+        ),
+        f2,
+    )
+    now = time.time()
+    os.utime(f1, (now - 60, now - 60))  # batch order: f1 first
+    os.utime(f2, (now, now))
+
+    table = "mrps_test_stream_lsh_cross"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    out = str(tmp_path / "out")
+    idx_path = str(tmp_path / "index")
+    try:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .format("parquet")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(d))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                _lsh_maintenance_step(spark, table, out, idx_path)
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r.doc_id: (r.status, r.match_id, r.batch_id)
+            for r in spark.read.parquet(out).collect()
+        }
+        assert got[1] == ("new", None, 0)
+        assert got[2] == ("new", None, 0)
+        assert got[10] == ("dup_of_corpus", 1, 1)
+        assert got[11] == ("dup_of_corpus", 2, 1)
+        assert got[12] == ("new", None, 1)
+        assert got[13] == ("dup_within_delta", 12, 1)
+        idx_ids = {
+            r.doc_id for r in spark.table(table).select("doc_id").distinct().collect()
+        }
+        assert idx_ids == {1, 2, 12}  # the survivor set of both batches
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
