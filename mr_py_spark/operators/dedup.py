@@ -195,28 +195,37 @@ def lsh_band_entries(sig: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup_minhash", tags=("C2",), oracle=None)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-duplicate pairs (C2). Rows-only: hash
-    permutations are engine-specific, so correctness is proven by
-    property tests (planted near-dups recalled, Jaccard estimate close
-    to exact) rather than a SQL oracle.
+def minhash_pairs_from_bands(
+    band_entries: DataFrame, bucket_cap: int | None = None
+) -> DataFrame:
+    """LSH pair mining over a ``lsh_band_entries`` frame: equi-self-
+    join on (band_id, band_key), verify with the exact signature
+    agreement fraction, emit pairs with est >= 0.5.
 
-    Pipeline (all DataFrame ops, shuffle-bounded):
-      1-2. minhash signature: per doc, min(xxhash64(shingle, seed_i))
-         for 16 seeds — a scan-local array expression, zero shuffle
-         (see minhash_signatures)
-      3. LSH: 4 bands of 4 rows; band key = hash of the band's slice
-      4. candidates = equi-self-join on (band_id, band_key), doc_a < doc_b
-      5. verify candidates with the exact signature agreement fraction
-         (estimate of Jaccard); emit pairs with est >= 0.5
-
-    At 10^9 docs each stage is a hash shuffle on bounded keys; no
-    cross join exists anywhere in the plan.
-    """
-    docs = tbl(spark, sf_dir, "documents")
-    band_entries = lsh_band_entries(minhash_signatures(docs))
-
+    With ``bucket_cap``, band buckets holding more than that many
+    entries are stripped BEFORE the self-join via a broadcast
+    anti-join (the hot set is small by definition — buckets above the
+    cap number at most n_entries/cap): the STOP-BUCKET rule, the LSH
+    family's own instance of the video stop-frame df-cap. A band
+    bucket of B entries costs C(B,2) candidate pairs, so an unbounded
+    near-dup cluster (the byte-identical-replica degenerate the r10
+    sf100 campaign hit) makes candidate mass quadratic; the cap bounds
+    per-bucket work at C(cap,2) regardless of corpus shape. Dropped
+    pairs are exactly those ALL of whose shared bands are hot — i.e.
+    members of clusters larger than the cap, which is the population
+    exact-dedup-first exists to strip (pipeline_clean_corpus ordering;
+    SCALE.md r11 A/B) — while pairs sharing any normal bucket
+    survive untouched (property-tested)."""
+    if bucket_cap is not None:
+        hot = (
+            band_entries.groupBy("band_id", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band_id", "band_key")
+        )
+        band_entries = band_entries.join(
+            F.broadcast(hot), ["band_id", "band_key"], "left_anti"
+        )
     a = band_entries.alias("a")
     b = band_entries.alias("b")
     cand = (
@@ -247,6 +256,55 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard_est") >= 0.5)
         .distinct()
+    )
+
+
+@register("dedup_minhash", tags=("C2",), oracle=None)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (C2). Rows-only: hash
+    permutations are engine-specific, so correctness is proven by
+    property tests (planted near-dups recalled, Jaccard estimate close
+    to exact) rather than a SQL oracle.
+
+    Pipeline (all DataFrame ops, shuffle-bounded):
+      1-2. minhash signature: per doc, min(xxhash64(shingle, seed_i))
+         for 16 seeds — a scan-local array expression, zero shuffle
+         (see minhash_signatures)
+      3. LSH: 4 bands of 4 rows; band key = hash of the band's slice
+      4. candidates = equi-self-join on (band_id, band_key), doc_a < doc_b
+      5. verify candidates with the exact signature agreement fraction
+         (estimate of Jaccard); emit pairs with est >= 0.5
+
+    At 10^9 docs each stage is a hash shuffle on bounded keys; no
+    cross join exists anywhere in the plan.
+    """
+    docs = tbl(spark, sf_dir, "documents")
+    return minhash_pairs_from_bands(lsh_band_entries(minhash_signatures(docs)))
+
+
+#: dedup_minhash_capped: strip band buckets holding more than this many
+#: entries from candidate generation. Sized well above the fixture's
+#: max bucket occupancy (asserted in tests, so the capped form is a
+#: proven NO-OP there); at 100 TB the cap is what bounds the hottest
+#: bucket's C(B,2) pair unfold on dup-dense corpora.
+_LSH_BUCKET_CAP = 64
+
+
+@register("dedup_minhash_capped", tags=("C2", "A5"), oracle=None)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION form of ``dedup_minhash``: identical banding plus
+    the stop-bucket occupancy cap (``minhash_pairs_from_bands``) — the
+    operator-level mitigation for the quadratic-bucket degenerate the
+    byte-identical sf100 fixture exposed (r10: ~C(1000,2) pairs per
+    band bucket, 60 GB spill DNF; SCALE.md r11 measures this form
+    completing on that exact corpus). Rows-only; property tests prove
+    the cap is a no-op on the fixture (max occupancy asserted below
+    the cap) and that on a planted mega-cluster corpus only
+    cluster-internal pairs drop while every pair sharing a normal
+    bucket survives."""
+    docs = tbl(spark, sf_dir, "documents")
+    return minhash_pairs_from_bands(
+        lsh_band_entries(minhash_signatures(docs)), bucket_cap=_LSH_BUCKET_CAP
     )
 
 

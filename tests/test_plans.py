@@ -691,3 +691,13 @@ def test_temperature_sampling_broadcasts_rate_table(spark):
     assert "BroadcastHashJoin" in p
     # both aggregations partial-agg before their exchange
     assert p.count("HashAggregate") >= 4
+
+
+def test_dedup_minhash_capped_broadcast_anti_join(spark):
+    """The stop-bucket strip is a broadcast ANTI join ahead of the band
+    self-join; candidate generation stays the band equi-join — no
+    cartesian, no nested loop."""
+    p = plan_of(spark, "dedup_minhash_capped")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p and "BroadcastHashJoin" in p

@@ -1863,3 +1863,65 @@ def test_knn_ivf_indexed_matches_per_run(spark):
     b = sorted(map(tuple, rows(spark, "knn_ivf_topk_indexed")))
     assert a == b
     assert len(a) > 0
+
+
+def test_dedup_minhash_capped_noop_on_fixture(spark):
+    """The stop-bucket cap must be a proven no-op on the fixture: max
+    band-bucket occupancy is asserted below the cap (so the equality
+    is meaningful, not vacuous), and the capped pair set equals the
+    uncapped one."""
+    from mr_py_spark.operators.dedup import (
+        _LSH_BUCKET_CAP,
+        lsh_band_entries,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources import tbl
+
+    bands = lsh_band_entries(
+        minhash_signatures(tbl(spark, SF_DIR, "documents"))
+    )
+    max_occ = (
+        bands.groupBy("band_id", "band_key")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_occ < _LSH_BUCKET_CAP, max_occ
+    a = sorted(map(tuple, rows(spark, "dedup_minhash")))
+    b = sorted(map(tuple, rows(spark, "dedup_minhash_capped")))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_dedup_minhash_capped_drops_only_mega_cluster(spark):
+    """Planted mega-cluster semantics: 100 byte-identical copies (every
+    band bucket they occupy exceeds the cap) plus one normal near-dup
+    pair. The capped miner drops ALL intra-cluster pairs and keeps the
+    normal pair — pairs sharing any sub-cap bucket survive."""
+    from pyspark.sql import Row
+
+    from mr_py_spark.operators.dedup import (
+        lsh_band_entries,
+        minhash_pairs_from_bands,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    other = "completely different content about spark engines and parquet files " * 3
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=base) for i in range(100)]
+        + [Row(doc_id=200, text=other), Row(doc_id=201, text=other + " tail")]
+    )
+    bands = lsh_band_entries(minhash_signatures(docs))
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_pairs_from_bands(bands, bucket_cap=16).collect()
+    }
+    assert (200, 201) in capped  # the normal pair survives
+    assert all(a >= 200 for a, _ in capped), capped  # no mega-cluster pairs
+    # and the uncapped form on the same bands does emit cluster pairs
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_pairs_from_bands(bands).collect()
+    }
+    assert (0, 1) in uncapped and len(uncapped) > len(capped)
