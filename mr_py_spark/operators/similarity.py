@@ -1228,33 +1228,62 @@ def ivf_index(spark: SparkSession, sf_dir: str):
         spark, sf_dir, "ivf_cent", "cid", frame_of=build_cent, src_name="embeddings"
     )
 
-    def build_assign() -> DataFrame:
-        cmat0 = np.asarray(
-            [r.cv for r in cent.orderBy("cid").collect()], dtype=np.float64
-        )
-        b_cmat = _bc(spark, cmat0)
-
-        def gen(batches):
-            cmat = np.asarray(b_cmat.value, dtype=np.float64)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                m = np.asarray(list(pdf["v"]), dtype=np.float64)
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"].to_numpy(),
-                        "bucket": (m @ cmat.T).argmax(1).astype(np.int64),
-                        "v": pdf["v"],
-                    }
-                )
-
-        return e.mapInPandas(gen, "vec_id long, bucket long, v array<double>")
-
     assigned = _bucketed_table(
         spark, sf_dir, "ivf_assign", "bucket",
-        frame_of=build_assign, src_name="embeddings",
+        frame_of=lambda: ivf_assign_with(cent, e), src_name="embeddings",
     )
     return cent, assigned, nlist
+
+
+def ivf_assign_with(cent: DataFrame, vectors: DataFrame) -> DataFrame:
+    """(vec_id, bucket, v) assignment of ``vectors`` against an
+    EXISTING centroid frame (cid, cv): the broadcast-argmax pass shared
+    by the index build and the maintenance append — assignment is a
+    pure function of the centroids, so entries appended later are
+    bit-identical to what a full rebuild with the same centroids would
+    produce (the consistency property ivf_index_append's test pins)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vectors.sparkSession
+    cmat0 = np.asarray(
+        [r.cv for r in cent.orderBy("cid").collect()], dtype=np.float64
+    )
+    b_cmat = _bc(spark, cmat0)
+
+    def gen(batches):
+        cmat = np.asarray(b_cmat.value, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["v"]), dtype=np.float64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "bucket": (m @ cmat.T).argmax(1).astype(np.int64),
+                    "v": pdf["v"],
+                }
+            )
+
+    return vectors.mapInPandas(gen, "vec_id long, bucket long, v array<double>")
+
+
+def ivf_index_append(cent: DataFrame, new_vectors: DataFrame, table: str) -> None:
+    """Index MAINTENANCE for the standing IVF index (the ANN twin of
+    dedup.py:lsh_index_append): assign ``new_vectors`` (vec_id, v)
+    against the EXISTING centroids — never retrain; a production
+    warehouse re-trains on drift schedules, not per ingest — and
+    append the entries into the inverted-file table under the same
+    bucket spec (Spark validates it; drift fails loudly). O(delta)
+    work: one broadcast-argmax pass over the delta plus a bucketed
+    append. (Tests exercise this on a private table — the per-sf_dir
+    cached index is content-stamped to the fixture and must stay a
+    pure function of it.)"""
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    write_bucketed(ivf_assign_with(cent, new_vectors), table, "bucket",
+                   _BUCKETS, mode="append")
 
 
 @register("knn_ivf_topk_indexed", tags=("C3", "B22"), oracle=None)

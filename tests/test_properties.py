@@ -1925,3 +1925,47 @@ def test_dedup_minhash_capped_drops_only_mega_cluster(spark):
         for r in minhash_pairs_from_bands(bands).collect()
     }
     assert (0, 1) in uncapped and len(uncapped) > len(capped)
+
+
+def test_ivf_index_append_consistency(spark, tmp_path):
+    """IVF maintenance: appending a delta assigned against the
+    EXISTING centroids yields a table bit-identical to a full rebuild
+    with those centroids — assignment is a pure function of the
+    centroid frame, so incremental upkeep never drifts from batch."""
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.similarity import (
+        _emb_double,
+        _ivf_centroids,
+        ivf_assign_with,
+        ivf_index_append,
+    )
+    from mr_py_spark.sources import tbl
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    e = _emb_double(tbl(spark, SF_DIR, "embeddings"), "v")
+    sub = e.filter(F.col("vec_id") < 150)
+    delta = e.filter(F.col("vec_id") >= 150)
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, sub, 16))],
+        "cid long, cv array<double>",
+    )
+    table = "mrps_test_ivf_maint"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            ivf_assign_with(cent, sub), table, "bucket", _BUCKETS,
+            path=str(tmp_path / "idx"),
+        )
+        ivf_index_append(cent, delta, table)
+        merged = sorted(
+            (r.vec_id, r.bucket, tuple(r.v))
+            for r in spark.table(table).collect()
+        )
+        rebuilt = sorted(
+            (r.vec_id, r.bucket, tuple(r.v))
+            for r in ivf_assign_with(cent, e).collect()
+        )
+        assert merged == rebuilt
+        assert len(merged) == e.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
