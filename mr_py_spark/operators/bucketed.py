@@ -143,10 +143,11 @@ def _bucketed_table(
     if not spark.catalog.tableExists(table):
         # files built by this or an earlier session: (re-)attach. The
         # bucket spec is catalog metadata, so the DDL must state it.
+        keys = ", ".join([key] if isinstance(key, str) else list(key))
         cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema)
         spark.sql(
             f"CREATE TABLE {table} ({cols}) USING parquet "
-            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {_BUCKETS} BUCKETS "
+            f"CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {_BUCKETS} BUCKETS "
             f"LOCATION '{path}'"
         )
     return spark.table(table)

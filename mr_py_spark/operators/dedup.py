@@ -705,20 +705,29 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_delta_status(corpus, delta)
 
 
+#: The standing LSH index's bucket spec: the FULL candidate-join key
+#: set. Co-partitioning requires all cluster keys (r11 plan audit: a
+#: band_key-only bucket spec still forced an index-side Exchange under
+#: a shuffle join — hashpartitioning on a SUBSET of the join keys
+#: satisfies clustering but cannot co-partition with the other side),
+#: so the index is bucketed by exactly what the candidate join joins on.
+_LSH_INDEX_KEYS = ("band_id", "band_key")
+
+
 def corpus_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STANDING materialized LSH index of the fixture's corpus
     split (every doc outside the delta bucket): ``lsh_band_entries``
     persisted once per sf_dir as a warehouse table BUCKETED BY
-    band_key — the layout a production warehouse maintains so that
-    per-snapshot near-dup triage never re-reads or re-shingles corpus
-    text (r10's measured 6 s at sf10 was almost entirely that
-    recompute). Bucketing by band_key makes the index side of the
-    candidate join exchange-free even when the delta is too large to
-    broadcast: hashpartitioning(band_key) satisfies the join's
-    clustering on (band_id, band_key) — partitioning on a subset of
-    the join keys co-locates every candidate bucket. Built through the
-    same content-stamped cache as the bucketed TPC-H warehouse
-    (bucketed.py), so a regenerated fixture invalidates the index."""
+    (band_id, band_key) — the layout a production warehouse maintains
+    so that per-snapshot near-dup triage never re-reads or re-shingles
+    corpus text (r10's measured 6 s at sf10 was almost entirely that
+    recompute). Bucketing by the FULL join key set makes the index
+    side of the candidate join exchange-free even when the delta is
+    too large to broadcast (plan-asserted under a forced shuffle join
+    in tests/test_plans.py; see _LSH_INDEX_KEYS for why a subset spec
+    does not co-partition). Built through the same content-stamped
+    cache as the bucketed TPC-H warehouse (bucketed.py), so a
+    regenerated fixture invalidates the index."""
     from mr_py_spark.operators.bucketed import _bucketed_table
 
     def build() -> DataFrame:
@@ -727,7 +736,8 @@ def corpus_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lsh_band_entries(minhash_signatures(docs.filter(b != _INC_DELTA_BUCKET)))
 
     return _bucketed_table(
-        spark, sf_dir, "lsh_bands", "band_key", frame_of=build, src_name="documents"
+        spark, sf_dir, "lsh_bands_k2", _LSH_INDEX_KEYS,
+        frame_of=build, src_name="documents",
     )
 
 
@@ -744,7 +754,7 @@ def lsh_index_append(new_docs: DataFrame, table: str) -> None:
     from mr_py_spark.sources.sinks import write_bucketed
 
     entries = lsh_band_entries(minhash_signatures(new_docs))
-    write_bucketed(entries, table, "band_key", _BUCKETS, mode="append")
+    write_bucketed(entries, table, _LSH_INDEX_KEYS, _BUCKETS, mode="append")
 
 
 @register(

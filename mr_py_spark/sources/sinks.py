@@ -25,16 +25,26 @@ def write_partitioned(df: DataFrame, path: str, *cols: str, mode: str = "overwri
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | tuple[str, ...] | list[str],
     n_buckets: int = 8,
     mode: str = "overwrite",
     path: str | None = None,
 ) -> None:
-    """Persist as a bucketed, per-bucket-sorted table (B22). With
-    ``path`` the table is EXTERNAL (data at ``path``, only metadata in
-    the catalog) — required on externally-owned sessions whose static
+    """Persist as a bucketed, per-bucket-sorted table (B22). ``key``
+    may be a composite (tuple/list): a join avoids the bucketed side's
+    exchange only when the bucket columns equal the FULL join key set
+    (co-partitioning requires all cluster keys, r11 plan audit) — so
+    bucket by exactly what you join on. With ``path`` the table is
+    EXTERNAL (data at ``path``, only metadata in the catalog) —
+    required on externally-owned sessions whose static
     ``spark.sql.warehouse.dir`` points somewhere unwritable."""
-    w = df.write.mode(mode).bucketBy(n_buckets, key).sortBy(key).format("parquet")
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+        .sortBy(keys[0], *keys[1:])
+        .format("parquet")
+    )
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)

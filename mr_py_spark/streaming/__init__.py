@@ -998,6 +998,7 @@ def _lsh_maintenance_step(
 
     from mr_py_spark.operators.bucketed import _BUCKETS
     from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
         lsh_band_entries,
         lsh_index_append,
         minhash_delta_status,
@@ -1029,7 +1030,7 @@ def _lsh_maintenance_step(
         if have_index:
             lsh_index_append(new_docs, table)
         else:
-            write_bucketed(entries, table, "band_key", _BUCKETS, path=idx_path)
+            write_bucketed(entries, table, _LSH_INDEX_KEYS, _BUCKETS, path=idx_path)
         status.unpersist()
 
     return step

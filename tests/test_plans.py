@@ -701,3 +701,53 @@ def test_dedup_minhash_capped_broadcast_anti_join(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "LeftAnti" in p and "BroadcastHashJoin" in p
+
+
+def test_lsh_index_side_exchange_free_under_shuffle_join(spark):
+    """The standing-index claim under the WORST case (delta too big to
+    broadcast, forced shuffle join): the bucketed index scan must feed
+    its SortMergeJoin with NO Exchange — co-partitioning holds because
+    the bucket spec is the FULL join key set (band_id, band_key); the
+    r11 plan audit showed a band_key-only spec re-exchanges. Confs are
+    set AFTER the lazy frame per the r10 gotcha, and the plan is read
+    from the executed handle."""
+    df = REG["incremental_minhash_dedup_indexed"].fn(spark, SF_DIR)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "0b")
+    try:
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+    def indent(line: str) -> int:
+        for marker in ("+- ", "Scan ", "FileScan "):
+            i = line.find(marker)
+            if i >= 0:
+                return i
+        return len(line) - len(line.lstrip())
+
+    # AQE renders "== Final Plan ==" then "== Initial Plan =="; the
+    # initial section still shows the pre-AQE planned exchanges, so
+    # only the final section is evidence.
+    lines = p.split("== Initial Plan ==")[0].splitlines()
+    scan_idxs = [
+        i for i, l in enumerate(lines)
+        if "FileScan" in l and "lsh_bands_k2" in l
+    ]
+    assert scan_idxs, p[:3000]
+    checked = 0
+    for si in scan_idxs:
+        cur = indent(lines[si])
+        for j in range(si - 1, -1, -1):
+            ind = indent(lines[j])
+            if ind < cur:  # an ancestor of the scan
+                cur = ind
+                if "SortMergeJoin" in lines[j] and "band_key" in lines[j]:
+                    checked += 1
+                    break
+                assert "Exchange" not in lines[j], (
+                    f"index side re-exchanged:\n{lines[j]}\n...\n{lines[si]}"
+                )
+    assert checked == len(scan_idxs), p[:3000]

@@ -1795,6 +1795,7 @@ def test_lsh_index_append_maintenance(spark, tmp_path):
 
     from mr_py_spark.operators.bucketed import _BUCKETS
     from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
         lsh_band_entries,
         lsh_index_append,
         minhash_delta_status,
@@ -1820,7 +1821,7 @@ def test_lsh_index_append_maintenance(spark, tmp_path):
         write_bucketed(
             lsh_band_entries(minhash_signatures(corpus)),
             table,
-            "band_key",
+            _LSH_INDEX_KEYS,
             _BUCKETS,
             path=str(tmp_path / "idx"),
         )
