@@ -1970,3 +1970,44 @@ def test_ivf_index_append_consistency(spark, tmp_path):
         assert len(merged) == e.count()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_gen_sf_mutate_structure():
+    """Pins the mutation invariants the sf100 near-dup evidence rests
+    on (SCALE.md r11): deterministic across calls; light copies keep
+    most 3-token shingles (near-dups); heavy copies break EVERY
+    shingle (distinct docs); replacement tokens are globally unique
+    per (doc, copy, position) — the salt-collision fix."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "gen_sf", os.path.join(root, "scripts", "gen_sf.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    text = " ".join(f"w{i % 7}" for i in range(64))  # small vocab, like the fixture
+
+    def shingles(t):
+        toks = t.split(" ")
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    light = gen.mutate_texts([text], [5], copy=1)[0]
+    light2 = gen.mutate_texts([text], [5], copy=1)[0]
+    assert light == light2 and light != text  # deterministic, not identical
+    base_sh = shingles(text)
+    inter = len(base_sh & shingles(light))
+    assert inter / len(base_sh | shingles(light)) > 0.5  # near-dup
+
+    heavy = gen.mutate_texts([text], [5], copy=7)[0]
+    assert not (base_sh & shingles(heavy))  # every shingle touched
+
+    # global uniqueness: the same token position mutated for two
+    # different (doc, copy) pairs yields different replacement tokens
+    a = set(gen.mutate_texts([text], [5], copy=7)[0].split(" "))
+    b = set(gen.mutate_texts([text], [6], copy=7)[0].split(" "))
+    c = set(gen.mutate_texts([text], [5], copy=9)[0].split(" "))
+    orig = set(text.split(" "))
+    assert not ((a - orig) & (b - orig)) and not ((a - orig) & (c - orig))
