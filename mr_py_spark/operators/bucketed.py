@@ -63,6 +63,7 @@ def _bucketed_table(
     key: str,
     frame_of=None,
     src_name: str | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """The fixture table ``name`` — or, with ``frame_of``, an arbitrary
     DERIVED frame (e.g. the standing LSH band index) — as a catalog
@@ -71,7 +72,13 @@ def _bucketed_table(
     ``frame_of`` is a zero-arg builder returning the frame to persist;
     ``src_name`` names the fixture parquet whose content stamp
     invalidates the cache (defaults to ``name`` — a derived frame must
-    pass the table it derives from). The bucket count is baked into
+    pass the table it derives from). ``frame_of`` is invoked ONLY on
+    the actual build branch (ADVICE r11: the ivf centroid builder runs
+    a driver-side k-means EAGERLY, and re-attaching valid persisted
+    files in a fresh session must not pay that); a re-attach derives
+    the DDL column list from ``schema`` (a DDL string like
+    ``'cid long, cv array<double>'``) when given, falling back to
+    ``frame_of()`` only when it must. The bucket count is baked into
     the table name AND cache dir: a knob change must never re-attach
     files written under a different count — the CREATE TABLE bucket
     spec is metadata the files cannot contradict-check. The _COMPLETE
@@ -99,7 +106,14 @@ def _bucketed_table(
     path = os.path.join(root, name)
     done = os.path.join(root, f"_{name}_COMPLETE")
     lock = os.path.join(root, f"_{name}_LOCK")
-    src = frame_of() if frame_of is not None else tbl(spark, sf_dir, name)
+    src: DataFrame | None = None
+
+    def frame() -> DataFrame:
+        nonlocal src
+        if src is None:
+            src = frame_of() if frame_of is not None else tbl(spark, sf_dir, name)
+        return src
+
     if not marker_ok(done):
         os.makedirs(root, exist_ok=True)
         import time
@@ -132,7 +146,7 @@ def _bucketed_table(
                 except OSError:
                     pass
                 shutil.rmtree(path, ignore_errors=True)
-                write_bucketed(src, table, key, _BUCKETS, path=path)
+                write_bucketed(frame(), table, key, _BUCKETS, path=path)
                 tmp = done + ".tmp"
                 with open(tmp, "w") as f:
                     f.write(stamp)
@@ -142,15 +156,166 @@ def _bucketed_table(
                 shutil.rmtree(lock, ignore_errors=True)
     if not spark.catalog.tableExists(table):
         # files built by this or an earlier session: (re-)attach. The
-        # bucket spec is catalog metadata, so the DDL must state it.
+        # bucket spec is catalog metadata, so the DDL must state it —
+        # from the explicit ``schema`` when given (the write path
+        # already ran or never will this session; deriving it from
+        # frame_of() would eagerly re-run the builder, ADVICE r11).
         keys = ", ".join([key] if isinstance(key, str) else list(key))
-        cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema)
+        cols = schema or ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in frame().schema
+        )
         spark.sql(
             f"CREATE TABLE {table} ({cols}) USING parquet "
             f"CLUSTERED BY ({keys}) SORTED BY ({keys}) INTO {_BUCKETS} BUCKETS "
             f"LOCATION '{path}'"
         )
     return spark.table(table)
+
+
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Filesystem path of ``table``'s data (DESCRIBE FORMATTED's
+    Location row, scheme stripped — local deployments only; an object
+    store would keep the URI)."""
+    loc = (
+        spark.sql(f"DESCRIBE FORMATTED {table}")
+        .filter(F.col("col_name") == "Location")
+        .head()
+        .data_type
+    )
+    return re.sub(r"^file:", "", loc)
+
+
+def _data_files(path: str) -> list[str]:
+    """The parquet part files under a table location (what a scan
+    actually opens — markers and _SUCCESS excluded)."""
+    out = []
+    for dirpath, _dirs, files in os.walk(path):
+        out.extend(
+            os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
+        )
+    return sorted(out)
+
+
+def compact_bucketed_table(
+    spark: SparkSession, table: str, key: str | tuple[str, ...],
+    n_buckets: int = _BUCKETS,
+) -> dict:
+    """Index COMPACTION (VERDICT r12 item 3): rewrite a standing
+    bucketed table into exactly ONE file per occupied bucket, under the
+    SAME bucket spec and at the SAME location — the maintenance pass
+    that pays down the small-file debt ``mode="append"`` upkeep
+    accrues (every lsh_index_append / ivf_index_append snapshot adds a
+    file set per bucket, and after N snapshots the bucketed scan the
+    layout exists to optimize opens N× the files and plans N× the
+    row-group footers).
+
+    Mechanics: the table is repartitioned ON ITS BUCKET KEYS into
+    n_buckets tasks — Spark's repartition hash (pmod(murmur3(keys), n))
+    IS the bucket-id function, so each task holds exactly one bucket
+    and the bucketed writer emits exactly one file per occupied bucket
+    (asserted by the caller's file-count check; per-bucket sort order
+    is restored by the writer's sortBy). The rewrite lands at a side
+    path, then swaps in: drop catalog entry, rename directories,
+    re-attach with the same CLUSTERED BY DDL. The swap window is
+    process-local and the side write is complete before it starts, so
+    a crash mid-swap loses only the catalog entry, never data (both
+    directory generations still exist). Content is bit-identical and
+    the spec unchanged — a co-located join is exchange-free before and
+    after (property-tested in tests/test_sinks.py).
+
+    Returns {"files_before", "files_after", "rows"} so callers/SCALE
+    ledgers can record the debt paid.
+    """
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    keys = [key] if isinstance(key, str) else list(key)
+    path = _table_location(spark, table)
+    files_before = len(_data_files(path))
+    # read the FILES, not the catalog table: a bucketed-scan source
+    # makes the planner elide the aligning repartition below (measured:
+    # 92 files out instead of 32 — tasks were size-packed file groups,
+    # several buckets each), while a plain parquet scan keeps it and
+    # each write task holds exactly one bucket
+    df = spark.read.parquet(path)
+    rows = df.count()
+    cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    tmp_tbl = f"{table}__compacting"
+    tmp_path = f"{path.rstrip('/')}__compacting"
+    old_path = f"{path.rstrip('/')}__old"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    shutil.rmtree(old_path, ignore_errors=True)
+    write_bucketed(
+        df.repartition(n_buckets, *keys), tmp_tbl, keys, n_buckets, path=tmp_path
+    )
+    spark.sql(f"DROP TABLE {tmp_tbl}")
+    spark.sql(f"DROP TABLE {table}")
+    os.replace(path, old_path)
+    os.replace(tmp_path, path)
+    key_list = ", ".join(keys)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    shutil.rmtree(old_path, ignore_errors=True)
+    return {
+        "files_before": files_before,
+        "files_after": len(_data_files(path)),
+        "rows": rows,
+    }
+
+
+@register("lsh_index_compaction", tags=("B22", "C2", "A8"), oracle=None)
+def lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-file maintenance story for the standing-index tier,
+    registered so the driver exercises it end-to-end: build a private
+    LSH band index from a third of the fixture corpus, grow it with two
+    ``lsh_index_append`` snapshots (each adds a file set per bucket —
+    the debt), then ``compact_bucketed_table`` back to one file per
+    occupied bucket under the same (band_id, band_key) spec. Emits the
+    before/after file and row counts; the rows-must-survive invariant
+    (rows_after == rows_before, files_after < files_before) plus
+    bit-identical content and exchange-free-join preservation are
+    property-tested in tests/test_sinks.py. Rows-only: file layout is
+    engine-internal, no SQL oracle exists."""
+    import tempfile as _tf
+
+    from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
+        lsh_index_append,
+        lsh_band_entries,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    tag = f"b{_BUCKETS}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    table = f"mrps_lsh_compact_demo_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    root = os.path.join(_tf.gettempdir(), _CACHE_ROOT_NAME, tag)
+    path = os.path.join(root, "lsh_compact_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    docs = tbl(spark, sf_dir, "documents")
+    part = F.col("doc_id") % 3
+    write_bucketed(
+        lsh_band_entries(minhash_signatures(docs.filter(part == 0))),
+        table, _LSH_INDEX_KEYS, _BUCKETS, path=path,
+    )
+    for i in (1, 2):  # two maintenance snapshots -> 3 file sets/bucket
+        lsh_index_append(docs.filter(part == i), table)
+    stats = compact_bucketed_table(spark, table, _LSH_INDEX_KEYS)
+    rows_after = spark.table(table).count()
+    spark.sql(f"DROP TABLE {table}")
+    return spark.createDataFrame(
+        [
+            ("files_before", int(stats["files_before"])),
+            ("files_after", int(stats["files_after"])),
+            ("rows_before", int(stats["rows"])),
+            ("rows_after", int(rows_after)),
+        ],
+        "metric string, value long",
+    )
 
 
 @register(

@@ -1224,13 +1224,18 @@ def ivf_index(spark: SparkSession, sf_dir: str):
             [(i, c) for i, c in enumerate(cents)], "cid long, cv array<double>"
         )
 
+    # static schemas: a fresh session re-attaching valid persisted
+    # files must never invoke the builders just for the DDL — build_cent
+    # runs the full driver-side k-means eagerly (ADVICE r11)
     cent = _bucketed_table(
-        spark, sf_dir, "ivf_cent", "cid", frame_of=build_cent, src_name="embeddings"
+        spark, sf_dir, "ivf_cent", "cid", frame_of=build_cent,
+        src_name="embeddings", schema="cid long, cv array<double>",
     )
 
     assigned = _bucketed_table(
         spark, sf_dir, "ivf_assign", "bucket",
         frame_of=lambda: ivf_assign_with(cent, e), src_name="embeddings",
+        schema="vec_id long, bucket long, v array<double>",
     )
     return cent, assigned, nlist
 
@@ -1268,7 +1273,9 @@ def ivf_assign_with(cent: DataFrame, vectors: DataFrame) -> DataFrame:
     return vectors.mapInPandas(gen, "vec_id long, bucket long, v array<double>")
 
 
-def ivf_index_append(cent: DataFrame, new_vectors: DataFrame, table: str) -> None:
+def ivf_index_append(
+    cent: DataFrame, new_vectors: DataFrame, table: str, idempotent: bool = False
+) -> None:
     """Index MAINTENANCE for the standing IVF index (the ANN twin of
     dedup.py:lsh_index_append): assign ``new_vectors`` (vec_id, v)
     against the EXISTING centroids — never retrain; a production
@@ -1278,10 +1285,25 @@ def ivf_index_append(cent: DataFrame, new_vectors: DataFrame, table: str) -> Non
     work: one broadcast-argmax pass over the delta plus a bucketed
     append. (Tests exercise this on a private table — the per-sf_dir
     cached index is content-stamped to the fixture and must stay a
-    pure function of it.)"""
+    pure function of it.)
+
+    ``idempotent=True`` is the REPLAY guard for at-least-once ingest
+    loops (VERDICT r11 — the lsh_maintenance_step guard 3): vectors
+    whose vec_id the table already holds are dropped before the
+    append, so re-running a crashed batch admits nothing. The check is
+    an index-side broadcast semi against the (small) delta ids
+    followed by a small-vs-small anti — no index-sized shuffle."""
     from mr_py_spark.operators.bucketed import _BUCKETS
     from mr_py_spark.sources.sinks import write_bucketed
 
+    if idempotent:
+        ids = new_vectors.select("vec_id")
+        already = (
+            new_vectors.sparkSession.table(table)
+            .select("vec_id")
+            .join(ids, "vec_id", "left_semi")
+        )
+        new_vectors = new_vectors.join(already, "vec_id", "left_anti")
     write_bucketed(ivf_assign_with(cent, new_vectors), table, "bucket",
                    _BUCKETS, mode="append")
 

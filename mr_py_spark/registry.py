@@ -347,7 +347,18 @@ def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:
         else:
             out[name] = 0 if bootstrap else upcoming
             dirty[name] = {"fp": fp, "round": out[name], "v": _FP_VERSION}
-    if dirty:
+    if dirty and "PYTEST_CURRENT_TEST" not in os.environ:
+        # Never WRITE the sidecar from a pytest process (VERDICT r11):
+        # tests monkeypatch module constants (e.g. km._TAU), and a sync
+        # that runs while module state is patched hashes the PATCHED
+        # constants — reproduced poisoning 5 entries with wrong
+        # fingerprints per full test run. Direction is benign (spurious
+        # re-verification) but it dirties the tree on every `pytest
+        # tests/` and churns the driver window. In-memory ordering
+        # still sees the dirty stamps, so tests observe correct
+        # behavior; only the PERSISTED state is gated to non-test
+        # processes (driver, bench, CLI), whose module dicts are clean.
+        #
         # Merge into a FRESH read of the sidecar so a process holding
         # stale imports (e.g. a driver run spanning a source edit, where
         # getsource slices the new file at old line offsets) can only

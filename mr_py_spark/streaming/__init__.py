@@ -987,13 +987,35 @@ def _lsh_maintenance_step(
     """The per-micro-batch body of ``stream_lsh_index_maintenance``,
     split out so the two-batch planted test can drive it over a
     controlled file sequence. Triage the batch against the standing
-    index (empty on the first batch), append the statuses to ``out``,
+    index (empty on the first batch), write the statuses to ``out``,
     and ADMIT the survivors — status 'new', which is exactly the
     min-id representative of every within-batch near-dup cluster plus
     all genuinely novel docs — into the index under the existing
     bucket spec (lsh_index_append). Everything is executor-side
     except Spark's own bounded planning; per-batch work is
-    O(batch x bucket occupancy), independent of corpus size."""
+    O(batch x bucket occupancy), independent of corpus size.
+
+    REPLAY-IDEMPOTENT (VERDICT/ADVICE r11: foreachBatch is
+    at-least-once — a crash between the index append and the
+    checkpoint commit re-runs the batch): three guards make a replayed
+    (batch, batch_id) a byte-level no-op, property-tested in
+    tests/test_streaming_sink.py:
+
+    1. triage sees the PRE-BATCH index view — the standing table is
+       anti-joined against the batch's own doc_ids before use, so a
+       replay whose own survivors already landed neither self-matches
+       ('every doc dup_of_corpus of itself') nor flips a
+       dup_within_delta to dup_of_corpus against its own admitted rep;
+    2. statuses land in a batch_id=N partition under DYNAMIC partition
+       overwrite — a replay rewrites ITS partition in place instead of
+       appending duplicate rows;
+    3. admission anti-joins the survivors against doc_ids already
+       present in the index, so a replayed append admits nothing.
+
+    All three guards are broadcast-side joins on the SMALL batch
+    frame (LeftSemi/LeftAnti BuildRight over ids, or index-side
+    map-only anti against the broadcast ids) — no new shuffle of
+    index-sized data, so the O(batch x occupancy) claim stands."""
     from pyspark.sql import functions as SF
 
     from mr_py_spark.operators.bucketed import _BUCKETS
@@ -1008,28 +1030,51 @@ def _lsh_maintenance_step(
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text")
+        ids = batch.select("doc_id")
         have_index = spark.catalog.tableExists(table)
+        # guard 1: pre-batch index view (replay: a crashed run may have
+        # already admitted this batch's survivors). Index-side anti
+        # against the broadcast batch ids — map-only, no index shuffle.
+        cb = (
+            spark.table(table).join(ids, "doc_id", "left_anti")
+            if have_index
+            else None
+        )
         status = minhash_delta_status(
             batch.limit(0) if not have_index else None,
             batch,
-            corpus_bands=spark.table(table) if have_index else None,
+            corpus_bands=cb,
         )
         # persist + count forces materialization BEFORE the admission
         # write below reads/extends the index the statuses were
         # computed against (the stream_cdc_latest_filesink race note)
         status.persist().count()
-        status.withColumn("batch_id", SF.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out)
+        # guard 2: statuses keyed by batch_id with dynamic partition
+        # overwrite — a replayed batch rewrites its own partition.
+        (
+            status.withColumn("batch_id", SF.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
         new_docs = batch.join(
             status.filter(SF.col("status") == "new").select("doc_id"),
             "doc_id",
             "left_semi",
         )
-        entries = lsh_band_entries(minhash_signatures(new_docs))
         if have_index:
+            # guard 3: never re-admit a doc the index already holds.
+            # `already` is the (<= batch-sized) intersection, produced
+            # by a broadcast semi on the ids, so the final anti is a
+            # small-vs-small broadcast — no index-sized shuffle.
+            already = spark.table(table).select("doc_id").join(
+                ids, "doc_id", "left_semi"
+            )
+            new_docs = new_docs.join(already, "doc_id", "left_anti")
             lsh_index_append(new_docs, table)
         else:
+            entries = lsh_band_entries(minhash_signatures(new_docs))
             write_bucketed(entries, table, _LSH_INDEX_KEYS, _BUCKETS, path=idx_path)
         status.unpersist()
 
@@ -1053,12 +1098,19 @@ def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     live index between micro-batches (the continuous-aggregate
     pattern, stream_cdc_latest_filesink's argument).
 
+    The loop is EXACTLY-ONCE in effect despite foreachBatch's
+    at-least-once contract: the step body is replay-idempotent (see
+    ``_lsh_maintenance_step`` — pre-batch triage view, per-batch_id
+    dynamic partition overwrite for statuses, admit-anti-join for the
+    index), so checkpoint recovery re-running a batch leaves both
+    sinks byte-identical.
+
     Rows-only (MinHash statuses are engine-specific): the two-batch
     cross-batch semantics — batch-2 near-dups of batch-1 docs report
     dup_of_corpus, the index accumulates exactly the survivor set —
-    are property-tested over a controlled two-file stream
-    (tests/test_streaming_sink.py); the fixture drain is checked for
-    one-status-per-doc and determinism."""
+    are property-tested over a controlled two-file stream, as is
+    byte-level replay idempotence (tests/test_streaming_sink.py); the
+    fixture drain is checked for one-status-per-doc and determinism."""
     import re as _re
     import shutil
     import tempfile
@@ -1097,4 +1149,10 @@ def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.read.parquet(out).select("doc_id", "status", "match_id", "batch_id")
+    return spark.read.parquet(out).select(
+        "doc_id",
+        "status",
+        "match_id",
+        # partition-inferred int -> long (stable emit width, CLAUDE.md)
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )

@@ -1968,6 +1968,14 @@ def test_ivf_index_append_consistency(spark, tmp_path):
         )
         assert merged == rebuilt
         assert len(merged) == e.count()
+        # REPLAY guard (VERDICT r12 item 1): an idempotent re-append of
+        # the same delta is a no-op — the table stays bit-identical.
+        ivf_index_append(cent, delta, table, idempotent=True)
+        replayed = sorted(
+            (r.vec_id, r.bucket, tuple(r.v))
+            for r in spark.table(table).collect()
+        )
+        assert replayed == merged
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 

@@ -127,6 +127,28 @@ def test_fingerprint_sidecar_stable_across_loads():
     assert _fingerprint_rounds(reg) == _fingerprint_rounds(reg)
 
 
+def test_sidecar_never_written_from_pytest(monkeypatch):
+    """A pytest process must NEVER persist fingerprint stamps (VERDICT
+    r11): tests monkeypatch module constants, and a sidecar sync running
+    while module state is patched hashes the patched values — poisoning
+    entries with wrong fingerprints and dirtying the tree on every full
+    test run. Force a dirty entry (a name the sidecar has never seen)
+    through _fingerprint_rounds and assert the on-disk sidecar is
+    byte-identical after — while the IN-MEMORY stamp still marks the
+    new entry as upcoming (ordering behavior is ungated)."""
+    import mr_py_spark.registry as regmod
+
+    assert "PYTEST_CURRENT_TEST" in os.environ  # pytest sets it; the gate keys on it
+    reg = dict(load_all())
+    probe = "zz_sidecar_write_probe"
+    reg[probe] = regmod.Query(name=probe, fn=load_all, oracle=None)
+    before = open(regmod._FP_PATH, "rb").read()
+    rounds = _fingerprint_rounds(reg)
+    after = open(regmod._FP_PATH, "rb").read()
+    assert before == after
+    assert rounds[probe] > 0  # in-memory: stamped as upcoming, not persisted
+
+
 def test_flagships_inside_driver_window_unless_fresh():
     """Bench headliners outrank other entries for the window whenever
     they are stale — but one verified green in the LATEST recorded
@@ -278,6 +300,10 @@ def test_fingerprint_schema_migration_keeps_rounds(tmp_path, monkeypatch):
     side = tmp_path / ".fingerprints.json"
     side.write_text(_json.dumps({victim: {"fp": v1_fp, "round": 3, "v": 1}}))
     monkeypatch.setattr(regmod, "_FP_PATH", str(side))
+    # this test exercises the WRITE path against a private tmp sidecar,
+    # so lift the pytest write gate (test_sidecar_never_written_from_pytest
+    # covers the gate itself against the real sidecar)
+    monkeypatch.delenv("PYTEST_CURRENT_TEST", raising=False)
     rounds = regmod._fingerprint_rounds({victim: q})
     assert rounds[victim] == 3  # unchanged query: preserved
     stored = _json.loads(side.read_text())[victim]

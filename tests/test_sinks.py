@@ -122,3 +122,89 @@ def test_bucketed_warehouse_rebuilds_on_fixture_regeneration(spark, tmp_path):
     _sh.copy(os.path.join(tmp_out, part), f"{sf}/orders.parquet")
     n2 = _bucketed_table(spark, sf, "orders", "o_orderkey").count()
     assert n1 > 700 and n2 == 700, (n1, n2)
+
+
+def test_bucketed_reattach_never_invokes_builder(spark, tmp_path):
+    """ADVICE r11: a fresh session re-attaching VALID persisted files
+    must not invoke frame_of() just to derive the DDL schema — for the
+    IVF centroid table that builder runs a full driver-side k-means,
+    contradicting the standing-index claim. With an explicit ``schema``
+    the re-attach path must never call the builder; the build path
+    calls it exactly once."""
+    import shutil as _sh
+
+    from mr_py_spark.operators.bucketed import _bucketed_table
+    from tests.conftest import SF_DIR as _SF
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    _sh.copy(f"{_SF}/nation.parquet", f"{sf}/nation.parquet")
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.read.parquet(f"{sf}/nation.parquet").select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("s")
+        )
+
+    kw = dict(frame_of=build, src_name="nation", schema="k long, s string")
+    n1 = _bucketed_table(spark, sf, "derived_nat", "k", **kw).count()
+    assert calls["n"] == 1  # built once
+    # simulate a fresh session: catalog entry gone, files + marker valid
+    tag = None
+    for t in spark.catalog.listTables():
+        if t.name.startswith("mrps_bkt_derived_nat_"):
+            tag = t.name
+    assert tag is not None
+    spark.sql(f"DROP TABLE {tag}")
+    n2 = _bucketed_table(spark, sf, "derived_nat", "k", **kw).count()
+    assert n2 == n1
+    assert calls["n"] == 1  # re-attach: builder NOT re-invoked
+
+
+def test_compaction_preserves_content_and_layout(spark, tmp_path):
+    """``compact_bucketed_table`` (VERDICT r12 item 3): after N appends
+    the standing table is N-way fragmented; compaction must (a) cut the
+    file count to one per occupied bucket, (b) keep the row set
+    bit-identical, and (c) preserve the bucket spec so a co-located
+    join stays exchange-free — the very scan property the layout exists
+    for."""
+    from mr_py_spark.operators.bucketed import (
+        _data_files,
+        _table_location,
+        compact_bucketed_table,
+    )
+
+    orders = tbl(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey", "o_orderdate"
+    )
+    table = "t_compact_orders"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = str(tmp_path / "t_compact_orders")
+    part = F.col("k") % 3
+    write_bucketed(orders.filter(part == 0), table, "k", 8, path=path)
+    for i in (1, 2):
+        write_bucketed(orders.filter(part == i), table, "k", 8, mode="append")
+    before = sorted(tuple(r) for r in spark.table(table).collect())
+    files_before = len(_data_files(_table_location(spark, table)))
+    assert files_before > 8  # the appends created the small-file debt
+    stats = compact_bucketed_table(spark, table, "k", n_buckets=8)
+    assert stats["files_before"] == files_before
+    assert stats["files_after"] <= 8
+    assert stats["rows"] == len(before)
+    after = sorted(tuple(r) for r in spark.table(table).collect())
+    assert after == before  # bit-identical content
+    # the spec survived the swap: a self-join on k is exchange-free
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.table(table).select("k", "o_custkey")
+        b = spark.table(table).select("k", "o_orderdate")
+        joined = a.join(b, "k")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
