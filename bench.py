@@ -7,10 +7,13 @@ Prints ONE JSON line:
    "sf1": {"queries": {...}, "value": N}}
 
 Method: one warm-up execution per query (JIT, code cache, broadcast
-build), then best of 3 timed runs. Plans are executed with the `noop`
-sink so the full physical plan runs without driver-side result
-transfer skewing the numbers. The query set mirrors BASELINE.md's
-DuckDB-measured rows.
+build), then best of 3 timed runs (N_RUNS). Every timed run builds the
+DataFrame fresh (plan construction included) and executes it with the
+`noop` sink so the full physical plan runs without driver-side result
+transfer skewing the numbers — the sf0.1, sf1 and index blocks all use
+this same _timed() path (ADVICE r11: the old sf1 block re-saved a
+prebuilt frame best-of-2, so the blocks weren't comparable). The query
+set mirrors BASELINE.md's DuckDB-measured rows.
 
 The ``sf1`` block (VERDICT r10 item 6) re-times the same queries at
 scale factor 1 (lineitem 6M rows), where Spark's ~0.15-0.7 s
@@ -20,6 +23,14 @@ The sf1 fixture lives in /tmp (driver fixtures are read-only) and is
 regenerated via scripts/gen_sf.py when absent; if generation fails the
 block degrades to an "error" key rather than failing the sf0.1 run.
 BASELINE.md carries the matching DuckDB sf1 column.
+
+The ``index`` block (VERDICT r11 item 5) gives the LLM-pipeline tier
+round-over-round regression tracking: the warm standing-index near-dup
+triage (incremental_minhash_dedup_indexed) next to its per-run
+recompute form (incremental_minhash_dedup) at sf0.1 — the indexed/
+recompute ratio IS the standing-index speedup the SCALE.md A/Bs
+measure at sf10/sf100. The warm-up run builds/attaches the index, so
+the timed runs measure steady-state per-snapshot cost.
 """
 
 from __future__ import annotations
@@ -56,9 +67,20 @@ def main() -> None:
     spark = get_spark("mr_py_spark-bench")
     reg = load_all()
 
-    def execute(name: str) -> None:
-        df = reg[name].fn(spark, sf_dir)
+    def execute(name: str, d: str) -> None:
+        df = reg[name].fn(spark, d)
         df.write.format("noop").mode("overwrite").save()
+
+    def timed(name: str, d: str, runs: int = N_RUNS) -> float:
+        """One warm-up, then best-of-``runs`` fresh-build executions."""
+        execute(name, d)
+        best = min(
+            (lambda t0: (execute(name, d), time.perf_counter() - t0)[1])(
+                time.perf_counter()
+            )
+            for _ in range(runs)
+        )
+        return round(best, 4)
 
     # Skip list for large-sf runs (mirrors duckdb_baseline's
     # SKIP_QUERIES): e.g. exact knn is O(n^2)-inherent and excluded at
@@ -70,12 +92,7 @@ def main() -> None:
     for name in BENCH_QUERIES:
         if name in skip:
             continue
-        execute(name)  # warm-up
-        best = min(
-            (lambda t0: (execute(name), time.perf_counter() - t0)[1])(time.perf_counter())
-            for _ in range(N_RUNS)
-        )
-        timings[name] = round(best, 4)
+        timings[name] = timed(name, sf_dir)
 
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
@@ -90,6 +107,19 @@ def main() -> None:
         "sf": sf,
     }
 
+    # index block (standing-index tier regression tracking): warm
+    # indexed triage vs its per-run recompute form at the primary sf.
+    # Degrades to an "error" key, never fails the headline numbers.
+    if not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH"):
+        try:
+            out["index"] = {
+                "indexed": timed("incremental_minhash_dedup_indexed", sf_dir),
+                "recompute": timed("incremental_minhash_dedup", sf_dir),
+                "unit": "sec",
+            }
+        except Exception as e:
+            out["index"] = {"error": f"{type(e).__name__}: {e}"}
+
     # sf1 block: only when the primary run was the default sf0.1 (an
     # explicit $SPARK_GRAFT_SF_DIR run is a targeted measurement; don't
     # double it), and opt-out via SPARK_GRAFT_NO_SF1=1.
@@ -100,16 +130,7 @@ def main() -> None:
             for name in BENCH_QUERIES:
                 if name in skip:
                     continue
-                df = reg[name].fn(spark, sf1_dir)
-                df.write.format("noop").mode("overwrite").save()  # warm-up
-                best = min(
-                    (lambda t0: (
-                        df.write.format("noop").mode("overwrite").save(),
-                        time.perf_counter() - t0,
-                    )[1])(time.perf_counter())
-                    for _ in range(2)
-                )
-                t1[name] = round(best, 4)
+                t1[name] = timed(name, sf1_dir)
             out["sf1"] = {"queries": t1, "value": round(sum(t1.values()), 4),
                           "unit": "sec"}
         except Exception as e:  # degrade, never fail the sf0.1 numbers
@@ -123,24 +144,72 @@ def _ensure_sf1() -> str:
     """The sf1 fixture dir, generated on first use (and regenerated
     when the complete-marker is missing — /tmp vanishes between
     rounds). gen_sf.py is deterministic, so a kept fixture is
-    byte-stable across rounds."""
+    byte-stable across rounds.
+
+    The marker records the GENERATION ARGS and a concurrent build is
+    serialized with the bucketed-warehouse mkdir-lock pattern (ADVICE
+    r11): two unguarded bench runs could interleave writes and both
+    stamp complete, and a hand-generated fixture at the same path
+    (e.g. --mutate) would otherwise be silently served as if it were
+    the plain factor-10 build — an args mismatch regenerates."""
     import subprocess
+    import time as _time
 
     sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft/sf1")
+    gen_args = "factor=10;mutate=0"
     marker = os.path.join(sf1, "_GEN_COMPLETE")
+    lock = os.path.join(sf1, "_GEN_LOCK")
     tables = "region nation customer supplier part orders lineitem events documents embeddings"
-    have_all = all(
-        os.path.exists(os.path.join(sf1, f"{t}.parquet")) for t in tables.split()
-    )
-    if not (have_all and os.path.exists(marker)):
-        script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "scripts", "gen_sf.py")
-        subprocess.run(
-            [sys.executable, script, "--out", sf1, "--factor", "10"],
-            check=True, capture_output=True,
+
+    def ok() -> bool:
+        try:
+            with open(marker) as f:
+                stamped = f.read().strip()
+        except OSError:
+            return False
+        return stamped == gen_args and all(
+            os.path.exists(os.path.join(sf1, f"{t}.parquet"))
+            for t in tables.split()
         )
-        with open(marker, "w") as f:
-            f.write("ok")
+
+    if ok():
+        return sf1
+    os.makedirs(sf1, exist_ok=True)
+    deadline = _time.monotonic() + 3600
+    acquired = False
+    try:
+        while True:
+            try:
+                os.mkdir(lock)
+                acquired = True
+                break
+            except FileExistsError:
+                if ok():
+                    return sf1
+                if _time.monotonic() > deadline:
+                    raise RuntimeError(f"sf1 generation lock stuck: {lock}")
+                _time.sleep(0.5)
+        if not ok():
+            try:
+                os.remove(marker)
+            except OSError:
+                pass
+            script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "scripts", "gen_sf.py")
+            subprocess.run(
+                [sys.executable, script, "--out", sf1, "--factor", "10"],
+                check=True, capture_output=True,
+            )
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(gen_args)
+            os.replace(tmp, marker)
+    finally:
+        if acquired:
+            try:
+                os.rmdir(lock)
+            except OSError:
+                pass
     return sf1
 
 

@@ -100,9 +100,23 @@ def test_ann_plans_have_no_cartesian(spark):
         "knn_rplsh_topk",
         "knn_ivfpq_topk",
         "knn_ivf_topk_indexed",
+        "incremental_semantic_dedup",
     ):
         p = plan_of(spark, name)
         assert "CartesianProduct" not in p, name
+
+
+def test_incremental_semantic_dedup_reads_standing_index(spark):
+    """The O(delta) semantic-dedup form (VERDICT r12 item 4): the
+    corpus side is the persisted bucket-bucketed inverted file and the
+    persisted centroid table — no Lloyd retrain collect, no corpus
+    assignment pass at query time. The single MapInPandas is the
+    DELTA's broadcast-argmax assignment (O(delta) by construction);
+    candidate generation is bucket equi-joins, never a nested loop."""
+    p = plan_of(spark, "incremental_semantic_dedup")
+    assert "mrps_bkt_ivf_corpus_assign" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_knn_ivf_indexed_reads_standing_index(spark):

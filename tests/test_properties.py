@@ -1980,6 +1980,148 @@ def test_ivf_index_append_consistency(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_semantic_delta_status_planted(spark):
+    """Incremental semantic dedup (VERDICT r12 item 4): planted
+    statuses over a controlled corpus/delta. Corpus lives in dims 0-5;
+    the delta plants (a) an exact copy of a corpus vector ->
+    dup_of_corpus with a genuinely-tau-close corpus match, (b) a
+    vector orthogonal to the whole corpus -> new, (c) a near-copy of
+    (b) with a higher vec_id -> dup_within_delta matching (b). One
+    status per delta vector, corpus ids never appear as delta rows,
+    and the triage is deterministic."""
+    import numpy as np
+
+    from mr_py_spark.operators.kmeans import _TAU
+    from mr_py_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_with,
+        semantic_delta_status,
+    )
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(200, 6)
+    X = np.hstack([X, np.zeros((200, 2))])  # dims 6,7 free for plants
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, v array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, corpus, 8))],
+        "cid long, cv array<double>",
+    )
+    assigned = ivf_assign_with(cent, corpus)
+    e7 = [0.0] * 6 + [0.0, 1.0]
+    twin = np.array([0.0] * 6 + [0.05, 1.0])
+    twin = [float(x) for x in twin / np.linalg.norm(twin)]
+    delta = spark.createDataFrame(
+        [(1000, [float(x) for x in X[5]]), (1001, e7), (1002, twin)],
+        "vec_id long, v array<double>",
+    )
+    out = {r.vec_id: (r.status, r.match_id)
+           for r in semantic_delta_status(cent, assigned, delta).collect()}
+    assert set(out) == {1000, 1001, 1002}  # one status per delta vec
+    s, m = out[1000]
+    assert s == "dup_of_corpus" and m is not None and m <= 5
+    assert float(X[m] @ X[5]) >= _TAU  # the match is genuinely tau-close
+    assert out[1001] == ("new", None)
+    assert out[1002] == ("dup_within_delta", 1001)
+    out2 = {r.vec_id: (r.status, r.match_id)
+            for r in semantic_delta_status(cent, assigned, delta).collect()}
+    assert out2 == out  # deterministic
+
+
+def test_incremental_semantic_dedup_fixture_sanity(spark):
+    """The registered form on the fixture: one row per delta vector
+    (the _INC split applied to vec_id), statuses in the enum, every
+    match_id a CORPUS id (never a delta id for dup_of_corpus, always a
+    lower delta id for dup_within_delta), and every claimed match
+    genuinely at cosine >= tau."""
+    import numpy as np
+
+    from mr_py_spark.operators.dedup import (
+        _INC_BUCKETS,
+        _INC_DELTA_BUCKET,
+        _INC_MULT,
+    )
+    from mr_py_spark.operators.kmeans import _TAU
+    from mr_py_spark.sources import tbl
+
+    reg = load_all()
+    rows = reg["incremental_semantic_dedup"].fn(spark, SF_DIR).collect()
+    e = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in tbl(spark, SF_DIR, "embeddings").collect()
+    }
+    delta_ids = {
+        v for v in e if (v * _INC_MULT) % _INC_BUCKETS == _INC_DELTA_BUCKET
+    }
+    assert {r.vec_id for r in rows} == delta_ids
+    for r in rows:
+        if r.status == "dup_of_corpus":
+            assert r.match_id not in delta_ids
+            assert float(e[r.match_id] @ e[r.vec_id]) >= _TAU
+        elif r.status == "dup_within_delta":
+            assert r.match_id in delta_ids and r.match_id < r.vec_id
+            assert float(e[r.match_id] @ e[r.vec_id]) >= _TAU
+        else:
+            assert r.status == "new" and r.match_id is None
+
+
+def test_ivf_drift_monitor_moves_on_planted_drift(spark):
+    """The drift monitor (VERDICT r12 item 7) must (a) sit level when
+    the delta is drawn from the indexed distribution and (b) drop when
+    the delta lives in a subspace the quantizer never saw — the signal
+    that schedules a retrain."""
+    import numpy as np
+
+    from mr_py_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_with,
+        ivf_drift_frame,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(400, 6)
+    X = np.hstack([X, np.zeros((400, 2))])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, v array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, corpus, 8))],
+        "cid long, cv array<double>",
+    )
+    assigned = ivf_assign_with(cent, corpus)
+    in_dist = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in X[300 + i]]) for i in range(100)],
+        "vec_id long, v array<double>",
+    )
+    D = rng.randn(100, 2)  # drifted: all mass in the unseen dims 6,7
+    D = np.hstack([np.zeros((100, 6)), D])
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    drifted = spark.createDataFrame(
+        [(2000 + i, [float(x) for x in D[i]]) for i in range(100)],
+        "vec_id long, v array<double>",
+    )
+
+    def stats(delta):
+        return {
+            r.cohort: (r.n_vecs, r.mean_top1, r.p05_top1)
+            for r in ivf_drift_frame(cent, assigned, delta).collect()
+        }
+
+    level = stats(in_dist)
+    moved = stats(drifted)
+    assert level["indexed"][0] == 300 and level["delta"][0] == 100
+    # in-distribution delta: mean within noise of the indexed cohort
+    assert abs(level["delta"][1] - level["indexed"][1]) < 0.15
+    # drifted delta: orthogonal to every centroid -> scores collapse
+    assert moved["delta"][1] < 0.1 < moved["indexed"][1]
+    assert moved["delta"][1] < moved["indexed"][1] - 0.3
+
+
 def test_gen_sf_mutate_structure():
     """Pins the mutation invariants the sf100 near-dup evidence rests
     on (SCALE.md r11): deterministic across calls; light copies keep
