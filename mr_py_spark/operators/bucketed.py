@@ -46,14 +46,17 @@ _BUCKETS = 32
 _CACHE_ROOT_NAME = "spark_graft_bucketed"
 
 
-def _src_stamp(sf_dir: str, name: str) -> str:
+def _src_stamp(sf_dir: str, name: str, extra: str = "") -> str:
     """Content stamp of the source fixture file (size + mtime_ns): a
     regenerated fixture at the SAME path must invalidate the cached
     warehouse — gen_sf.py rewrites /tmp/sparkgraft/sfN in place, and a
     stale bucketed copy would silently diverge from what DuckDB and
-    every other query read."""
+    every other query read. ``extra`` folds BUILDER PARAMETERS into the
+    stamp (r12: the ivf_corpus quantizer's nlist changed and the
+    fixture-only stamp would have served the stale coarse index — any
+    derived table whose builder has knobs must stamp them)."""
     st = os.stat(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    return f"{st.st_size}:{st.st_mtime_ns}" + (f":{extra}" if extra else "")
 
 
 def _bucketed_table(
@@ -64,6 +67,7 @@ def _bucketed_table(
     frame_of=None,
     src_name: str | None = None,
     schema: str | None = None,
+    stamp_extra: str = "",
 ) -> DataFrame:
     """The fixture table ``name`` — or, with ``frame_of``, an arbitrary
     DERIVED frame (e.g. the standing LSH band index) — as a catalog
@@ -88,7 +92,7 @@ def _bucketed_table(
     interleave files, then both stamp complete)."""
     tag = f"b{_BUCKETS}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
     table = f"mrps_bkt_{name}_{tag}"
-    stamp = _src_stamp(sf_dir, src_name or name)
+    stamp = _src_stamp(sf_dir, src_name or name, extra=stamp_extra)
 
     def marker_ok(done: str) -> bool:
         try:

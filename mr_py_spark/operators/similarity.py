@@ -1363,16 +1363,23 @@ def ivf_corpus_index(spark: SparkSession, sf_dir: str):
         _INC_MULT,
     )
 
+    from mr_py_spark.operators.kmeans import _kmeans_k
+
     e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
     corpus = e.filter(
         (F.col("vec_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
         != _INC_DELTA_BUCKET
     )
-    # nlist sized off the full-table footer count (the corpus is 90% of
-    # it — bucket-size targeting tolerates that), so sizing needs no
-    # count() action
+    # Quantizer sized for CLUSTER-MATE candidate generation (~64
+    # vectors per bucket, kmeans._kmeans_k — the SemDeDup scale knob),
+    # NOT for ANN probe economics (_ivf_nlist's ~4096-row buckets): the
+    # r12 sf10 A/B measured the 4096-grade index 3.5x SLOWER than the
+    # per-run Lloyd chain because candidate pairs scale with bucket
+    # occupancy (64x the pair work). nlist off the full-table footer
+    # count (the corpus is 90% of it), so sizing needs no count()
+    # action.
     n = _table_rows(e, sf_dir, "embeddings")
-    nlist = min(_ivf_nlist(n), max(1, n))
+    nlist = min(_kmeans_k(n), max(1, n))
 
     def build_cent() -> DataFrame:
         cents = _ivf_centroids(spark, corpus, nlist)
@@ -1383,11 +1390,13 @@ def ivf_corpus_index(spark: SparkSession, sf_dir: str):
     cent = _bucketed_table(
         spark, sf_dir, "ivf_corpus_cent", "cid", frame_of=build_cent,
         src_name="embeddings", schema="cid long, cv array<double>",
+        stamp_extra=f"nlist={nlist}",
     )
     assigned = _bucketed_table(
         spark, sf_dir, "ivf_corpus_assign", "bucket",
         frame_of=lambda: ivf_assign_with(cent, corpus), src_name="embeddings",
         schema="vec_id long, bucket long, v array<double>",
+        stamp_extra=f"nlist={nlist}",
     )
     return cent, assigned
 
