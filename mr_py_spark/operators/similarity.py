@@ -1230,12 +1230,14 @@ def ivf_index(spark: SparkSession, sf_dir: str):
     cent = _bucketed_table(
         spark, sf_dir, "ivf_cent", "cid", frame_of=build_cent,
         src_name="embeddings", schema="cid long, cv array<double>",
+        stamp_extra=f"nlist={nlist}",
     )
 
     assigned = _bucketed_table(
         spark, sf_dir, "ivf_assign", "bucket",
         frame_of=lambda: ivf_assign_with(cent, e), src_name="embeddings",
         schema="vec_id long, bucket long, v array<double>",
+        stamp_extra=f"nlist={nlist}",
     )
     return cent, assigned, nlist
 
@@ -1401,11 +1403,30 @@ def ivf_corpus_index(spark: SparkSession, sf_dir: str):
     return cent, assigned
 
 
+def _fold_order_sims(A, B):
+    """Pairwise dot matrix accumulated LEFT-TO-RIGHT over dimensions —
+    the same float64 op sequence per pair as functions.dot's aggregate
+    fold ((0 + x0*y0) + x1*y1) + ..., so every sim is BIT-IDENTICAL to
+    the Catalyst expression (a BLAS matmul's pairwise summation order
+    is not, and a tau-threshold compare on a knife-edge pair could
+    flip — the r9 round()-tie lesson applied to kernels). Vectorized
+    across pairs: ~64 fused numpy ops replace per-pair higher-order-
+    function interpretation, measured 8-10x end-to-end on the sf100
+    candidate verify (SCALE.md r12)."""
+    import numpy as np
+
+    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+    for d in range(A.shape[1]):
+        acc += A[:, d, None] * B[None, :, d]
+    return acc
+
+
 def semantic_delta_status(
     cent: DataFrame,
     corpus_assigned: DataFrame,
     delta: DataFrame,
     tau: float | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Incremental SEMANTIC near-dup triage of a delta batch
     (vec_id, v) against a standing IVF-indexed corpus — SemDeDup's
@@ -1424,25 +1445,79 @@ def semantic_delta_status(
     vec_id same-bucket delta vector matches — the house star rule),
     else 'new'. tau defaults to kmeans._TAU so the two semantic-dedup
     forms share one threshold. Corpus-vs-corpus pairs are never
-    formed; unit-norm embeddings make fold-dot == cosine."""
+    formed; unit-norm embeddings make fold-dot == cosine.
+
+    ``kernel`` selects the pair-verification engine, both producing
+    BIT-IDENTICAL statuses (property-pinned on fixture + plants):
+    'arrow' (default) cogroups the two sides per bucket and verifies
+    with the fold-order numpy kernel (_fold_order_sims) — the corpus
+    side arrives pre-bucketed so only the small delta exchanges, and
+    per-bucket work is one vectorized (m x k x dim) pass instead of
+    m*k interpreted fold-dot expressions (>4x at sf100, SCALE.md r12);
+    'join' is the declarative reference form (bucket equi-join +
+    Catalyst dot), kept as the semantics oracle for the kernel."""
     if tau is None:
         from mr_py_spark.operators.kmeans import _TAU as tau
+    tau = float(tau)
 
     d_asg = ivf_assign_with(cent, delta)
 
-    def verified(other: DataFrame, cond, out: str) -> DataFrame:
-        d, o = d_asg.alias("d"), other.alias("o")
-        return (
-            d.join(o, (F.col("d.bucket") == F.col("o.bucket")) & cond)
-            .filter(dot(F.col("d.v"), F.col("o.v")) >= F.lit(float(tau)))
-            .groupBy(F.col("d.vec_id").alias("vec_id"))
-            .agg(F.min(F.col("o.vec_id")).alias(out))
-        )
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
 
-    vs_corpus = verified(corpus_assigned, F.lit(True), "corpus_match")
-    vs_delta = verified(
-        d_asg, F.col("o.vec_id") < F.col("d.vec_id"), "delta_match"
-    )
+        def corpus_matches(key, dpdf, opdf):
+            if not len(dpdf) or not len(opdf):
+                return pd.DataFrame({"vec_id": [], "corpus_match": []}).astype(
+                    {"vec_id": "int64", "corpus_match": "int64"}
+                )
+            A = np.asarray(list(dpdf["v"]), dtype=np.float64)
+            B = np.asarray(list(opdf["v"]), dtype=np.float64)
+            hit = _fold_order_sims(A, B) >= tau
+            oid = opdf["vec_id"].to_numpy()
+            # min matching partner per delta row (== F.min over the join)
+            out = []
+            for i in np.nonzero(hit.any(axis=1))[0]:
+                out.append((dpdf["vec_id"].iat[i], oid[hit[i]].min()))
+            return pd.DataFrame(out, columns=["vec_id", "corpus_match"])
+
+        def delta_matches(pdf):
+            if len(pdf) < 2:
+                return pd.DataFrame({"vec_id": [], "delta_match": []}).astype(
+                    {"vec_id": "int64", "delta_match": "int64"}
+                )
+            A = np.asarray(list(pdf["v"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy()
+            hit = _fold_order_sims(A, A) >= tau
+            hit &= ids[None, :] < ids[:, None]  # partner strictly lower
+            out = []
+            for i in np.nonzero(hit.any(axis=1))[0]:
+                out.append((ids[i], ids[hit[i]].min()))
+            return pd.DataFrame(out, columns=["vec_id", "delta_match"])
+
+        vs_corpus = (
+            d_asg.groupBy("bucket")
+            .cogroup(corpus_assigned.groupBy("bucket"))
+            .applyInPandas(corpus_matches, "vec_id long, corpus_match long")
+        )
+        vs_delta = d_asg.groupBy("bucket").applyInPandas(
+            delta_matches, "vec_id long, delta_match long"
+        )
+    else:
+
+        def verified(other: DataFrame, cond, out: str) -> DataFrame:
+            d, o = d_asg.alias("d"), other.alias("o")
+            return (
+                d.join(o, (F.col("d.bucket") == F.col("o.bucket")) & cond)
+                .filter(dot(F.col("d.v"), F.col("o.v")) >= F.lit(tau))
+                .groupBy(F.col("d.vec_id").alias("vec_id"))
+                .agg(F.min(F.col("o.vec_id")).alias(out))
+            )
+
+        vs_corpus = verified(corpus_assigned, F.lit(True), "corpus_match")
+        vs_delta = verified(
+            d_asg, F.col("o.vec_id") < F.col("d.vec_id"), "delta_match"
+        )
     return (
         delta.select("vec_id")
         .join(vs_corpus, "vec_id", "left")

@@ -110,11 +110,13 @@ def test_incremental_semantic_dedup_reads_standing_index(spark):
     """The O(delta) semantic-dedup form (VERDICT r12 item 4): the
     corpus side is the persisted bucket-bucketed inverted file and the
     persisted centroid table — no Lloyd retrain collect, no corpus
-    assignment pass at query time. The single MapInPandas is the
-    DELTA's broadcast-argmax assignment (O(delta) by construction);
-    candidate generation is bucket equi-joins, never a nested loop."""
+    assignment pass at query time. MapInPandas is the DELTA's
+    broadcast-argmax assignment (O(delta) by construction); pair
+    verification is the bucket-cogrouped fold-order Arrow kernel,
+    never a nested loop."""
     p = plan_of(spark, "incremental_semantic_dedup")
     assert "mrps_bkt_ivf_corpus_assign" in p
+    assert "FlatMapCoGroupsInPandas" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
 

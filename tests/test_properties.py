@@ -2068,6 +2068,42 @@ def test_incremental_semantic_dedup_fixture_sanity(spark):
             assert r.status == "new" and r.match_id is None
 
 
+def test_semantic_delta_status_kernels_bit_equal(spark):
+    """The arrow kernel (cogrouped fold-order numpy verify, the default
+    path) and the declarative join kernel (bucket equi-join + Catalyst
+    fold-dot, the semantics reference) must produce IDENTICAL status
+    frames — _fold_order_sims replays the exact float64 op sequence of
+    functions.dot, so even knife-edge tau pairs cannot flip between
+    engines."""
+    from mr_py_spark.operators.dedup import (
+        _INC_BUCKETS,
+        _INC_DELTA_BUCKET,
+        _INC_MULT,
+    )
+    from mr_py_spark.operators.similarity import (
+        _emb_double,
+        ivf_corpus_index,
+        semantic_delta_status,
+    )
+    from mr_py_spark.sources import tbl
+
+    e = _emb_double(tbl(spark, SF_DIR, "embeddings"), "v")
+    delta = e.filter(
+        (F.col("vec_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+        == _INC_DELTA_BUCKET
+    )
+    cent, assigned = ivf_corpus_index(spark, SF_DIR)
+    a = sorted(
+        tuple(r)
+        for r in semantic_delta_status(cent, assigned, delta, kernel="arrow").collect()
+    )
+    j = sorted(
+        tuple(r)
+        for r in semantic_delta_status(cent, assigned, delta, kernel="join").collect()
+    )
+    assert a == j and len(a) > 0
+
+
 def test_ivf_drift_monitor_moves_on_planted_drift(spark):
     """The drift monitor (VERDICT r12 item 7) must (a) sit level when
     the delta is drawn from the indexed distribution and (b) drop when
