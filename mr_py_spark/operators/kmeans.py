@@ -371,32 +371,42 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     see the _TAU comment; the house star rule otherwise; embeddings
     are unit-norm so fold-dot == cosine).
 
-    Scale shape: the pair join is an EQUI-join on the cluster id —
+    Scale shape: candidate pairs are restricted to CLUSTER-MATES —
     never a cross join — and k grows with n (avg cluster ~64), so
     candidate work is O(n * avg_cluster), linear where the
-    cosine_near_dup_pairs oracle baseline is quadratic. The oracle
-    replays the identical exact-integer clustering (so the pair SET
-    matches exactly) and DuckDB's sequential list_dot_product matches
-    the JVM fold-dot bit for bit (the cosine_near_dup_pairs
-    precedent); the threshold compare on identical doubles is
-    therefore deterministic cross-engine."""
+    cosine_near_dup_pairs oracle baseline is quadratic. Verification
+    runs as one cluster-grouped fold-order Arrow kernel
+    (similarity._fold_order_sims): the per-pair float64 op sequence is
+    identical to the Catalyst fold-dot AND to DuckDB's sequential
+    list_dot_product, so the threshold compare stays deterministic
+    cross-engine while replacing ~n*avg_cluster interpreted
+    higher-order-function evaluations with ~dim fused numpy ops per
+    cluster (the equi-join + expression reference form measured 8-10x
+    slower on the sf100 delta triage, SCALE.md r12). The oracle
+    replays the identical exact-integer clustering, so the pair SET
+    matches exactly."""
+    import pandas as pd
+
+    from mr_py_spark.operators.similarity import _fold_order_sims
+
     assign = _assignment(spark, sf_dir)
     e = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     av = assign.join(e, "vec_id")
-    a, b = av.alias("a"), av.alias("b")
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
-        )
-        .filter(dot(F.col("a.v"), F.col("b.v")) >= _TAU)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf[["vec_id", "cluster"]]
+        A = np.asarray(list(pdf["v"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        hit = _fold_order_sims(A, A) >= _TAU
+        hit &= ids[None, :] < ids[:, None]  # a lower-id cluster-mate matches
+        return pdf.loc[~hit.any(axis=1), ["vec_id", "cluster"]]
+
+    return av.groupBy("cluster").applyInPandas(
+        survivors, "vec_id long, cluster long"
     )
-    return assign.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster")
 
 
 @register(
