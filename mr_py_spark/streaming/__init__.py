@@ -1081,6 +1081,146 @@ def _lsh_maintenance_step(
     return step
 
 
+def _ivf_maintenance_step(
+    spark: SparkSession, cent_table: str, idx_table: str, out: str,
+    cent_path: str, idx_path: str
+):
+    """The per-micro-batch body of ``stream_semantic_index_maintenance``
+    — the IVF/embedding twin of ``_lsh_maintenance_step``, with the
+    same three replay-idempotence guards (pre-batch triage view,
+    per-batch_id dynamic partition overwrite, idempotent admit). The
+    quantizer trains ONCE on the first batch and is never retrained
+    (the never-retrain maintenance policy; ``ivf_drift_stats`` is the
+    retrain scheduler's signal) — a replay of the first batch reuses
+    the persisted centroids instead of retraining."""
+    from pyspark.sql import functions as SF
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.kmeans import _kmeans_k
+    from mr_py_spark.operators.similarity import (
+        _ivf_centroids,
+        ivf_assign_with,
+        ivf_index_append,
+        semantic_delta_status,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(
+            "vec_id", SF.col("embedding").cast("array<double>").alias("v")
+        )
+        if not spark.catalog.tableExists(cent_table):
+            # one-time quantizer fit on the FIRST batch (bounded
+            # collect inside _ivf_centroids); sized for cluster-mate
+            # candidate work like the batch corpus index
+            cents = _ivf_centroids(
+                spark, batch, max(2, _kmeans_k(batch.count()))
+            )
+            cent_df = spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)],
+                "cid long, cv array<double>",
+            )
+            write_bucketed(cent_df, cent_table, "cid", _BUCKETS, path=cent_path)
+        cent = spark.table(cent_table)
+        ids = batch.select("vec_id")
+        have_idx = spark.catalog.tableExists(idx_table)
+        corpus = (
+            spark.table(idx_table).join(ids, "vec_id", "left_anti")
+            if have_idx
+            else ivf_assign_with(cent, batch.limit(0))
+        )
+        status = semantic_delta_status(cent, corpus, batch)
+        status.persist().count()
+        (
+            status.withColumn("batch_id", SF.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+        new_vecs = batch.join(
+            status.filter(SF.col("status") == "new").select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        if have_idx:
+            ivf_index_append(cent, new_vecs, idx_table, idempotent=True)
+        else:
+            write_bucketed(
+                ivf_assign_with(cent, new_vecs), idx_table, "bucket",
+                _BUCKETS, path=idx_path,
+            )
+        status.unpersist()
+
+    return step
+
+
+@register("stream_semantic_index_maintenance", tags=("C9", "C2", "C3", "A8"))
+def stream_semantic_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest loop for the STANDING IVF index — semantic
+    near-dup triage of each micro-batch of newly-embedded documents
+    against the live index, statuses to a parquet sink, survivors
+    admitted via ``ivf_index_append`` (never a retrain; the r12 drift
+    monitor schedules those out-of-band). Completes the standing-index
+    tier's streaming surface: LSH for text (stream_lsh_index_
+    maintenance), IVF for embeddings (this), both replay-idempotent
+    under foreachBatch's at-least-once contract via the same three
+    guards (property-tested in tests/test_streaming_sink.py).
+
+    Rows-only (seeded quantizers are engine-specific): cross-batch
+    semantics and byte-level replay idempotence are property-tested
+    over a controlled two-file stream; the fixture drain is checked
+    for one-status-per-vector and determinism."""
+    import re as _re
+    import shutil
+    import tempfile
+
+    harden(spark)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.rstrip("/").replace("/", "_"),
+        "ivf_maint",
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    cent_table = f"mrps_stream_ivf_cent_{tag}"
+    idx_table = f"mrps_stream_ivf_idx_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {cent_table}")
+    spark.sql(f"DROP TABLE IF EXISTS {idx_table}")
+
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _ivf_maintenance_step(
+                spark, cent_table, idx_table, out,
+                os.path.join(root, "cent"), os.path.join(root, "index"),
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select(
+        "vec_id",
+        "status",
+        "match_id",
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )
+
+
 @register("stream_lsh_index_maintenance", tags=("C9", "C2", "C1", "A8"))
 def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest loop for the STANDING LSH index (C9 + C2): the
