@@ -738,6 +738,9 @@ def corpus_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucketed_table(
         spark, sf_dir, "lsh_bands_k2", _LSH_INDEX_KEYS,
         frame_of=build, src_name="documents",
+        # builder-knob stamp (r12 rule): a signature-shape change must
+        # rebuild the cached index, not serve the stale banding
+        stamp_extra=f"h{_N_HASHES}b{_BAND_ROWS}",
     )
 
 
