@@ -59,6 +59,29 @@ def _src_stamp(sf_dir: str, name: str, extra: str = "") -> str:
     return f"{st.st_size}:{st.st_mtime_ns}" + (f":{extra}" if extra else "")
 
 
+def builder_stamp(*fns, **knobs) -> str:
+    """Short digest of a derived-table BUILDER: the source text of the
+    functions whose behavior the persisted content depends on, plus
+    explicit knob values. Closes the whole stale-cache class the r12
+    nlist incident exposed (review r12: stamping one hand-picked knob
+    misses seeds, split constants, iteration counts, and any future
+    edit to the builder body) — pass this as ``stamp_extra``."""
+    import hashlib
+    import inspect
+
+    h = hashlib.sha256()
+    for fn in fns:
+        try:
+            h.update(inspect.getsource(fn).encode())
+        except (OSError, TypeError):
+            h.update(f"{fn.__module__}.{fn.__qualname__}".encode())
+        h.update(b"\x00")
+    for k in sorted(knobs):
+        h.update(f"{k}={knobs[k]!r}".encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:12]
+
+
 def _bucketed_table(
     spark: SparkSession,
     sf_dir: str,
@@ -150,6 +173,29 @@ def _bucketed_table(
                 except OSError:
                     pass
                 shutil.rmtree(path, ignore_errors=True)
+                if schema is not None:
+                    # the hand-written re-attach DDL must match what is
+                    # actually persisted: builder drift would otherwise
+                    # only surface in a FRESH session's re-attach scan
+                    # (review r12) — catch it at write time, where the
+                    # frame is in hand anyway. Compare (name, type)
+                    # pairs, not strings (DDL 'long' == simpleString
+                    # 'bigint') and not nullability (writer-dependent).
+                    from pyspark.sql.types import StructType
+
+                    want = [
+                        (f.name, f.dataType)
+                        for f in StructType.fromDDL(schema).fields
+                    ]
+                    built = [
+                        (f.name, f.dataType) for f in frame().schema.fields
+                    ]
+                    if built != want:
+                        raise ValueError(
+                            f"{table}: declared re-attach schema "
+                            f"{schema!r} != built frame schema "
+                            f"{frame().schema.simpleString()!r}"
+                        )
                 write_bucketed(frame(), table, key, _BUCKETS, path=path)
                 tmp = done + ".tmp"
                 with open(tmp, "w") as f:
@@ -241,7 +287,6 @@ def compact_bucketed_table(
     # several buckets each), while a plain parquet scan keeps it and
     # each write task holds exactly one bucket
     df = spark.read.parquet(path)
-    rows = df.count()
     cols = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
     tmp_tbl = f"{table}__compacting"
     tmp_path = f"{path.rstrip('/')}__compacting"
@@ -266,7 +311,11 @@ def compact_bucketed_table(
     return {
         "files_before": files_before,
         "files_after": len(_data_files(path)),
-        "rows": rows,
+        # counted AFTER the swap, on the compacted layout — an extra
+        # pre-rewrite full scan over the fragmented files would double
+        # compaction I/O for a statistic (review r12); content equality
+        # is the caller's bit-identity check, not this count
+        "rows": spark.table(table).count(),
     }
 
 
@@ -293,7 +342,16 @@ def lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from mr_py_spark.sources.sinks import write_bucketed
 
-    tag = f"b{_BUCKETS}_" + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    # per-PROCESS table name and path: the demo rmtree/DROPs its own
+    # workspace, and a shared fixed name would race a concurrent
+    # session running the same registered query (review r12 — every
+    # SHARED builder in this file locks; a throwaway demo isolates
+    # instead)
+    tag = (
+        f"b{_BUCKETS}_"
+        + re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+        + f"_p{os.getpid()}"
+    )
     table = f"mrps_lsh_compact_demo_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     root = os.path.join(_tf.gettempdir(), _CACHE_ROOT_NAME, tag)
@@ -311,6 +369,7 @@ def lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = compact_bucketed_table(spark, table, _LSH_INDEX_KEYS)
     rows_after = spark.table(table).count()
     spark.sql(f"DROP TABLE {table}")
+    shutil.rmtree(root, ignore_errors=True)  # per-process workspace
     return spark.createDataFrame(
         [
             ("files_before", int(stats["files_before"])),

@@ -735,12 +735,18 @@ def corpus_lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = (F.col("doc_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
         return lsh_band_entries(minhash_signatures(docs.filter(b != _INC_DELTA_BUCKET)))
 
+    from mr_py_spark.operators.bucketed import builder_stamp
+
     return _bucketed_table(
         spark, sf_dir, "lsh_bands_k2", _LSH_INDEX_KEYS,
         frame_of=build, src_name="documents",
-        # builder-knob stamp (r12 rule): a signature-shape change must
-        # rebuild the cached index, not serve the stale banding
-        stamp_extra=f"h{_N_HASHES}b{_BAND_ROWS}",
+        # builder stamp (r12 rule): any signature-shape/seed/split edit
+        # must rebuild the cached index, not serve the stale banding
+        stamp_extra=builder_stamp(
+            minhash_signatures, lsh_band_entries,
+            h=_N_HASHES, b=_BAND_ROWS,
+            inc=(_INC_MULT, _INC_BUCKETS, _INC_DELTA_BUCKET),
+        ),
     )
 
 

@@ -387,7 +387,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches exactly."""
     import pandas as pd
 
-    from mr_py_spark.operators.similarity import _fold_order_sims
+    from mr_py_spark.operators.similarity import _fold_order_blocks
 
     assign = _assignment(spark, sf_dir)
     e = tbl(spark, sf_dir, "embeddings").select(
@@ -400,9 +400,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pdf[["vec_id", "cluster"]]
         A = np.asarray(list(pdf["v"]), dtype=np.float64)
         ids = pdf["vec_id"].to_numpy()
-        hit = _fold_order_sims(A, A) >= _TAU
-        hit &= ids[None, :] < ids[:, None]  # a lower-id cluster-mate matches
-        return pdf.loc[~hit.any(axis=1), ["vec_id", "cluster"]]
+        keep = np.ones(len(pdf), dtype=bool)
+        # row-blocked: a skewed hot cluster never allocates an
+        # unbounded dense sim matrix (similarity._FOLD_BLOCK_CELLS)
+        for s, sims in _fold_order_blocks(A, A):
+            hit = sims >= _TAU
+            # a lower-id cluster-mate matches -> dropped
+            hit &= ids[None, :] < ids[s : s + hit.shape[0], None]
+            keep[s : s + hit.shape[0]] = ~hit.any(axis=1)
+        return pdf.loc[keep, ["vec_id", "cluster"]]
 
     return av.groupBy("cluster").applyInPandas(
         survivors, "vec_id long, cluster long"

@@ -1227,28 +1227,32 @@ def ivf_index(spark: SparkSession, sf_dir: str):
     # static schemas: a fresh session re-attaching valid persisted
     # files must never invoke the builders just for the DDL — build_cent
     # runs the full driver-side k-means eagerly (ADVICE r11)
+    from mr_py_spark.operators.bucketed import builder_stamp
+
+    stamp = builder_stamp(
+        _ivf_centroids, ivf_assign_with, nlist=nlist, train_cap=_IVF_TRAIN_CAP
+    )
     cent = _bucketed_table(
         spark, sf_dir, "ivf_cent", "cid", frame_of=build_cent,
         src_name="embeddings", schema="cid long, cv array<double>",
-        stamp_extra=f"nlist={nlist}",
+        stamp_extra=stamp,
     )
 
     assigned = _bucketed_table(
         spark, sf_dir, "ivf_assign", "bucket",
         frame_of=lambda: ivf_assign_with(cent, e), src_name="embeddings",
         schema="vec_id long, bucket long, v array<double>",
-        stamp_extra=f"nlist={nlist}",
+        stamp_extra=stamp,
     )
     return cent, assigned, nlist
 
 
-def ivf_assign_with(cent: DataFrame, vectors: DataFrame) -> DataFrame:
-    """(vec_id, bucket, v) assignment of ``vectors`` against an
-    EXISTING centroid frame (cid, cv): the broadcast-argmax pass shared
-    by the index build and the maintenance append — assignment is a
-    pure function of the centroids, so entries appended later are
-    bit-identical to what a full rebuild with the same centroids would
-    produce (the consistency property ivf_index_append's test pins)."""
+def _ivf_assign_pass(cent: DataFrame, vectors: DataFrame, with_score: bool) -> DataFrame:
+    """The one broadcast-argmax assignment kernel behind both
+    ``ivf_assign_with`` (emits the vector, for the inverted file) and
+    ``ivf_assign_scored`` (emits the top-1 similarity, for the drift
+    monitor) — a single body so a future fix cannot silently diverge
+    assignment from scoring (review r12)."""
     import numpy as np
     import pandas as pd
 
@@ -1264,15 +1268,33 @@ def ivf_assign_with(cent: DataFrame, vectors: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             m = np.asarray(list(pdf["v"]), dtype=np.float64)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "bucket": (m @ cmat.T).argmax(1).astype(np.int64),
-                    "v": pdf["v"],
-                }
-            )
+            sims = m @ cmat.T
+            cols = {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "bucket": sims.argmax(1).astype(np.int64),
+            }
+            if with_score:
+                cols["score"] = sims.max(1)
+            else:
+                cols["v"] = pdf["v"]
+            yield pd.DataFrame(cols)
 
-    return vectors.mapInPandas(gen, "vec_id long, bucket long, v array<double>")
+    out_schema = (
+        "vec_id long, bucket long, score double"
+        if with_score
+        else "vec_id long, bucket long, v array<double>"
+    )
+    return vectors.mapInPandas(gen, out_schema)
+
+
+def ivf_assign_with(cent: DataFrame, vectors: DataFrame) -> DataFrame:
+    """(vec_id, bucket, v) assignment of ``vectors`` against an
+    EXISTING centroid frame (cid, cv): the broadcast-argmax pass shared
+    by the index build and the maintenance append — assignment is a
+    pure function of the centroids, so entries appended later are
+    bit-identical to what a full rebuild with the same centroids would
+    produce (the consistency property ivf_index_append's test pins)."""
+    return _ivf_assign_pass(cent, vectors, with_score=False)
 
 
 def ivf_index_append(
@@ -1389,36 +1411,74 @@ def ivf_corpus_index(spark: SparkSession, sf_dir: str):
             [(i, c) for i, c in enumerate(cents)], "cid long, cv array<double>"
         )
 
+    # builder stamp covers every knob the persisted content depends on
+    # (quantizer source incl. seed/iterations, assignment source, the
+    # corpus/delta split constants, nlist) — review r12: stamping one
+    # hand-picked knob misses the rest of the class
+    from mr_py_spark.operators.bucketed import builder_stamp
+
+    stamp = builder_stamp(
+        _ivf_centroids, ivf_assign_with,
+        nlist=nlist, inc=(_INC_MULT, _INC_BUCKETS, _INC_DELTA_BUCKET),
+        train_cap=_IVF_TRAIN_CAP,
+    )
     cent = _bucketed_table(
         spark, sf_dir, "ivf_corpus_cent", "cid", frame_of=build_cent,
         src_name="embeddings", schema="cid long, cv array<double>",
-        stamp_extra=f"nlist={nlist}",
+        stamp_extra=stamp,
     )
     assigned = _bucketed_table(
         spark, sf_dir, "ivf_corpus_assign", "bucket",
         frame_of=lambda: ivf_assign_with(cent, corpus), src_name="embeddings",
         schema="vec_id long, bucket long, v array<double>",
-        stamp_extra=f"nlist={nlist}",
+        stamp_extra=stamp,
     )
     return cent, assigned
 
 
-def _fold_order_sims(A, B):
-    """Pairwise dot matrix accumulated LEFT-TO-RIGHT over dimensions —
-    the same float64 op sequence per pair as functions.dot's aggregate
-    fold ((0 + x0*y0) + x1*y1) + ..., so every sim is BIT-IDENTICAL to
-    the Catalyst expression (a BLAS matmul's pairwise summation order
-    is not, and a tau-threshold compare on a knife-edge pair could
-    flip — the r9 round()-tie lesson applied to kernels). Vectorized
-    across pairs: ~64 fused numpy ops replace per-pair higher-order-
-    function interpretation, measured 8-10x end-to-end on the sf100
-    candidate verify (SCALE.md r12)."""
+#: Cap on a fold-order sim block's cell count (~128 MB of float64):
+#: the kernel materializes a dense (rows x |B|) accumulator, so callers
+#: iterate A in row blocks — a skewed 50k-row cluster would otherwise
+#: allocate a 20 GB matrix in one Python worker with no spill path
+#: (review r12), where the equi-join form it replaced spilled.
+_FOLD_BLOCK_CELLS = 1 << 24
+
+
+def _fold_order_blocks(A, B):
+    """Yield (row_start, sims) blocks of the pairwise dot matrix, each
+    accumulated LEFT-TO-RIGHT over dimensions — the same float64 op
+    sequence per pair as functions.dot's aggregate fold
+    ((0 + x0*y0) + x1*y1) + ..., so every sim is BIT-IDENTICAL to the
+    Catalyst expression (a BLAS matmul's pairwise summation order is
+    not, and a tau-threshold compare on a knife-edge pair could flip —
+    the r9 round()-tie lesson applied to kernels). Row-blocking changes
+    WHICH pairs share an allocation, never any pair's op sequence, so
+    bit-identity is preserved while peak memory stays bounded at
+    _FOLD_BLOCK_CELLS cells regardless of cluster/bucket skew.
+    Vectorized across pairs: ~dim fused numpy ops per block replace
+    per-pair higher-order-function interpretation, measured 8-10x
+    end-to-end on the sf100 candidate verify (SCALE.md r12)."""
     import numpy as np
 
-    acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
-    for d in range(A.shape[1]):
-        acc += A[:, d, None] * B[None, :, d]
-    return acc
+    n, k = A.shape[0], max(1, B.shape[0])
+    step = max(1, _FOLD_BLOCK_CELLS // k)
+    for s in range(0, n, step):
+        Ab = A[s : s + step]
+        acc = np.zeros((Ab.shape[0], B.shape[0]), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += Ab[:, d, None] * B[None, :, d]
+        yield s, acc
+
+
+def _fold_order_sims(A, B):
+    """Whole pairwise dot matrix via _fold_order_blocks — convenience
+    for BOUNDED sides (tests, small groups). Skew-exposed callers must
+    iterate the blocked form instead of materializing this."""
+    import numpy as np
+
+    return np.concatenate(
+        [acc for _, acc in _fold_order_blocks(A, B)], axis=0
+    )
 
 
 def semantic_delta_status(
@@ -1473,12 +1533,16 @@ def semantic_delta_status(
                 )
             A = np.asarray(list(dpdf["v"]), dtype=np.float64)
             B = np.asarray(list(opdf["v"]), dtype=np.float64)
-            hit = _fold_order_sims(A, B) >= tau
+            did = dpdf["vec_id"].to_numpy()
             oid = opdf["vec_id"].to_numpy()
-            # min matching partner per delta row (== F.min over the join)
+            # min matching partner per delta row (== F.min over the
+            # join); row-blocked so a skewed bucket never allocates an
+            # unbounded dense matrix
             out = []
-            for i in np.nonzero(hit.any(axis=1))[0]:
-                out.append((dpdf["vec_id"].iat[i], oid[hit[i]].min()))
+            for s, sims in _fold_order_blocks(A, B):
+                hit = sims >= tau
+                for i in np.nonzero(hit.any(axis=1))[0]:
+                    out.append((did[s + i], oid[hit[i]].min()))
             return pd.DataFrame(out, columns=["vec_id", "corpus_match"])
 
         def delta_matches(pdf):
@@ -1488,11 +1552,13 @@ def semantic_delta_status(
                 )
             A = np.asarray(list(pdf["v"]), dtype=np.float64)
             ids = pdf["vec_id"].to_numpy()
-            hit = _fold_order_sims(A, A) >= tau
-            hit &= ids[None, :] < ids[:, None]  # partner strictly lower
             out = []
-            for i in np.nonzero(hit.any(axis=1))[0]:
-                out.append((ids[i], ids[hit[i]].min()))
+            for s, sims in _fold_order_blocks(A, A):
+                hit = sims >= tau
+                # partner strictly lower
+                hit &= ids[None, :] < ids[s : s + hit.shape[0], None]
+                for i in np.nonzero(hit.any(axis=1))[0]:
+                    out.append((ids[s + i], ids[hit[i]].min()))
             return pd.DataFrame(out, columns=["vec_id", "delta_match"])
 
         vs_corpus = (
@@ -1537,33 +1603,9 @@ def ivf_assign_scored(cent: DataFrame, vectors: DataFrame) -> DataFrame:
     """(vec_id, bucket, score) assignment of ``vectors`` against an
     existing centroid frame, where score is the TOP-1 centroid cosine
     (the quantization quality of that assignment — unit-norm inputs
-    make dot == cosine). Same broadcast-argmax pass as
-    ``ivf_assign_with`` with the max kept; zero shuffle."""
-    import numpy as np
-    import pandas as pd
-
-    spark = vectors.sparkSession
-    cmat0 = np.asarray(
-        [r.cv for r in cent.orderBy("cid").collect()], dtype=np.float64
-    )
-    b_cmat = _bc(spark, cmat0)
-
-    def gen(batches):
-        cmat = np.asarray(b_cmat.value, dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.asarray(list(pdf["v"]), dtype=np.float64)
-            sims = m @ cmat.T
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].to_numpy(),
-                    "bucket": sims.argmax(1).astype(np.int64),
-                    "score": sims.max(1),
-                }
-            )
-
-    return vectors.mapInPandas(gen, "vec_id long, bucket long, score double")
+    make dot == cosine). The same kernel as ``ivf_assign_with``
+    (_ivf_assign_pass) with the max kept; zero shuffle."""
+    return _ivf_assign_pass(cent, vectors, with_score=True)
 
 
 def ivf_drift_frame(

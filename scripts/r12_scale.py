@@ -99,7 +99,11 @@ def compaction_study(spark, sf_dir: str, reps: int, appends: int = 5) -> None:
             spark.table(table)
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.expr("bit_xor(xxhash64(doc_id, band_id, band_key))").alias("x"),
+                # hash EVERY column (review r12: the mh0..15 signature
+                # columns are what the probe verifies against — a
+                # checksum over the key columns alone would print
+                # 'bit-identical' past a signature-corrupting bug)
+                F.expr("bit_xor(xxhash64(*))").alias("x"),
             )
             .head()
         )

@@ -147,7 +147,10 @@ def test_bucketed_reattach_never_invokes_builder(spark, tmp_path):
             F.col("n_nationkey").alias("k"), F.col("n_name").alias("s")
         )
 
-    kw = dict(frame_of=build, src_name="nation", schema="k long, s string")
+    # n_nationkey is int32 in the fixture — the r12 write-time schema
+    # validation caught the original 'k long' declaration here (exactly
+    # the drift class it exists for)
+    kw = dict(frame_of=build, src_name="nation", schema="k int, s string")
     n1 = _bucketed_table(spark, sf, "derived_nat", "k", **kw).count()
     assert calls["n"] == 1  # built once
     # simulate a fresh session: catalog entry gone, files + marker valid
