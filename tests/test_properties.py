@@ -2104,6 +2104,38 @@ def test_semantic_delta_status_kernels_bit_equal(spark):
     assert a == j and len(a) > 0
 
 
+def test_fold_order_kernel_block_size_independent(monkeypatch):
+    """Row-blocking the fold-order kernel changes WHICH pairs share an
+    allocation, never any pair's float64 op sequence: with the block
+    cap forced to a few cells (every row its own block) the sim matrix
+    must be BITWISE identical to the default 128 MB blocks — the skew
+    guard cannot move answers. Also pins the fold order itself against
+    a per-pair left-to-right reference (what functions.dot computes),
+    on values where BLAS pairwise summation WOULD differ."""
+    import numpy as np
+
+    import mr_py_spark.operators.similarity as sim
+
+    rng = np.random.RandomState(17)
+    # mixed magnitudes make float64 summation order observable
+    A = rng.randn(23, 16) * np.logspace(-8, 8, 16)
+    B = rng.randn(11, 16) * np.logspace(8, -8, 16)
+    base = sim._fold_order_sims(A, B)
+    monkeypatch.setattr(sim, "_FOLD_BLOCK_CELLS", 7)
+    tiny = sim._fold_order_sims(A, B)
+    assert tiny.tobytes() == base.tobytes()
+    # per-pair sequential fold reference (the Catalyst op sequence)
+    for i in (0, 5, 22):
+        for j in (0, 10):
+            acc = 0.0
+            for d in range(16):
+                acc = acc + A[i, d] * B[j, d]
+            assert base[i, j] == acc  # bitwise
+    # and BLAS order genuinely differs on this data (the test would be
+    # vacuous otherwise)
+    assert (A @ B.T != base).any()
+
+
 def test_ivf_drift_monitor_moves_on_planted_drift(spark):
     """The drift monitor (VERDICT r12 item 7) must (a) sit level when
     the delta is drawn from the indexed distribution and (b) drop when
