@@ -44,6 +44,14 @@ def ts_ntz(literal: str) -> Column:
 #:     hazard above is measure-zero there (a transcendental never lands
 #:     exactly on a decimal half-boundary).
 #:   - raw column values are emitted unrounded (identical bits by scan).
+#:   - VECTORIZED KERNELS (r12): a numpy/Arrow kernel that replaces a
+#:     compared Column expression must replay the expression's float64
+#:     OP SEQUENCE, not just its math — BLAS matmuls sum pairwise and
+#:     can flip a threshold compare on a knife-edge pair. The sanctioned
+#:     pattern is similarity._fold_order_blocks: accumulate left-to-
+#:     right over dimensions (the fold order of `dot` below), vectorize
+#:     across pairs, row-block for memory; pinned bitwise against a
+#:     scalar fold AND across block sizes in tests/test_properties.py.
 DEC = "decimal(10,4)"
 
 
