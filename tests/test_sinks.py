@@ -211,3 +211,35 @@ def test_compaction_preserves_content_and_layout(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compaction_preserves_array_columns(spark, tmp_path):
+    """Compaction of an IVF-inverted-file-shaped table (array<double>
+    payload — the type the lifecycle actually compacts): full-row
+    bit-identity incl. every vector element, and the re-attach DDL
+    round-trips the nested type."""
+    from mr_py_spark.operators.bucketed import compact_bucketed_table
+
+    rows = [(i, i % 5, [float(i), float(i) / 3.0, -1.5 * i]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, bucket long, v array<double>")
+    table = "t_compact_ivf_like"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            df.filter(F.col("vec_id") < 100), table, "bucket", 8,
+            path=str(tmp_path / table),
+        )
+        write_bucketed(
+            df.filter(F.col("vec_id") >= 100), table, "bucket", 8, mode="append"
+        )
+        before = sorted(
+            (r.vec_id, r.bucket, tuple(r.v)) for r in spark.table(table).collect()
+        )
+        stats = compact_bucketed_table(spark, table, "bucket", n_buckets=8)
+        after = sorted(
+            (r.vec_id, r.bucket, tuple(r.v)) for r in spark.table(table).collect()
+        )
+        assert after == before and stats["rows"] == 200
+        assert stats["files_after"] <= 8 <= stats["files_before"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
