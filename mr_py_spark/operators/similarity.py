@@ -1476,6 +1476,8 @@ def _fold_order_sims(A, B):
     iterate the blocked form instead of materializing this."""
     import numpy as np
 
+    if A.shape[0] == 0:
+        return np.zeros((0, B.shape[0]), dtype=np.float64)
     return np.concatenate(
         [acc for _, acc in _fold_order_blocks(A, B)], axis=0
     )
