@@ -113,16 +113,20 @@ def main() -> None:
     # Honors the same SPARK_GRAFT_SKIP set as the headline blocks (a
     # byte-identical sf>=100 fixture makes the uncapped recompute form
     # hang rather than raise, so the skip list is the escape hatch —
-    # the try/except below only covers failures that RAISE).
-    idx_pair = [
-        n for n in ("incremental_minhash_dedup_indexed", "incremental_minhash_dedup")
-        if n not in skip
-    ]
-    if idx_pair and not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH"):
+    # the try/except below only covers failures that RAISE). Two
+    # families: the MinHash text tier (warm standing band index vs
+    # per-run re-banding) and the semantic/embedding tier (warm
+    # standing IVF corpus index vs the per-run Lloyd chain).
+    labels = {
+        "incremental_minhash_dedup_indexed": "indexed",
+        "incremental_minhash_dedup": "recompute",
+        "incremental_semantic_dedup": "semantic_indexed",
+        "semantic_dedup": "semantic_recompute",
+    }
+    idx_set = [n for n in labels if n not in skip]
+    if idx_set and not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH"):
         try:
-            labels = {"incremental_minhash_dedup_indexed": "indexed",
-                      "incremental_minhash_dedup": "recompute"}
-            out["index"] = {labels[n]: timed(n, sf_dir) for n in idx_pair}
+            out["index"] = {labels[n]: timed(n, sf_dir) for n in idx_set}
             out["index"]["unit"] = "sec"
         except Exception as e:
             out["index"] = {"error": f"{type(e).__name__}: {e}"}
