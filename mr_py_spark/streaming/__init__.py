@@ -33,6 +33,16 @@ from mr_py_spark.session import harden
 _qid = itertools.count()
 
 
+def stream_table_tag(sf_dir: str) -> str:
+    """The per-sf_dir suffix of the streaming maintenance loops' table
+    names (mrps_stream_lsh_idx_<tag> / mrps_stream_ivf_{cent,idx}_<tag>)
+    — one owner for the naming scheme so external tooling (the r12
+    lifecycle demo) can locate the tables without re-deriving it."""
+    import re
+
+    return re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same ns->µs
     normalization as the batch catalog (sources/catalog.py)."""
@@ -1171,7 +1181,6 @@ def stream_semantic_index_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     semantics and byte-level replay idempotence are property-tested
     over a controlled two-file stream; the fixture drain is checked
     for one-status-per-vector and determinism."""
-    import re as _re
     import shutil
     import tempfile
 
@@ -1186,7 +1195,7 @@ def stream_semantic_index_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     out = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(out, exist_ok=True)
-    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    tag = stream_table_tag(sf_dir)
     cent_table = f"mrps_stream_ivf_cent_{tag}"
     idx_table = f"mrps_stream_ivf_idx_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {cent_table}")
@@ -1251,7 +1260,6 @@ def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     are property-tested over a controlled two-file stream, as is
     byte-level replay idempotence (tests/test_streaming_sink.py); the
     fixture drain is checked for one-status-per-doc and determinism."""
-    import re as _re
     import shutil
     import tempfile
 
@@ -1267,7 +1275,7 @@ def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = os.path.join(root, "ckpt")
     idx_path = os.path.join(root, "index")
     os.makedirs(out, exist_ok=True)
-    tag = _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/"))
+    tag = stream_table_tag(sf_dir)
     table = f"mrps_stream_lsh_idx_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 import sys
 import time
 
@@ -34,7 +33,7 @@ from mr_py_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/tmp/sparkgraft/sf10")
+    ap.add_argument("--sf-dir", default="/tmp/sparkgraft/sf10mut")
     args = ap.parse_args()
     sf = args.sf_dir
 
@@ -57,13 +56,10 @@ def main() -> None:
             .save(),
         )
 
-    from mr_py_spark.operators.bucketed import (
-        _data_files,
-        _table_location,
-        compact_bucketed_table,
-    )
+    from mr_py_spark.operators.bucketed import compact_bucketed_table
     from mr_py_spark.operators.dedup import _LSH_INDEX_KEYS, corpus_lsh_index
     from mr_py_spark.operators.similarity import ivf_corpus_index
+    from mr_py_spark.streaming import stream_table_tag
 
     # 1. build (or attach) the standing corpus indexes
     timed("1a. corpus LSH index build/attach", lambda: corpus_lsh_index(spark, sf))
@@ -74,18 +70,19 @@ def main() -> None:
     run("stream_lsh_index_maintenance")
     run("stream_semantic_index_maintenance")
 
-    # 3. compact the stream-maintained tables
-    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf.strip("/"))
+    # 3. compact the stream-maintained tables (name scheme owned by
+    #    mr_py_spark.streaming.stream_table_tag)
+    tag = stream_table_tag(sf)
     for table, keys in (
         (f"mrps_stream_lsh_idx_{tag}", _LSH_INDEX_KEYS),
         (f"mrps_stream_ivf_idx_{tag}", "bucket"),
     ):
-        fb = len(_data_files(_table_location(spark, table)))
         stats = timed(
             f"3. compact {table}", lambda: compact_bucketed_table(spark, table, keys)
         )
         print(
-            f"   files {fb} -> {stats['files_after']} ({stats['rows']} rows)",
+            f"   files {stats['files_before']} -> {stats['files_after']}"
+            f" ({stats['rows']} rows)",
             flush=True,
         )
 

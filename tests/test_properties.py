@@ -2131,9 +2131,13 @@ def test_fold_order_kernel_block_size_independent(monkeypatch):
             for d in range(16):
                 acc = acc + A[i, d] * B[j, d]
             assert base[i, j] == acc  # bitwise
-    # and BLAS order genuinely differs on this data (the test would be
-    # vacuous otherwise)
-    assert (A @ B.T != base).any()
+    # Context, not an assertion: on THIS numpy's BLAS the pairwise-
+    # summed matmul usually differs from the fold on this data (what
+    # makes the kernel's order-preservation non-vacuous); a BLAS-free
+    # numpy whose matmul happens to accumulate left-to-right agrees,
+    # which is fine — the property under test is the two asserts above.
+    if not (A @ B.T != base).any():
+        pytest.skip("this numpy's matmul is sequentially-accumulated")
 
 
 def test_ivf_drift_monitor_moves_on_planted_drift(spark):
