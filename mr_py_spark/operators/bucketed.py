@@ -246,6 +246,66 @@ def _data_files(path: str) -> list[str]:
     return sorted(out)
 
 
+def _commit_marker(path: str) -> str:
+    """Two-phase-commit marker for ``compact_bucketed_table``'s swap:
+    lives NEXT TO the data directory (not inside it — the directory is
+    what gets renamed), and exists exactly while a swap is in flight."""
+    return path.rstrip("/") + "__commit.json"
+
+
+def recover_compaction(spark: SparkSession, path: str) -> bool:
+    """Re-attach-on-next-use recovery for a ``compact_bucketed_table``
+    swap that crashed mid-window (VERDICT r12 item 6). Keyed on the
+    DATA PATH because the crash window is exactly where the catalog
+    entry does not exist. Returns False if no swap is in flight.
+
+    The marker is written only after the compacted side copy is
+    complete, so recovery ROLLS FORWARD whenever that generation
+    survives (it is the better layout) and rolls back to the original
+    directory otherwise; either generation has identical content, so
+    the recovered table is always full-fidelity. Idempotent: a crash
+    during recovery leaves the marker, and the next call finishes."""
+    import json
+
+    marker = _commit_marker(path)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        m = json.load(f)
+    path = m["path"]
+    tmp_path = f"{path.rstrip('/')}__compacting"
+    old_path = f"{path.rstrip('/')}__old"
+    if not os.path.isdir(path):
+        if os.path.isdir(tmp_path):
+            os.replace(tmp_path, path)  # roll forward: compacted copy
+        elif os.path.isdir(old_path):
+            os.replace(old_path, path)  # roll back: original survives
+        else:
+            raise RuntimeError(
+                f"recover_compaction: no generation of {path} survives — "
+                "not reachable from a single mid-swap crash"
+            )
+    elif os.path.isdir(tmp_path):
+        # crash before the renames: original still live at path, the
+        # complete compacted copy at the side path — roll forward
+        spark.sql(f"DROP TABLE IF EXISTS {m['table']}")
+        shutil.rmtree(old_path, ignore_errors=True)
+        os.replace(path, old_path)
+        os.replace(tmp_path, path)
+    for t in (m["tmp_tbl"], m["table"]):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    key_list = ", ".join(m["keys"])
+    spark.sql(
+        f"CREATE TABLE {m['table']} ({m['cols']}) USING parquet "
+        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+        f"INTO {m['n_buckets']} BUCKETS LOCATION '{path}'"
+    )
+    shutil.rmtree(old_path, ignore_errors=True)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
 def compact_bucketed_table(
     spark: SparkSession, table: str, key: str | tuple[str, ...],
     n_buckets: int = _BUCKETS,
@@ -266,20 +326,42 @@ def compact_bucketed_table(
     (asserted by the caller's file-count check; per-bucket sort order
     is restored by the writer's sortBy). The rewrite lands at a side
     path, then swaps in: drop catalog entry, rename directories,
-    re-attach with the same CLUSTERED BY DDL. The swap window is
-    process-local and the side write is complete before it starts, so
-    a crash mid-swap loses only the catalog entry, never data (both
-    directory generations still exist). Content is bit-identical and
-    the spec unchanged — a co-located join is exchange-free before and
-    after (property-tested in tests/test_sinks.py).
+    re-attach with the same CLUSTERED BY DDL. The swap is a marker-file
+    TWO-PHASE COMMIT (VERDICT r12: the bare DROP→rename→CREATE window
+    lost the catalog entry on a mid-swap crash): a `__commit.json`
+    marker carrying the replay DDL is written after the side copy is
+    complete and before the first destructive step, and removed only
+    after the re-attach — ``recover_compaction(spark, path)`` finishes
+    (or rolls back, if the compacted generation is gone) any swap the
+    marker says is in flight, so a crash at ANY point recovers to a
+    queryable table with full content (crash-injection-tested in
+    tests/test_sinks.py). Content is bit-identical and the spec
+    unchanged — a co-located join is exchange-free before and after
+    (property-tested in tests/test_sinks.py).
+
+    The table must be EXTERNAL (every in-repo standing index is —
+    write_bucketed attaches a LOCATION): DROP TABLE on a MANAGED
+    bucketed table would delete the data directory out from under the
+    rename (ADVICE r12), so that is refused up front.
 
     Returns {"files_before", "files_after", "rows"} so callers/SCALE
     ledgers can record the debt paid.
     """
+    import json
+
     from mr_py_spark.sources.sinks import write_bucketed
 
     keys = [key] if isinstance(key, str) else list(key)
-    path = _table_location(spark, table)
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    if "EXTERNAL" not in desc.get("Type", ""):
+        raise ValueError(
+            f"compact_bucketed_table: {table} is {desc.get('Type')!r}, not "
+            "EXTERNAL — DROP TABLE would delete its data directory mid-swap"
+        )
+    path = re.sub(r"^file:", "", desc["Location"])
     files_before = len(_data_files(path))
     # read the FILES, not the catalog table: a bucketed-scan source
     # makes the planner elide the aligning repartition below (measured:
@@ -297,6 +379,16 @@ def compact_bucketed_table(
     write_bucketed(
         df.repartition(n_buckets, *keys), tmp_tbl, keys, n_buckets, path=tmp_path
     )
+    # -- point of no return: side copy complete, marker durable before
+    # the first destructive step (phase 1 of the two-phase commit)
+    marker = _commit_marker(path)
+    with open(marker + ".tmp", "w") as f:
+        json.dump(
+            {"table": table, "tmp_tbl": tmp_tbl, "path": path,
+             "cols": cols, "keys": keys, "n_buckets": n_buckets},
+            f,
+        )
+    os.replace(marker + ".tmp", marker)
     spark.sql(f"DROP TABLE {tmp_tbl}")
     spark.sql(f"DROP TABLE {table}")
     os.replace(path, old_path)
@@ -307,6 +399,7 @@ def compact_bucketed_table(
         f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
         f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
     )
+    os.remove(marker)  # phase 2 committed: swap fully re-attached
     shutil.rmtree(old_path, ignore_errors=True)
     return {
         "files_before": files_before,
@@ -366,15 +459,20 @@ def lsh_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i in (1, 2):  # two maintenance snapshots -> 3 file sets/bucket
         lsh_index_append(docs.filter(part == i), table)
+    # counted BEFORE the swap, over the fragmented layout — the emitted
+    # rows-must-survive metric has to be a real before/after comparison
+    # (ADVICE r12: stats["rows"] is deliberately post-swap, so using it
+    # as rows_before made the comparison tautological)
+    rows_before = spark.table(table).count()
     stats = compact_bucketed_table(spark, table, _LSH_INDEX_KEYS)
-    rows_after = spark.table(table).count()
+    rows_after = int(stats["rows"])
     spark.sql(f"DROP TABLE {table}")
     shutil.rmtree(root, ignore_errors=True)  # per-process workspace
     return spark.createDataFrame(
         [
             ("files_before", int(stats["files_before"])),
             ("files_after", int(stats["files_after"])),
-            ("rows_before", int(stats["rows"])),
+            ("rows_before", int(rows_before)),
             ("rows_after", int(rows_after)),
         ],
         "metric string, value long",

@@ -1230,7 +1230,8 @@ def ivf_index(spark: SparkSession, sf_dir: str):
     from mr_py_spark.operators.bucketed import builder_stamp
 
     stamp = builder_stamp(
-        _ivf_centroids, ivf_assign_with, nlist=nlist, train_cap=_IVF_TRAIN_CAP
+        _ivf_centroids, ivf_assign_with, _ivf_assign_pass,
+        nlist=nlist, train_cap=_IVF_TRAIN_CAP,
     )
     cent = _bucketed_table(
         spark, sf_dir, "ivf_cent", "cid", frame_of=build_cent,
@@ -1418,7 +1419,7 @@ def ivf_corpus_index(spark: SparkSession, sf_dir: str):
     from mr_py_spark.operators.bucketed import builder_stamp
 
     stamp = builder_stamp(
-        _ivf_centroids, ivf_assign_with,
+        _ivf_centroids, ivf_assign_with, _ivf_assign_pass,
         nlist=nlist, inc=(_INC_MULT, _INC_BUCKETS, _INC_DELTA_BUCKET),
         train_cap=_IVF_TRAIN_CAP,
     )

@@ -243,3 +243,119 @@ def test_compaction_preserves_array_columns(spark, tmp_path):
         assert stats["files_after"] <= 8 <= stats["files_before"]
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def _crashable_compaction(spark, tmp_path, name):
+    """Shared setup for the crash-injection tests: a fragmented
+    external bucketed table plus its pre-crash content snapshot."""
+    df = spark.createDataFrame(
+        [(i, i % 5, f"s{i}") for i in range(200)],
+        "vec_id long, bucket long, s string",
+    )
+    table = f"t_crash_{name}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    path = str(tmp_path / table)
+    write_bucketed(df.filter(F.col("vec_id") < 100), table, "bucket", 8, path=path)
+    write_bucketed(df.filter(F.col("vec_id") >= 100), table, "bucket", 8, mode="append")
+    before = sorted(tuple(r) for r in spark.table(table).collect())
+    return table, path, before
+
+
+def _crash_then_recover(spark, monkeypatch, table, path, before, crash_pred):
+    """Inject a crash (os.replace raising on the predicate) inside
+    compact_bucketed_table's swap window, then prove
+    ``recover_compaction`` restores a queryable, full-content table
+    (VERDICT r12 item 6: the swap must be crash-atomic)."""
+    import pytest
+
+    from mr_py_spark.operators import bucketed as bk
+
+    real_replace = os.replace
+
+    def failing(src, dst):
+        if crash_pred(str(src), str(dst)):
+            raise RuntimeError("injected crash")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(bk.os, "replace", failing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bk.compact_bucketed_table(spark, table, "bucket", n_buckets=8)
+    monkeypatch.setattr(bk.os, "replace", real_replace)
+    assert os.path.exists(bk._commit_marker(path))  # swap is in flight
+    assert bk.recover_compaction(spark, path)
+    after = sorted(tuple(r) for r in spark.table(table).collect())
+    assert after == before  # full content, queryable again
+    assert not os.path.exists(bk._commit_marker(path))
+    assert bk.recover_compaction(spark, path) is False  # idempotent no-op
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compaction_crash_before_rename_recovers(spark, tmp_path, monkeypatch):
+    """Crash at the FIRST directory rename (catalog entries already
+    dropped, live dir untouched, compacted side copy complete):
+    recovery rolls forward to the compacted generation."""
+    table, path, before = _crashable_compaction(spark, tmp_path, "pre_rename")
+    _crash_then_recover(
+        spark, monkeypatch, table, path, before,
+        lambda src, dst: dst.endswith("__old"),
+    )
+
+
+def test_compaction_crash_between_renames_recovers(spark, tmp_path, monkeypatch):
+    """Crash BETWEEN the two renames (live dir already moved aside, the
+    compacted copy not yet in place — the worst window: the table's
+    path does not exist): recovery rolls the compacted copy in."""
+    table, path, before = _crashable_compaction(spark, tmp_path, "mid_rename")
+    _crash_then_recover(
+        spark, monkeypatch, table, path, before,
+        lambda src, dst: src.endswith("__compacting") and not dst.endswith(".json"),
+    )
+
+
+def test_compaction_crash_before_marker_removal_recovers(spark, tmp_path, monkeypatch):
+    """Crash AFTER the re-attach but before the marker is removed:
+    recovery re-runs the re-attach idempotently and clears the marker."""
+    import pytest
+
+    from mr_py_spark.operators import bucketed as bk
+
+    table, path, before = _crashable_compaction(spark, tmp_path, "post_attach")
+    marker = bk._commit_marker(path)
+    real_remove = os.remove
+
+    def failing(p):
+        if str(p) == marker:
+            raise RuntimeError("injected crash")
+        return real_remove(p)
+
+    monkeypatch.setattr(bk.os, "remove", failing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bk.compact_bucketed_table(spark, table, "bucket", n_buckets=8)
+    monkeypatch.setattr(bk.os, "remove", real_remove)
+    assert os.path.exists(marker)
+    assert bk.recover_compaction(spark, path)
+    after = sorted(tuple(r) for r in spark.table(table).collect())
+    assert after == before
+    assert not os.path.exists(marker)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compaction_refuses_managed_table(spark):
+    """A MANAGED bucketed table must be refused up front (ADVICE r12):
+    DROP TABLE would delete its data directory mid-swap and the
+    original generation would be unrecoverable."""
+    import pytest
+
+    from mr_py_spark.operators.bucketed import compact_bucketed_table
+
+    df = spark.createDataFrame([(i, i % 3) for i in range(20)], "k long, b long")
+    table = "t_compact_managed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(df, table, "b", 4)  # no path -> managed
+        with pytest.raises(ValueError, match="not\\s+EXTERNAL"):
+            compact_bucketed_table(spark, table, "b", n_buckets=4)
+        # the refusal must be non-destructive: table still queryable
+        assert spark.table(table).count() == 20
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
