@@ -1,0 +1,406 @@
+"""Hierarchical (two-level) coarse quantizer for the semantic tier
+(SURVEY.md §2 C2/C3 — the scale continuation of kmeans.semantic_dedup
+and similarity.incremental_semantic_dedup; VERDICT r12 item 1).
+
+The flat quantizers cap their centroid count at 4096 so the centroid
+frame stays a bounded broadcast (similarity._ivf_nlist,
+kmeans._kmeans_k). Past n ≈ 262k vectors that cap makes average bucket
+occupancy — and therefore cluster-mate PAIR WORK in both semantic-dedup
+forms — grow linearly with the corpus (SCALE.md r12 measured occupancy
+488 at 2M vectors, where the SemDeDup economics want ~64). The fix is
+depth, not a bigger broadcast:
+
+- **Root quantizer**: ≤ 4096 spherical centroids sized for ~_ROOT_ROWS
+  (4096) vectors per root bucket — the SAME bounded-broadcast training
+  and zero-shuffle argmax assignment the flat IVF tier uses
+  (similarity._ivf_centroids / ivf_assign_with).
+- **Leaf quantizers**: one small k-means PER ROOT BUCKET, trained
+  DISTRIBUTED — a single applyInPandas pass grouped by root bucket, so
+  the work fans out across the cluster and the driver never collects a
+  centroid (the leaf table can exceed any broadcast budget: n/64 rows).
+  k_leaf is sized PER GROUP from its own occupancy (ceil(occ/64)), so
+  a skewed hot root automatically gets more leaves — the flat form has
+  no such degree of freedom.
+- **Cell = (bucket, leaf)**: effective occupancy stays ~_LEAF_ROWS (64)
+  for any corpus up to ~4096 · 4096 · 64 ≈ 1e9 vectors (past that, add
+  a third level — same construction, the leaf trainer is already
+  group-local). Candidate generation joins on the composite cell key
+  against the (bucket, leaf)-bucketed standing inverted file, so the
+  corpus side stays exchange-free exactly like the flat standing index.
+
+Assignment never broadcasts the leaf table: vectors take the root
+argmax (broadcast of ≤ 4096 roots), then meet ONLY their own root's
+leaves in a cogroup keyed on the root bucket — the leaf side arrives
+pre-bucketed from its standing table, so only the (small) delta
+exchanges. Leaf scoring uses the house fold-order kernel
+(similarity._fold_order_blocks): bit-stable and row-blocked, so a hot
+root never allocates an unbounded score matrix.
+
+The flat forms stay untouched (their driver statuses are pinned);
+``incremental_semantic_dedup_hier`` is the registered production form
+for corpora past the flat cap, property-tested with planted statuses,
+a single-leaf-degeneration bit-equality pin against the flat kernel,
+and an occupancy-flatness test; the sf100 interleaved A/B vs the flat
+index lives in SCALE.md r13.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mr_py_spark.registry import register
+from mr_py_spark.sources import tbl
+from mr_py_spark.util import table_rows as _table_rows
+
+#: Target occupancies per level. Roots hold ~4096 vectors (the ANN
+#: bucket grain — bounds the per-group leaf-training input at
+#: n/nroot ≤ ~262k rows even at the root cap), leaves ~64 (the
+#: SemDeDup pair-work grain, kmeans._kmeans_k's target).
+_ROOT_ROWS = 4096
+_LEAF_ROWS = 64
+_MAX_K = 4096  # per-level centroid cap (broadcast / per-group bound)
+
+
+def _hier_nroot(n: int, root_rows: int = _ROOT_ROWS) -> int:
+    """Root count sized for ~root_rows vectors per root, clamped like
+    _ivf_nlist so the root broadcast stays bounded."""
+    return max(8, min(_MAX_K, round(n / root_rows) or 1))
+
+
+def _np_spherical_kmeans(X: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """Deterministic seeded spherical k-means on an in-memory (n, dim)
+    float64 block — the LEAF trainer, run once per root group inside
+    applyInPandas (so "distributed" means across groups; each group is
+    bounded by root occupancy). Farthest-point init at small k for
+    spread, seeded choice above; 8 Lloyd rounds; empty clusters are
+    dropped and the result L2-normalized so dot == cosine during
+    assignment. Bucketing quality is what a quantizer needs — the
+    recall/status properties gate it, not cluster optimality."""
+    n = len(X)
+    k = max(1, min(k, n))
+    rng = np.random.RandomState(seed)
+    if k == 1:
+        cent = X.mean(0, keepdims=True).copy()
+    elif k <= 64:
+        idx = [int(rng.randint(n))]
+        d2 = ((X - X[idx[0]]) ** 2).sum(1)
+        for _ in range(k - 1):
+            nxt = int(d2.argmax())
+            idx.append(nxt)
+            d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(1))
+        cent = X[idx].copy()
+    else:
+        cent = X[rng.choice(n, k, replace=False)].copy()
+    for _ in range(8):
+        # argmin ||x-c||^2 == argmax x.c - |c|^2/2
+        assign = (X @ cent.T - 0.5 * (cent**2).sum(1)).argmax(1)
+        for c in np.unique(assign):
+            cent[c] = X[assign == c].mean(0)
+    assign = (X @ cent.T - 0.5 * (cent**2).sum(1)).argmax(1)
+    cent = cent[np.unique(assign)]  # drop empties, renumber dense
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0.0] = 1.0
+    return cent / norms[:, None]
+
+
+def hier_leaf_centroids(
+    root_assigned: DataFrame, leaf_rows: int = _LEAF_ROWS
+) -> DataFrame:
+    """(bucket, leaf, lv): per-root-bucket leaf centroids, trained in
+    ONE distributed pass grouped by root bucket — no driver collect at
+    any k (the flat quantizers' 4096-cap exists because their centroids
+    ride a broadcast; leaves never do). Deterministic: each group is
+    sorted by vec_id before training and the rng is seeded on the
+    bucket id, so rebuilds are bit-identical regardless of partition
+    layout. k_leaf = ceil(occupancy / leaf_rows), capped at _MAX_K —
+    sized per group, so hot roots get proportionally more leaves."""
+
+    def train(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        X = np.asarray(list(pdf["v"]), dtype=np.float64)
+        b = int(pdf["bucket"].iloc[0])
+        k = max(1, min(_MAX_K, -(-len(X) // leaf_rows)))
+        cent = _np_spherical_kmeans(X, k, seed=b)
+        return pd.DataFrame(
+            {
+                "bucket": np.full(len(cent), b, dtype=np.int64),
+                "leaf": np.arange(len(cent), dtype=np.int64),
+                "lv": [[float(x) for x in c] for c in cent],
+            }
+        )
+
+    return root_assigned.groupBy("bucket").applyInPandas(
+        train, "bucket long, leaf long, lv array<double>"
+    )
+
+
+def hier_assign(root_assigned: DataFrame, leaf_cent: DataFrame) -> DataFrame:
+    """(vec_id, bucket, leaf, v): leaf assignment WITHIN each root
+    bucket — a cogroup on the root bucket id, so a vector only ever
+    meets its own root's ≤ _MAX_K leaves and the leaf table as a whole
+    is never broadcast or crossed. Scoring is the fold-order kernel
+    (bit-stable, row-blocked against hot roots). When ``leaf_cent``
+    comes from its (bucket)-bucketed standing table the leaf side is
+    exchange-free; only ``root_assigned`` shuffles."""
+    from mr_py_spark.operators.similarity import _fold_order_blocks
+
+    def assign(key, vpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(vpdf):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "leaf": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="object"),
+                }
+            )
+        if not len(cpdf):
+            # no leaves for this root (can't happen from a standing
+            # build, where every occupied root trains ≥ 1 leaf) —
+            # degrade to leaf 0 rather than dropping vectors
+            return pd.DataFrame(
+                {
+                    "vec_id": vpdf["vec_id"].to_numpy(),
+                    "bucket": vpdf["bucket"].to_numpy(),
+                    "leaf": np.zeros(len(vpdf), dtype=np.int64),
+                    "v": vpdf["v"],
+                }
+            )
+        cpdf = cpdf.sort_values("leaf")
+        A = np.asarray(list(vpdf["v"]), dtype=np.float64)
+        C = np.asarray(list(cpdf["lv"]), dtype=np.float64)
+        leaf_ids = cpdf["leaf"].to_numpy()
+        out = np.empty(len(A), dtype=np.int64)
+        for s, sims in _fold_order_blocks(A, C):
+            out[s : s + sims.shape[0]] = leaf_ids[sims.argmax(1)]
+        return pd.DataFrame(
+            {
+                "vec_id": vpdf["vec_id"].to_numpy(),
+                "bucket": vpdf["bucket"].to_numpy(),
+                "leaf": out,
+                "v": vpdf["v"],
+            }
+        )
+
+    return (
+        root_assigned.groupBy("bucket")
+        .cogroup(leaf_cent.groupBy("bucket"))
+        .applyInPandas(assign, "vec_id long, bucket long, leaf long, v array<double>")
+    )
+
+
+def hier_corpus_index(spark: SparkSession, sf_dir: str):
+    """The STANDING two-level index of the fixture's corpus split (the
+    same deterministic snapshot split as ivf_corpus_index, so the flat
+    and hierarchical tiers describe the same corpus): root centroids,
+    per-root leaf centroids (bucketed by root bucket), and the corpus
+    inverted file bucketed by the composite CELL key (bucket, leaf) —
+    candidate equi-joins on the cell stay exchange-free on the corpus
+    side. All three ride the content-stamped cache with a builder
+    stamp over every function and knob the persisted bytes depend on
+    (ADVICE r12: including the shared assignment kernel). Returns
+    (root_cent, leaf_cent, assigned)."""
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+    from mr_py_spark.operators.dedup import (
+        _INC_BUCKETS,
+        _INC_DELTA_BUCKET,
+        _INC_MULT,
+    )
+    from mr_py_spark.operators.similarity import (
+        _IVF_TRAIN_CAP,
+        _emb_double,
+        _ivf_assign_pass,
+        _ivf_centroids,
+        ivf_assign_with,
+    )
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    corpus = e.filter(
+        (F.col("vec_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+        != _INC_DELTA_BUCKET
+    )
+    n = _table_rows(e, sf_dir, "embeddings")
+    nroot = min(_hier_nroot(n), max(1, n))
+    stamp = builder_stamp(
+        _ivf_centroids, ivf_assign_with, _ivf_assign_pass,
+        _np_spherical_kmeans, hier_leaf_centroids, hier_assign,
+        nroot=nroot, root_rows=_ROOT_ROWS, leaf_rows=_LEAF_ROWS,
+        inc=(_INC_MULT, _INC_BUCKETS, _INC_DELTA_BUCKET),
+        train_cap=_IVF_TRAIN_CAP,
+    )
+
+    def build_root() -> DataFrame:
+        cents = _ivf_centroids(spark, corpus, nroot)
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid long, cv array<double>"
+        )
+
+    root_cent = _bucketed_table(
+        spark, sf_dir, "hier_root_cent", "cid", frame_of=build_root,
+        src_name="embeddings", schema="cid long, cv array<double>",
+        stamp_extra=stamp,
+    )
+    leaf_cent = _bucketed_table(
+        spark, sf_dir, "hier_leaf_cent", "bucket",
+        frame_of=lambda: hier_leaf_centroids(ivf_assign_with(root_cent, corpus)),
+        src_name="embeddings", schema="bucket long, leaf long, lv array<double>",
+        stamp_extra=stamp,
+    )
+    assigned = _bucketed_table(
+        spark, sf_dir, "hier_corpus_assign", ("bucket", "leaf"),
+        frame_of=lambda: hier_assign(
+            ivf_assign_with(root_cent, corpus), leaf_cent
+        ),
+        src_name="embeddings",
+        schema="vec_id long, bucket long, leaf long, v array<double>",
+        stamp_extra=stamp,
+    )
+    return root_cent, leaf_cent, assigned
+
+
+def semantic_delta_status_hier(
+    root_cent: DataFrame,
+    leaf_cent: DataFrame,
+    corpus_assigned: DataFrame,
+    delta: DataFrame,
+    tau: float | None = None,
+) -> DataFrame:
+    """``similarity.semantic_delta_status`` with the candidate
+    restriction tightened from the flat coarse bucket to the two-level
+    CELL (bucket, leaf): one row per delta vector with status
+    'dup_of_corpus' (min matching corpus cell-mate at cosine ≥ tau) /
+    'dup_within_delta' (min matching LOWER-id delta cell-mate) / 'new'.
+    The delta is assigned against EXISTING centroids only — root by
+    broadcast argmax (zero shuffle), leaf by the root-bucket cogroup —
+    never a retrain; candidate verify is the fold-order kernel per
+    cell, with the corpus side arriving pre-bucketed on (bucket, leaf)
+    from the standing table (exchange-free). Per-delta-vector pair work
+    is the CELL occupancy (~64 at any corpus size), where the flat
+    form's is the bucket occupancy (linear in n past the 4096-centroid
+    cap) — the whole point of the hierarchy."""
+    from mr_py_spark.operators.kmeans import _TAU
+    from mr_py_spark.operators.similarity import (
+        _fold_order_blocks,
+        ivf_assign_with,
+    )
+
+    tau = float(_TAU if tau is None else tau)
+    d_asg = hier_assign(ivf_assign_with(root_cent, delta), leaf_cent)
+
+    def corpus_matches(key, dpdf, opdf):
+        if not len(dpdf) or not len(opdf):
+            return pd.DataFrame({"vec_id": [], "corpus_match": []}).astype(
+                {"vec_id": "int64", "corpus_match": "int64"}
+            )
+        A = np.asarray(list(dpdf["v"]), dtype=np.float64)
+        B = np.asarray(list(opdf["v"]), dtype=np.float64)
+        did = dpdf["vec_id"].to_numpy()
+        oid = opdf["vec_id"].to_numpy()
+        out = []
+        for s, sims in _fold_order_blocks(A, B):
+            hit = sims >= tau
+            for i in np.nonzero(hit.any(axis=1))[0]:
+                out.append((did[s + i], oid[hit[i]].min()))
+        return pd.DataFrame(out, columns=["vec_id", "corpus_match"])
+
+    def delta_matches(key, pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "delta_match": []}).astype(
+                {"vec_id": "int64", "delta_match": "int64"}
+            )
+        A = np.asarray(list(pdf["v"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        out = []
+        for s, sims in _fold_order_blocks(A, A):
+            hit = sims >= tau
+            hit &= ids[None, :] < ids[s : s + hit.shape[0], None]
+            for i in np.nonzero(hit.any(axis=1))[0]:
+                out.append((ids[s + i], ids[hit[i]].min()))
+        return pd.DataFrame(out, columns=["vec_id", "delta_match"])
+
+    cell = ["bucket", "leaf"]
+    vs_corpus = (
+        d_asg.groupBy(*cell)
+        .cogroup(corpus_assigned.groupBy(*cell))
+        .applyInPandas(corpus_matches, "vec_id long, corpus_match long")
+    )
+    vs_delta = d_asg.groupBy(*cell).applyInPandas(
+        delta_matches, "vec_id long, delta_match long"
+    )
+    return (
+        delta.select("vec_id")
+        .join(vs_corpus, "vec_id", "left")
+        .join(vs_delta, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("corpus_match").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("delta_match").isNotNull(), F.lit("dup_within_delta"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            F.coalesce("corpus_match", "delta_match").alias("match_id"),
+        )
+    )
+
+
+@register(
+    "incremental_semantic_dedup_hier", tags=("C2", "C3", "B22"), oracle=None
+)
+def incremental_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``semantic_delta_status_hier`` bound to the fixture's
+    deterministic snapshot split — the O(delta) semantic-dedup form
+    whose per-vector pair work stays ~_LEAF_ROWS at ANY corpus size
+    (the flat ``incremental_semantic_dedup``'s grows linearly past the
+    4096-centroid broadcast cap, SCALE.md r12 — this operator is that
+    ledger entry's named fix). Rows-only (seeded quantizers are
+    engine-specific); planted cross-batch / within-batch / novel
+    statuses, the single-leaf degeneration pin against the flat
+    kernel, occupancy flatness, and determinism are property-tested
+    (tests/test_properties.py); the standing-index scan and
+    cartesian-freedom are plan-asserted (tests/test_plans.py)."""
+    from mr_py_spark.operators.dedup import (
+        _INC_BUCKETS,
+        _INC_DELTA_BUCKET,
+        _INC_MULT,
+    )
+    from mr_py_spark.operators.similarity import _emb_double
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    delta = e.filter(
+        (F.col("vec_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+        == _INC_DELTA_BUCKET
+    )
+    root_cent, leaf_cent, assigned = hier_corpus_index(spark, sf_dir)
+    return semantic_delta_status_hier(root_cent, leaf_cent, assigned, delta)
+
+
+@register("hier_index_occupancy", tags=("C3", "B7"), oracle=None)
+def hier_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Occupancy audit of the two standing semantic indexes — the
+    driver-visible witness of the hierarchy's claim: the flat index's
+    average bucket occupancy grows linearly with the corpus past the
+    centroid cap, the hierarchical index's CELL occupancy stays at the
+    ~_LEAF_ROWS design point. One row per (index, grain): vector count,
+    cell count, mean and max occupancy. Rows-only (layout metrics of
+    engine-internal indexes); the flatness-under-growth property is
+    tested on synthetic corpora in tests/test_properties.py."""
+    from mr_py_spark.operators.similarity import ivf_corpus_index
+
+    _, _, h_assigned = hier_corpus_index(spark, sf_dir)
+    _, f_assigned = ivf_corpus_index(spark, sf_dir)
+
+    def occ(assigned: DataFrame, keys: list[str], name: str) -> DataFrame:
+        per = assigned.groupBy(*keys).agg(F.count(F.lit(1)).alias("occ"))
+        return per.agg(
+            F.lit(name).alias("index"),
+            F.sum("occ").cast("long").alias("n_vecs"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.avg("occ").alias("mean_occ"),
+            F.max("occ").cast("long").alias("max_occ"),
+        )
+
+    return occ(f_assigned, ["bucket"], "flat_bucket").unionByName(
+        occ(h_assigned, ["bucket", "leaf"], "hier_cell")
+    )

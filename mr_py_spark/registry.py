@@ -503,6 +503,7 @@ def load_all() -> dict[str, Query]:
         extras,
         filtering,
         graph,
+        hier,
         joins,
         kmeans,
         multimodal,

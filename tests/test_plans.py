@@ -767,3 +767,19 @@ def test_lsh_index_side_exchange_free_under_shuffle_join(spark):
                     f"index side re-exchanged:\n{lines[j]}\n...\n{lines[si]}"
                 )
     assert checked == len(scan_idxs), p[:3000]
+
+
+def test_incremental_semantic_dedup_hier_reads_standing_index(spark):
+    """The hierarchical O(delta) semantic form (VERDICT r12 item 1):
+    the corpus side is the persisted (bucket, leaf)-bucketed inverted
+    file — no retrain, no corpus re-assignment at query time; delta
+    root assignment is the broadcast-argmax Arrow pass and every
+    candidate stage is a cogroup on cell keys, never a product. The
+    leaf-centroid table is joined through its own standing table, not
+    broadcast (it outgrows any broadcast budget at scale)."""
+    p = plan_of(spark, "incremental_semantic_dedup_hier")
+    assert "mrps_bkt_hier_corpus_assign" in p
+    assert "mrps_bkt_hier_leaf_cent" in p
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -2233,3 +2233,196 @@ def test_gen_sf_mutate_structure():
     c = set(gen.mutate_texts([text], [5], copy=9)[0].split(" "))
     orig = set(text.split(" "))
     assert not ((a - orig) & (b - orig)) and not ((a - orig) & (c - orig))
+
+
+def _hier_toy_index(spark, X, leaf_rows=16, nroot=4):
+    """Small two-level index over an in-memory corpus matrix: returns
+    (root_cent, leaf_cent, corpus_assigned) with knobs scaled down so
+    the hierarchy is REAL (multiple leaves per root) at toy sizes."""
+    from mr_py_spark.operators.hier import hier_assign, hier_leaf_centroids
+    from mr_py_spark.operators.similarity import _ivf_centroids, ivf_assign_with
+
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, v array<double>",
+    )
+    root_cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, corpus, nroot))],
+        "cid long, cv array<double>",
+    )
+    root_assigned = ivf_assign_with(root_cent, corpus)
+    leaf_cent = hier_leaf_centroids(root_assigned, leaf_rows=leaf_rows)
+    assigned = hier_assign(root_assigned, leaf_cent)
+    return root_cent, leaf_cent, assigned
+
+
+def test_hier_delta_status_planted(spark):
+    """Hierarchical semantic delta triage (VERDICT r12 item 1): the
+    planted-status contract of the flat form holds through the
+    two-level quantizer — exact corpus copy -> dup_of_corpus with a
+    genuinely-tau-close match, orthogonal plant -> new, its higher-id
+    twin -> dup_within_delta — and the hierarchy is real (leaf_rows
+    forces multiple leaves per root on this corpus)."""
+    import numpy as np
+
+    from mr_py_spark.operators.kmeans import _TAU
+    from mr_py_spark.operators.hier import semantic_delta_status_hier
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(200, 6)
+    X = np.hstack([X, np.zeros((200, 2))])  # dims 6,7 free for plants
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    root_cent, leaf_cent, assigned = _hier_toy_index(spark, X, leaf_rows=16)
+    n_leaves = leaf_cent.count()
+    assert n_leaves > 4  # multiple leaves per root: a real hierarchy
+    e7 = [0.0] * 6 + [0.0, 1.0]
+    twin = np.array([0.0] * 6 + [0.05, 1.0])
+    twin = [float(x) for x in twin / np.linalg.norm(twin)]
+    delta = spark.createDataFrame(
+        [(1000, [float(x) for x in X[5]]), (1001, e7), (1002, twin)],
+        "vec_id long, v array<double>",
+    )
+    out = {
+        r.vec_id: (r.status, r.match_id)
+        for r in semantic_delta_status_hier(
+            root_cent, leaf_cent, assigned, delta
+        ).collect()
+    }
+    assert set(out) == {1000, 1001, 1002}
+    s, m = out[1000]
+    assert s == "dup_of_corpus" and m is not None
+    assert float(X[m] @ X[5]) >= _TAU
+    assert out[1001] == ("new", None)
+    assert out[1002] == ("dup_within_delta", 1001)
+    out2 = {
+        r.vec_id: (r.status, r.match_id)
+        for r in semantic_delta_status_hier(
+            root_cent, leaf_cent, assigned, delta
+        ).collect()
+    }
+    assert out2 == out  # deterministic
+
+
+def test_hier_single_leaf_degenerates_to_flat(spark):
+    """With leaf_rows >= every root's occupancy each root trains
+    exactly ONE leaf, so the cell partition equals the flat bucket
+    partition — and the hierarchical triage must be BIT-EQUAL to the
+    flat ``semantic_delta_status`` on the same root centroids. Pins the
+    hierarchy as a pure refinement of the flat form."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import semantic_delta_status_hier
+    from mr_py_spark.operators.similarity import (
+        ivf_assign_with,
+        semantic_delta_status,
+    )
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(150, 8)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    root_cent, leaf_cent, assigned = _hier_toy_index(
+        spark, X, leaf_rows=10**9, nroot=6
+    )
+    assert leaf_cent.count() == leaf_cent.select("bucket").distinct().count()
+    D = rng.randn(20, 8)
+    D /= np.linalg.norm(D, axis=1, keepdims=True)
+    # include one exact corpus copy so dup_of_corpus is exercised
+    D[0] = X[42]
+    delta = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in D[i]]) for i in range(len(D))],
+        "vec_id long, v array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, v array<double>",
+    )
+    flat = sorted(
+        tuple(r)
+        for r in semantic_delta_status(
+            root_cent, ivf_assign_with(root_cent, corpus), delta
+        ).collect()
+    )
+    hier = sorted(
+        tuple(r)
+        for r in semantic_delta_status_hier(
+            root_cent, leaf_cent, assigned, delta
+        ).collect()
+    )
+    assert hier == flat and any(t[1] == "dup_of_corpus" for t in hier)
+
+
+def test_hier_leaf_training_deterministic(spark):
+    """Leaf training must be bit-identical across runs AND input
+    partition layouts: groups are sorted by vec_id before training and
+    the rng is seeded on the bucket id, so the persisted standing index
+    can never depend on scan parallelism."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import hier_leaf_centroids
+    from mr_py_spark.operators.similarity import _ivf_centroids, ivf_assign_with
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(400, 8)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, v array<double>",
+    )
+    root_cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, corpus, 4))],
+        "cid long, cv array<double>",
+    )
+    outs = []
+    for parts in (3, 7):
+        asg = ivf_assign_with(root_cent, corpus.repartition(parts))
+        outs.append(
+            sorted(
+                (r.bucket, r.leaf, tuple(r.lv))
+                for r in hier_leaf_centroids(asg, leaf_rows=16).collect()
+            )
+        )
+    assert outs[0] == outs[1] and len(outs[0]) > 4
+
+
+def test_hier_occupancy_flat_as_n_grows(spark):
+    """THE scale claim (VERDICT r12 item 1): when the corpus grows past
+    a capped flat quantizer's reach, flat bucket occupancy grows
+    linearly while the hierarchical CELL occupancy stays at the
+    leaf_rows design point — because k_leaf is sized per root from its
+    own occupancy, depth absorbs the growth that a bounded broadcast
+    cannot."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import hier_assign, hier_leaf_centroids
+    from mr_py_spark.operators.similarity import _ivf_centroids, ivf_assign_with
+
+    leaf_rows, cap = 16, 6  # scaled-down stand-ins for 64 / 4096
+    mean_cell_occ = {}
+    for n in (1500, 6000):
+        rng = np.random.RandomState(n)
+        X = rng.randn(n, 8)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        corpus = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(n)],
+            "vec_id long, v array<double>",
+        )
+        root_cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(_ivf_centroids(spark, corpus, cap))],
+            "cid long, cv array<double>",
+        )
+        asg = ivf_assign_with(root_cent, corpus)
+        assigned = hier_assign(asg, hier_leaf_centroids(asg, leaf_rows=leaf_rows))
+        occ = (
+            assigned.groupBy("bucket", "leaf")
+            .count()
+            .agg(F.avg("count"))
+            .head()[0]
+        )
+        mean_cell_occ[n] = float(occ)
+        # flat occupancy at the same cap grows with n by construction
+        assert n / cap >= 2 * leaf_rows  # the regime where flat degrades
+    # hier cell occupancy sits near the design point at BOTH sizes...
+    for n, occ in mean_cell_occ.items():
+        assert leaf_rows / 4 <= occ <= leaf_rows * 4, (n, occ)
+    # ...and does not scale with the 4x corpus growth (flat would 4x)
+    assert mean_cell_occ[6000] < 2 * mean_cell_occ[1500]
