@@ -144,6 +144,21 @@ def main() -> None:
                 t1[name] = timed(name, sf1_dir)
             out["sf1"] = {"queries": t1, "value": round(sum(t1.values()), 4),
                           "unit": "sec"}
+            # index sub-block at sf1 (VERDICT r12 item 2): at sf0.1 the
+            # semantic indexed/recompute ratio INVERTS because every
+            # number sits on Spark's per-action floor, so the sf0.1
+            # index block cannot catch regressions in the tier it
+            # exists to track — the sf1 rerun is the comparable signal
+            # (lineitem-scale fixture, 20k vectors: the Lloyd chain is
+            # genuinely more work than the warm indexed triage here).
+            if idx_set and not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH"):
+                try:
+                    out["sf1"]["index"] = {
+                        labels[n]: timed(n, sf1_dir) for n in idx_set
+                    }
+                    out["sf1"]["index"]["unit"] = "sec"
+                except Exception as e:
+                    out["sf1"]["index"] = {"error": f"{type(e).__name__}: {e}"}
         except Exception as e:  # degrade, never fail the sf0.1 numbers
             out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
 

@@ -306,6 +306,83 @@ def recover_compaction(spark: SparkSession, path: str) -> bool:
     return True
 
 
+def _swap_in_side_copy(
+    spark: SparkSession, table: str, tmp_tbl: str, path: str,
+    cols: str, keys: list[str], n_buckets: int,
+) -> None:
+    """Publish a COMPLETE side copy at ``<path>__compacting`` as the
+    new generation of ``table`` at ``path`` — the marker-file two-phase
+    commit shared by compaction (same bytes, fewer files) and retrain-
+    style rebuilds (new contents, same spec). The marker carrying the
+    replay DDL is durable before the first destructive step and removed
+    only after the re-attach; ``recover_compaction(spark, path)``
+    finishes or rolls back a swap that crashed at any point
+    (crash-injection-tested in tests/test_sinks.py)."""
+    import json
+
+    tmp_path = f"{path.rstrip('/')}__compacting"
+    old_path = f"{path.rstrip('/')}__old"
+    marker = _commit_marker(path)
+    with open(marker + ".tmp", "w") as f:
+        json.dump(
+            {"table": table, "tmp_tbl": tmp_tbl, "path": path,
+             "cols": cols, "keys": keys, "n_buckets": n_buckets},
+            f,
+        )
+    os.replace(marker + ".tmp", marker)
+    spark.sql(f"DROP TABLE {tmp_tbl}")
+    spark.sql(f"DROP TABLE {table}")
+    os.replace(path, old_path)
+    os.replace(tmp_path, path)
+    key_list = ", ".join(keys)
+    spark.sql(
+        f"CREATE TABLE {table} ({cols}) USING parquet "
+        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+    os.remove(marker)  # phase 2 committed: swap fully re-attached
+    shutil.rmtree(old_path, ignore_errors=True)
+
+
+def replace_bucketed_table(
+    spark: SparkSession, table: str, frame: DataFrame,
+    key: str | tuple[str, ...], n_buckets: int = _BUCKETS,
+) -> None:
+    """REBUILD a standing EXTERNAL bucketed table's contents in place
+    — the maintenance primitive behind ``ivf_retrain`` (a drift-
+    triggered quantizer rebuild rewrites centroids AND the inverted
+    file under the same bucket spec). Side-write the new frame, then
+    the same crash-atomic two-phase swap compaction uses: a reader (or
+    a crashed rebuild, via ``recover_compaction``) always sees a
+    complete generation, never a half-written table. Like compaction,
+    the frame is repartitioned on the bucket keys so the writer emits
+    one file per occupied bucket."""
+    keys = [key] if isinstance(key, str) else list(key)
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    if "EXTERNAL" not in desc.get("Type", ""):
+        raise ValueError(
+            f"replace_bucketed_table: {table} is {desc.get('Type')!r}, not "
+            "EXTERNAL — DROP TABLE would delete its data directory mid-swap"
+        )
+    path = re.sub(r"^file:", "", desc["Location"])
+    cols = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in frame.schema
+    )
+    tmp_tbl = f"{table}__compacting"
+    tmp_path = f"{path.rstrip('/')}__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")
+    shutil.rmtree(tmp_path, ignore_errors=True)
+    shutil.rmtree(f"{path.rstrip('/')}__old", ignore_errors=True)
+    write_bucketed(
+        frame.repartition(n_buckets, *keys), tmp_tbl, keys, n_buckets,
+        path=tmp_path,
+    )
+    _swap_in_side_copy(spark, table, tmp_tbl, path, cols, keys, n_buckets)
+
+
 def compact_bucketed_table(
     spark: SparkSession, table: str, key: str | tuple[str, ...],
     n_buckets: int = _BUCKETS,
@@ -347,8 +424,6 @@ def compact_bucketed_table(
     Returns {"files_before", "files_after", "rows"} so callers/SCALE
     ledgers can record the debt paid.
     """
-    import json
-
     from mr_py_spark.sources.sinks import write_bucketed
 
     keys = [key] if isinstance(key, str) else list(key)
@@ -379,28 +454,7 @@ def compact_bucketed_table(
     write_bucketed(
         df.repartition(n_buckets, *keys), tmp_tbl, keys, n_buckets, path=tmp_path
     )
-    # -- point of no return: side copy complete, marker durable before
-    # the first destructive step (phase 1 of the two-phase commit)
-    marker = _commit_marker(path)
-    with open(marker + ".tmp", "w") as f:
-        json.dump(
-            {"table": table, "tmp_tbl": tmp_tbl, "path": path,
-             "cols": cols, "keys": keys, "n_buckets": n_buckets},
-            f,
-        )
-    os.replace(marker + ".tmp", marker)
-    spark.sql(f"DROP TABLE {tmp_tbl}")
-    spark.sql(f"DROP TABLE {table}")
-    os.replace(path, old_path)
-    os.replace(tmp_path, path)
-    key_list = ", ".join(keys)
-    spark.sql(
-        f"CREATE TABLE {table} ({cols}) USING parquet "
-        f"CLUSTERED BY ({key_list}) SORTED BY ({key_list}) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
-    )
-    os.remove(marker)  # phase 2 committed: swap fully re-attached
-    shutil.rmtree(old_path, ignore_errors=True)
+    _swap_in_side_copy(spark, table, tmp_tbl, path, cols, keys, n_buckets)
     return {
         "files_before": files_before,
         "files_after": len(_data_files(path)),

@@ -1093,29 +1093,52 @@ def _lsh_maintenance_step(
 
 def _ivf_maintenance_step(
     spark: SparkSession, cent_table: str, idx_table: str, out: str,
-    cent_path: str, idx_path: str
+    cent_path: str, idx_path: str, drift_check_every: int = 8,
+    drift_ratio: float | None = None, retrain_log: list | None = None,
 ):
     """The per-micro-batch body of ``stream_semantic_index_maintenance``
     — the IVF/embedding twin of ``_lsh_maintenance_step``, with the
     same three replay-idempotence guards (pre-batch triage view,
     per-batch_id dynamic partition overwrite, idempotent admit). The
-    quantizer trains ONCE on the first batch and is never retrained
-    (the never-retrain maintenance policy; ``ivf_drift_stats`` is the
-    retrain scheduler's signal) — a replay of the first batch reuses
-    the persisted centroids instead of retraining."""
+    quantizer trains once on the first batch; thereafter the loop is
+    SELF-HEALING (VERDICT r12 item 3 — the first-batch-only quantizer
+    was the gauge-without-actuator gap): every ``drift_check_every``
+    batches the incoming batch is scored against the index through
+    ``ivf_drift_frame``, and when its p05 top-1 similarity degrades
+    past ``drift_ratio`` of the indexed cohort's, ``ivf_retrain``
+    rebuilds centroids + inverted file in place (crash-atomic swap)
+    before the batch is triaged. The check costs one O(index) scoring
+    pass, which is why it is scheduled, not per-batch; 0 disables it
+    (the pure never-retrain policy). Replay stays byte-idempotent: the
+    drift decision and the retrain corpus both use the PRE-BATCH index
+    view (``exclude_ids``), so a replayed batch makes the identical
+    decision and rebuilds identical tables; a crash mid-swap is
+    finished by the recover_compaction call at step entry.
+    ``retrain_log`` (tests) collects the batch_ids that retrained."""
     from pyspark.sql import functions as SF
 
-    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.bucketed import _BUCKETS, recover_compaction
     from mr_py_spark.operators.kmeans import _kmeans_k
     from mr_py_spark.operators.similarity import (
+        _DRIFT_P05_RATIO,
         _ivf_centroids,
+        drift_degraded,
         ivf_assign_with,
+        ivf_drift_frame,
         ivf_index_append,
+        ivf_retrain,
         semantic_delta_status,
     )
     from mr_py_spark.sources.sinks import write_bucketed
 
+    if drift_ratio is None:
+        drift_ratio = _DRIFT_P05_RATIO
+
     def step(batch_df: DataFrame, batch_id: int) -> None:
+        # finish any crash-interrupted retrain swap before reading the
+        # tables (re-attach-on-next-use; no-op without a marker)
+        recover_compaction(spark, cent_path)
+        recover_compaction(spark, idx_path)
         batch = batch_df.select(
             "vec_id", SF.col("embedding").cast("array<double>").alias("v")
         )
@@ -1139,6 +1162,21 @@ def _ivf_maintenance_step(
             if have_idx
             else ivf_assign_with(cent, batch.limit(0))
         )
+        if (
+            drift_check_every
+            and have_idx
+            and batch_id > 0
+            and batch_id % drift_check_every == 0
+            and drift_degraded(ivf_drift_frame(cent, corpus, batch), drift_ratio)
+        ):
+            ivf_retrain(
+                spark, cent_table, idx_table, exclude_ids=ids,
+                extra_train=batch,
+            )
+            if retrain_log is not None:
+                retrain_log.append(int(batch_id))
+            cent = spark.table(cent_table)
+            corpus = spark.table(idx_table).join(ids, "vec_id", "left_anti")
         status = semantic_delta_status(cent, corpus, batch)
         status.persist().count()
         (

@@ -105,6 +105,38 @@ def mutate_texts(texts: list, doc_ids: list, copy: int) -> list:
     return out
 
 
+def mutate_embeddings(emb, vec_ids, copy: int):
+    """Deterministic perturbation for replica ``copy`` (>= 1) of
+    ``embeddings.embedding`` — the vector twin of ``mutate_texts``
+    (r13): byte-identical vector replication collapses every quantizer
+    to the duplicate-multiplicity floor (each distinct position's 1000
+    copies land in one cell whatever the centroids do), so a scaled
+    embedding corpus says nothing about occupancy or pair-mining cost
+    on real data. Mutated replicas mirror a post-exact-dedup corpus:
+    copies 1.._N_LIGHT add a small hash-direction perturbation (cosine
+    ~0.999 vs the base — true near-dups), later copies blend mostly
+    INTO the hash direction (cosine ~0.2 — distinct vectors, below
+    every house tau). The per-(vec, copy, dim) direction comes from
+    pure integer hashing — deterministic, no RNG — and every output is
+    re-L2-normalized so the unit-norm invariant the similarity tier
+    relies on (dot == cosine) survives."""
+    import numpy as np
+
+    ids = np.asarray(vec_ids, dtype=np.uint64)[:, None]
+    x = np.asarray(emb, dtype=np.float64)
+    j = np.arange(x.shape[1], dtype=np.uint64)[None, :]
+    h = (
+        ids * np.uint64(_MULT)
+        + np.uint64(copy) * np.uint64(40503)
+        + j * np.uint64(2246822519)
+    ) * np.uint64(_MULT)
+    u = (h % np.uint64(2**32)).astype(np.float64) / 2**31 - 1.0
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    y = x + 0.05 * u if copy <= _N_LIGHT else 0.2 * x + u
+    y /= np.linalg.norm(y, axis=1, keepdims=True)
+    return y.astype(np.float32)
+
+
 def scale_table(
     src: str,
     out: str,
@@ -140,6 +172,21 @@ def scale_table(
                             )
                         ]
                     )
+                elif mutate and name == "embeddings" and col_name == "embedding":
+                    base_ids = table.column("vec_id").to_pylist()
+                    col = pa.chunked_array(
+                        [
+                            pa.array(
+                                [
+                                    [float(v) for v in row]
+                                    for row in mutate_embeddings(
+                                        col.to_pylist(), base_ids, i
+                                    )
+                                ],
+                                type=col.type,
+                            )
+                        ]
+                    )
                 cols.append(col)
             writer.write_table(
                 pa.table(dict(zip(table.column_names, cols))),
@@ -155,8 +202,9 @@ def main() -> None:
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--row-group-size", type=int, default=150_000)
     ap.add_argument("--mutate", action="store_true",
-                    help="token-mutate replicated documents.text (near-dup "
-                         "copies 1-2, distinct copies 3+)")
+                    help="mutate replicated documents.text (token edits) and "
+                         "embeddings.embedding (hash-direction perturbation): "
+                         "near-dup copies 1-2, distinct copies 3+")
     ap.add_argument("--tables", default=None,
                     help="comma-separated subset of tables to generate "
                          "(default: all)")
@@ -182,7 +230,10 @@ def main() -> None:
             args.src, args.out, name, args.factor, bases,
             args.row_group_size, mutate=args.mutate,
         )
-        print(f"{name}: {n} rows (x{args.factor}{', mutated' if args.mutate and name == 'documents' else ''})")
+        print(
+            f"{name}: {n} rows (x{args.factor}"
+            f"{', mutated' if args.mutate and name in ('documents', 'embeddings') else ''})"
+        )
 
 
 if __name__ == "__main__":

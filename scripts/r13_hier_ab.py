@@ -50,21 +50,28 @@ def main() -> None:
 
     t0 = time.time()
     ivf_corpus_index(spark, sf)
-    print(f"one-time flat IVF corpus index build(+attach): {time.time() - t0:.2f} s")
+    print(f"one-time flat IVF corpus index build(+attach): {time.time() - t0:.2f} s",
+          flush=True)
     t0 = time.time()
     hier_corpus_index(spark, sf)
-    print(f"one-time hier corpus index build(+attach):     {time.time() - t0:.2f} s")
+    print(f"one-time hier corpus index build(+attach):     {time.time() - t0:.2f} s",
+          flush=True)
 
     for r in reg["hier_index_occupancy"].fn(spark, sf).collect():
         print(
-            f"occupancy {r.index}: n_vecs={r.n_vecs} n_cells={r.n_cells} "
-            f"mean={r.mean_occ:.1f} max={r.max_occ}"
+            f"occupancy {r['index']}: n_vecs={r['n_vecs']} "
+            f"n_cells={r['n_cells']} mean={r['mean_occ']:.1f} "
+            f"max={r['max_occ']}",
+            flush=True,
         )
 
     for rep in range(args.reps):
         t_flat = _run(reg["incremental_semantic_dedup"].fn(spark, sf))
         t_hier = _run(reg["incremental_semantic_dedup_hier"].fn(spark, sf))
-        print(f"rep {rep}: flat triage {t_flat:.2f} s | hier triage {t_hier:.2f} s")
+        print(
+            f"rep {rep}: flat triage {t_flat:.2f} s | hier triage {t_hier:.2f} s",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -2426,3 +2426,17 @@ def test_hier_occupancy_flat_as_n_grows(spark):
         assert leaf_rows / 4 <= occ <= leaf_rows * 4, (n, occ)
     # ...and does not scale with the 4x corpus growth (flat would 4x)
     assert mean_cell_occ[6000] < 2 * mean_cell_occ[1500]
+
+
+def test_ivf_drift_retrain_recovers_delta_p05(spark):
+    """The registered actuator demo: on the fixture, the reversed-dims
+    delta trips the drift rule (retrained == 1) and the rebuilt
+    quantizer — whose training sample folded the tripping delta in —
+    scores that same delta markedly closer to the indexed cohort."""
+    reg = load_all()
+    out = {r.metric: r.value for r in reg["ivf_drift_retrain"].fn(spark, SF_DIR).collect()}
+    assert out["retrained"] == 1.0
+    assert out["p05_delta_before"] < 0.8 * out["p05_indexed_before"]
+    # recovery: the delta cohort's p05 improves and clears the trigger
+    assert out["p05_delta_after"] > out["p05_delta_before"]
+    assert out["p05_delta_after"] >= 0.8 * out["p05_indexed_after"]
