@@ -302,6 +302,56 @@ def _near_dup_pairs_lsh_core(
 
 
 @register(
+    "cosine_near_dup_pairs_lsh_planted",
+    tags=("C2", "C3"),
+    oracle="""
+        WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings),
+        t AS (
+            SELECT * FROM base
+            UNION ALL
+            SELECT vec_id + 1000000 AS vec_id, label, v
+            FROM base WHERE vec_id % 10 = 3
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v), 6) AS sim,
+               CAST(a.label = b.label AS INTEGER)   AS same_label
+        FROM t a, t b
+        WHERE a.vec_id < b.vec_id
+          AND list_dot_product(a.v, b.v) >= 0.9
+    """,
+)
+def cosine_near_dup_pairs_lsh_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded-LSH pair miner over a corpus with PLANTED exact
+    duplicates — and, unusually for the LSH family, ORACLE-BACKED
+    (VERDICT r12 item 5: `cosine_near_dup_pairs_lsh`'s only driver
+    evidence ever is 0 rows, because the shipped fixtures carry no
+    pairs at the 0.9 threshold — correct, but the driver never saw the
+    banded plan EMIT). Every 10th fixture vector gets a byte-identical
+    twin (vec_id + 1e6); identical vectors produce identical sign
+    signatures under ANY plane matrix, so the miner's recall on the
+    planted pairs is deterministically 1 — not probabilistic — while
+    precision is exact by the verify step and the base fixture
+    contributes no other >= 0.9 pair at any shipped sf. The emitted
+    set therefore equals the exact all-pairs result REGARDLESS of the
+    seeded planes, which is what licenses the SQL oracle for a seeded
+    plan (the unplanted form stays rows-only: its recall on generic
+    near-dups is the probabilistic _rp_bands bound). Same banded plan
+    as the production form — signatures, (band, key) self-equi-join,
+    exact fold-dot verify; no cartesian anywhere."""
+    e = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    twins = e.filter(F.col("vec_id") % 10 == 3).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
+        "label",
+        "embedding",
+    )
+    frame = e.unionByName(twins)
+    return _near_dup_pairs_lsh_core(
+        spark, frame, _table_rows(e, sf_dir, "embeddings")
+    )
+
+
+@register(
     "cosine_top_pairs",
     tags=("C2", "C3"),
     oracle="""

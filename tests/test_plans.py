@@ -277,6 +277,11 @@ def test_near_dup_lsh_has_no_cartesian(spark):
     p = plan_of(spark, "cosine_near_dup_pairs_lsh")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    # the oracle-backed planted variant rides the same banded plan —
+    # the oracle's all-pairs join exists DuckDB-side only
+    p = plan_of(spark, "cosine_near_dup_pairs_lsh_planted")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_scale_form_dispatch(spark, monkeypatch):
