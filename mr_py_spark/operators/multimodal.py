@@ -706,23 +706,39 @@ def image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bmp_variants(spark, sf_dir))
     )
     ph = phash_of(imgs).select("doc_id", "phash")
-    bands = ph.select(
+    return _band_dup_pairs(_band_entries(ph, "phash", _PH_BANDS), "phash", _PH_RADIUS)
+
+
+def _band_entries(sigs: DataFrame, sig_col: str, n_bands: int) -> DataFrame:
+    """(doc_id, <sig_col>, band, val) 16-bit band entries of a 64-bit
+    signature frame — the blocking key material shared by the image
+    (phash) and audio (sig) families, and the row layout their
+    STANDING band indexes persist (bucketed by the full candidate-join
+    key set (band, val), the _LSH_INDEX_KEYS co-partitioning rule)."""
+    return sigs.select(
         "doc_id",
-        "phash",
+        sig_col,
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright("phash", 16 * i)
+                    F.lit(i).cast("long").alias("band"),
+                    F.shiftright(sig_col, 16 * i)
                     .bitwiseAND(F.lit(0xFFFF))
                     .alias("val"),
                 )
-                for i in range(_PH_BANDS)
+                for i in range(n_bands)
             ])
         ).alias("bv"),
-    ).select("doc_id", "phash", "bv.band", "bv.val")
+    ).select("doc_id", sig_col, "bv.band", "bv.val")
+
+
+def _band_dup_pairs(bands: DataFrame, sig_col: str, radius: int) -> DataFrame:
+    """Pigeonhole-exact near-dup pairs over band entries: candidates
+    from the (band, val) equi-self-join, hamming filter JVM-side —
+    shared by the per-run and standing-index forms of the image and
+    audio families (one miner, two input layouts)."""
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -733,13 +749,12 @@ def image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(
-                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
             ).cast("long").alias("hamming"),
         )
-        .filter(F.col("hamming") <= _PH_RADIUS)
+        .filter(F.col("hamming") <= radius)
         .distinct()
     )
-    return pairs
 
 
 #: audio_dup_pairs geometry mirrors the image family: 64 FIXED 4-sample
@@ -865,39 +880,7 @@ def audio_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(wav_variants(spark, sf_dir))
     )
     sg = audio_sig_of(wavs).select("doc_id", "sig")
-    bands = sg.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.shiftright("sig", 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("val"),
-                )
-                for i in range(_AU_BANDS)
-            ])
-        ).alias("bv"),
-    ).select("doc_id", "sig", "bv.band", "bv.val")
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.sig").bitwiseXOR(F.col("b.sig"))
-            ).cast("long").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= _AU_RADIUS)
-        .distinct()
-    )
+    return _band_dup_pairs(_band_entries(sg, "sig", _AU_BANDS), "sig", _AU_RADIUS)
 
 
 #: video_dup_pairs: two videos are near-dups when the Jaccard
@@ -1084,3 +1067,175 @@ def video_dup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = video_sig_of(corpus).select("doc_id", "fhash").distinct()
     return video_pairs_from_sigs(sigs, df_cap=_VID_DF_CAP)
+
+
+# ---------------------------------------------------------------------------
+# Standing indexes for the multimodal families (VERDICT r12 item 4):
+# the text (corpus_lsh_index) and semantic (ivf_corpus_index) tiers
+# both persist their derived blocking structures; until r13 the
+# image/audio band tables and the video frame-fingerprint inverted
+# index were recomputed per run — including the full decode of every
+# payload, which at corpus scale dwarfs the join the tables feed.
+# Same _bucketed_table pattern: content/knob-stamped, bucketed by the
+# FULL candidate-join key set so the index side of every pair join is
+# exchange-free, O(delta) append maintenance under the same spec,
+# compactable with compact_bucketed_table.
+# ---------------------------------------------------------------------------
+
+#: Band-index bucket spec = the full band-join key set (the
+#: _LSH_INDEX_KEYS co-partitioning rule: a subset spec cannot
+#: co-partition with the other side).
+_MM_BAND_KEYS = ("band", "val")
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image family's corpus: the BMP third of the blob fixture
+    plus the planted one-pixel-edit twins (shared by the per-run and
+    indexed forms so they mine the same corpus)."""
+    return (
+        media_table(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 0)
+        .unionByName(bmp_variants(spark, sf_dir))
+    )
+
+
+def _audio_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        media_table(spark, sf_dir)
+        .filter(F.col("doc_id") % 3 == 2)
+        .unionByName(wav_variants(spark, sf_dir))
+    )
+
+
+def _video_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        video_table(spark, sf_dir)
+        .filter(F.col("doc_id") % 4 == 0)
+        .unionByName(avi_variants(spark, sf_dir))
+    )
+
+
+def image_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING image band index: phash band entries of the image
+    corpus persisted once per sf_dir, bucketed by (band, val) — a pair
+    mine or a delta probe never re-decodes a pixel. Content-stamped to
+    the documents fixture (media payloads derive from it) and
+    builder-stamped over every decode/hash/band function the persisted
+    rows depend on."""
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+
+    return _bucketed_table(
+        spark, sf_dir, "img_bands", _MM_BAND_KEYS,
+        frame_of=lambda: _band_entries(
+            phash_of(_image_corpus(spark, sf_dir)).select("doc_id", "phash"),
+            "phash", _PH_BANDS,
+        ),
+        src_name="documents",
+        schema="doc_id long, phash long, band long, val long",
+        stamp_extra=builder_stamp(
+            synth_media, bmp_pixels, ahash64, phash_of, bmp_variants,
+            _band_entries, bands=_PH_BANDS,
+        ),
+    )
+
+
+def audio_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING audio band index (the WAV mirror of
+    ``image_band_index``): chromaprint-style signature band entries,
+    bucketed by (band, val)."""
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+
+    return _bucketed_table(
+        spark, sf_dir, "au_bands", _MM_BAND_KEYS,
+        frame_of=lambda: _band_entries(
+            audio_sig_of(_audio_corpus(spark, sf_dir)).select("doc_id", "sig"),
+            "sig", _AU_BANDS,
+        ),
+        src_name="documents",
+        schema="doc_id long, sig long, band long, val long",
+        stamp_extra=builder_stamp(
+            synth_media, wav_samples, audio_sig_of, wav_variants,
+            _band_entries, bands=_AU_BANDS, win=(_AU_WINDOWS, _AU_WIN_SAMPLES),
+        ),
+    )
+
+
+def video_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING video frame-fingerprint inverted index: the
+    distinct (doc_id, fhash) set of the video corpus, bucketed by
+    fhash (the inverted-index join key) — per-run ``video_dup_pairs``
+    decodes every frame of every container per execution; the index
+    pays that once per corpus snapshot."""
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+
+    return _bucketed_table(
+        spark, sf_dir, "video_frames", "fhash",
+        frame_of=lambda: video_sig_of(_video_corpus(spark, sf_dir))
+        .select("doc_id", "fhash")
+        .distinct(),
+        src_name="documents",
+        schema="doc_id long, fhash long",
+        stamp_extra=builder_stamp(
+            synth_video, avi_frames, ahash64, video_sig_of, avi_variants,
+        ),
+    )
+
+
+def image_band_index_append(new_images: DataFrame, table: str) -> None:
+    """O(delta) maintenance for a standing image band index: decode/
+    hash/band only the new (doc_id, payload) rows and append under the
+    SAME bucket spec (Spark validates it; drift fails loudly)."""
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    entries = _band_entries(
+        phash_of(new_images).select("doc_id", "phash"), "phash", _PH_BANDS
+    )
+    write_bucketed(entries, table, _MM_BAND_KEYS, _BUCKETS, mode="append")
+
+
+def audio_band_index_append(new_audio: DataFrame, table: str) -> None:
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    entries = _band_entries(
+        audio_sig_of(new_audio).select("doc_id", "sig"), "sig", _AU_BANDS
+    )
+    write_bucketed(entries, table, _MM_BAND_KEYS, _BUCKETS, mode="append")
+
+
+def video_frame_index_append(new_videos: DataFrame, table: str) -> None:
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    sigs = video_sig_of(new_videos).select("doc_id", "fhash").distinct()
+    write_bucketed(sigs, table, "fhash", _BUCKETS, mode="append")
+
+
+@register("image_dup_pairs_indexed", tags=("C2", "C4", "B19", "B22"), oracle=None)
+def image_dup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``image_dup_pairs`` over the STANDING band index — zero decode
+    work at query time; the (band, val)-bucketed layout makes the
+    self-equi-join exchange-free on both sides. Rows-only; bit-equal
+    to the recomputing form on the fixture (property-tested), standing
+    table + cartesian-freedom plan-asserted."""
+    return _band_dup_pairs(image_band_index(spark, sf_dir), "phash", _PH_RADIUS)
+
+
+@register("audio_dup_pairs_indexed", tags=("C2", "C4", "B19", "B22"), oracle=None)
+def audio_dup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``audio_dup_pairs`` over the STANDING band index (see
+    image_dup_pairs_indexed)."""
+    return _band_dup_pairs(audio_band_index(spark, sf_dir), "sig", _AU_RADIUS)
+
+
+@register("video_dup_pairs_indexed", tags=("C2", "C4", "B19", "B22"), oracle=None)
+def video_dup_pairs_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``video_dup_pairs`` over the STANDING frame-fingerprint inverted
+    index (VERDICT r12 item 4's named form): per-run work drops from
+    decode-every-frame-of-every-container to a bucketed-table scan;
+    the fhash-bucketed layout makes the inverted-index self-join
+    exchange-free on both sides. Rows-only; bit-equal to the
+    recomputing form on the fixture (property-tested); sf10mut
+    interleaved A/B in SCALE.md r13."""
+    return video_pairs_from_sigs(video_frame_index(spark, sf_dir))

@@ -788,3 +788,19 @@ def test_incremental_semantic_dedup_hier_reads_standing_index(spark):
     assert "FlatMapCoGroupsInPandas" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_multimodal_indexed_forms_read_standing_index(spark):
+    """The indexed multimodal forms must consume their persisted
+    bucketed tables — no per-run decode (MapInPandas) anywhere in the
+    plan — and stay cartesian-free like every blocking join."""
+    for name, tbl_marker in (
+        ("image_dup_pairs_indexed", "mrps_bkt_img_bands"),
+        ("audio_dup_pairs_indexed", "mrps_bkt_au_bands"),
+        ("video_dup_pairs_indexed", "mrps_bkt_video_frames"),
+    ):
+        p = plan_of(spark, name)
+        assert tbl_marker in p, name
+        assert "MapInPandas" not in p, name  # decode never re-runs
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
