@@ -404,3 +404,104 @@ def hier_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return occ(f_assigned, ["bucket"], "flat_bucket").unionByName(
         occ(h_assigned, ["bucket", "leaf"], "hier_cell")
     )
+
+
+def hier_quantize(
+    spark: SparkSession,
+    vectors: DataFrame,
+    n: int,
+    root_rows: int = _ROOT_ROWS,
+    leaf_rows: int = _LEAF_ROWS,
+):
+    """Train a two-level quantizer over ``vectors`` (vec_id, v) and
+    assign every vector to its cell, all in one lineage — the PER-RUN
+    form behind ``semantic_dedup_hier`` (the standing-index form is
+    ``hier_corpus_index``). Returns (root_cent, leaf_cent, assigned)."""
+    from mr_py_spark.operators.similarity import _ivf_centroids, ivf_assign_with
+
+    nroot = min(_hier_nroot(n, root_rows), max(1, n))
+    root_cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, vectors, nroot))],
+        "cid long, cv array<double>",
+    )
+    root_assigned = ivf_assign_with(root_cent, vectors)
+    leaf_cent = hier_leaf_centroids(root_assigned, leaf_rows=leaf_rows)
+    return root_cent, leaf_cent, hier_assign(root_assigned, leaf_cent)
+
+
+def hier_survivors(assigned: DataFrame, tau: float) -> DataFrame:
+    """SemDeDup's star rule restricted to two-level CELLS: drop a
+    vector iff some LOWER-vec_id cell-mate has cosine >= tau — the
+    kmeans.semantic_dedup survivor kernel with the cluster key widened
+    to (bucket, leaf). Verification is the row-blocked fold-order
+    kernel, so a skewed hot cell never allocates an unbounded sim
+    matrix and every compare replays Catalyst's float64 op sequence."""
+    from mr_py_spark.operators.similarity import _fold_order_blocks
+
+    def survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pdf[["vec_id", "bucket", "leaf"]]
+        A = np.asarray(list(pdf["v"]), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        keep = np.ones(len(pdf), dtype=bool)
+        for s, sims in _fold_order_blocks(A, A):
+            hit = sims >= tau
+            hit &= ids[None, :] < ids[s : s + hit.shape[0], None]
+            keep[s : s + hit.shape[0]] = ~hit.any(axis=1)
+        return pdf.loc[keep, ["vec_id", "bucket", "leaf"]]
+
+    return assigned.groupBy("bucket", "leaf").applyInPandas(
+        survivors, "vec_id long, bucket long, leaf long"
+    )
+
+
+@register("semantic_dedup_hier", tags=("C2", "C3"), oracle=None)
+def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH semantic dedup through the two-level quantizer — the
+    production form of ``semantic_dedup`` for corpora past the flat
+    4096-centroid cap (kmeans.py's exact-integer Lloyd chain stays the
+    oracle-pinned reference at driver scales; this is its scale
+    continuation, the same relationship the LSH family has between its
+    exact and banded forms). Per-vector pair work is the ~64-row CELL
+    occupancy at ANY corpus size (SCALE.md r13: occupancy 64.4 at 8M
+    vectors where the flat cap gives 1757.8). Rows-only (seeded
+    quantizers are engine-specific); planted-dup recall,
+    no-false-positive vs brute force, and determinism are
+    property-tested (tests/test_properties.py)."""
+    from mr_py_spark.operators.kmeans import _TAU
+    from mr_py_spark.operators.similarity import _emb_double
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    n = _table_rows(e, sf_dir, "embeddings")
+    _, _, assigned = hier_quantize(spark, e, n)
+    return hier_survivors(assigned, float(_TAU))
+
+
+def hier_index_append(
+    root_cent: DataFrame,
+    leaf_cent: DataFrame,
+    new_vectors: DataFrame,
+    table: str,
+    idempotent: bool = False,
+) -> None:
+    """O(delta) maintenance for a standing two-level inverted file:
+    assign ``new_vectors`` (vec_id, v) against the EXISTING root and
+    leaf centroids — never a retrain at either level — and append the
+    (vec_id, bucket, leaf, v) entries under the same (bucket, leaf)
+    bucket spec (Spark validates it; drift fails loudly). The same
+    replay guard as ivf_index_append: ``idempotent=True`` drops
+    vec_ids the table already holds before the append."""
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.similarity import ivf_assign_with
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    if idempotent:
+        ids = new_vectors.select("vec_id")
+        already = (
+            new_vectors.sparkSession.table(table)
+            .select("vec_id")
+            .join(ids, "vec_id", "left_semi")
+        )
+        new_vectors = new_vectors.join(already, "vec_id", "left_anti")
+    entries = hier_assign(ivf_assign_with(root_cent, new_vectors), leaf_cent)
+    write_bucketed(entries, table, ("bucket", "leaf"), _BUCKETS, mode="append")

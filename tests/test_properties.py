@@ -2509,3 +2509,95 @@ def test_video_frame_index_append_and_compaction(spark, tmp_path):
         assert after == expect
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_semantic_dedup_hier_star_rule_vs_brute_force(spark):
+    """Batch hier semantic dedup: NO FALSE POSITIVES — every dropped
+    vector has a genuine lower-id cell-mate at cosine >= tau (verified
+    against brute-force numpy on the full assignment), survivors have
+    none, planted exact duplicates always drop (identical vectors share
+    a cell deterministically), and two runs agree."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import hier_quantize, hier_survivors
+
+    tau = 0.35
+    rng = np.random.RandomState(17)
+    X = rng.randn(400, 16)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X[350:] = X[:50]  # planted exact duplicates (higher ids must drop)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, v array<double>",
+    )
+    _, _, assigned = hier_quantize(spark, corpus, len(X), root_rows=64, leaf_rows=8)
+    cells = {r.vec_id: (r.bucket, r.leaf) for r in assigned.collect()}
+    out1 = {r.vec_id for r in hier_survivors(assigned, tau).collect()}
+    assert set(range(350, 400)).isdisjoint(out1)  # planted dups dropped
+    for v in range(len(X)):
+        mates = [
+            u for u in range(v) if cells[u] == cells[v]
+            and float(X[u] @ X[v]) >= tau
+        ]
+        assert (v not in out1) == bool(mates), (v, mates[:3])
+    out2 = {r.vec_id for r in hier_survivors(assigned, tau).collect()}
+    assert out2 == out1  # deterministic
+
+
+def test_hier_index_append_bit_equal_to_rebuild(spark, tmp_path):
+    """O(delta) maintenance for the two-level inverted file: build a
+    private index from part of a corpus, append the rest against the
+    EXISTING centroids, and the table must be row-identical to
+    assigning the full corpus in one pass (assignment is a pure
+    function of (roots, leaves, vector)); the idempotent replay guard
+    admits nothing twice."""
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.hier import (
+        hier_assign,
+        hier_index_append,
+        hier_leaf_centroids,
+    )
+    from mr_py_spark.operators.similarity import _ivf_centroids, ivf_assign_with
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    rng = np.random.RandomState(23)
+    X = rng.randn(300, 8)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, v array<double>",
+    )
+    base = full.filter(F.col("vec_id") < 200)
+    delta = full.filter(F.col("vec_id") >= 200)
+    root_cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, base, 4))],
+        "cid long, cv array<double>",
+    )
+    leaf_cent = hier_leaf_centroids(ivf_assign_with(root_cent, base), leaf_rows=16)
+    table = "t_hier_append_private"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            hier_assign(ivf_assign_with(root_cent, base), leaf_cent),
+            table, ("bucket", "leaf"), _BUCKETS,
+            path=str(tmp_path / table),
+        )
+        hier_index_append(root_cent, leaf_cent, delta, table)
+        got = sorted(
+            (r.vec_id, r.bucket, r.leaf) for r in spark.table(table).collect()
+        )
+        want = sorted(
+            (r.vec_id, r.bucket, r.leaf)
+            for r in hier_assign(ivf_assign_with(root_cent, full), leaf_cent).collect()
+        )
+        assert got == want
+        # replayed append admits nothing under the idempotent guard
+        hier_index_append(root_cent, leaf_cent, delta, table, idempotent=True)
+        again = sorted(
+            (r.vec_id, r.bucket, r.leaf) for r in spark.table(table).collect()
+        )
+        assert again == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
