@@ -212,6 +212,7 @@ def hier_corpus_index(spark: SparkSession, sf_dir: str):
     from mr_py_spark.operators.similarity import (
         _IVF_TRAIN_CAP,
         _emb_double,
+        _fold_order_blocks,
         _ivf_assign_pass,
         _ivf_centroids,
         ivf_assign_with,
@@ -224,9 +225,13 @@ def hier_corpus_index(spark: SparkSession, sf_dir: str):
     )
     n = _table_rows(e, sf_dir, "embeddings")
     nroot = min(_hier_nroot(n), max(1, n))
+    # stamp every function the persisted bytes depend on, including the
+    # scoring kernel hier_assign delegates to (the ADVICE r12 class: a
+    # 1-line wrapper in the stamp list hides edits to the body it wraps)
     stamp = builder_stamp(
         _ivf_centroids, ivf_assign_with, _ivf_assign_pass,
         _np_spherical_kmeans, hier_leaf_centroids, hier_assign,
+        _fold_order_blocks,
         nroot=nroot, root_rows=_ROOT_ROWS, leaf_rows=_LEAF_ROWS,
         inc=(_INC_MULT, _INC_BUCKETS, _INC_DELTA_BUCKET),
         train_cap=_IVF_TRAIN_CAP,
