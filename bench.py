@@ -67,7 +67,25 @@ def main() -> None:
     spark = get_spark("mr_py_spark-bench")
     reg = load_all()
 
+    def _cold_chain(d: str) -> None:
+        # semantic_dedup memoizes its Lloyd state per sf_dir
+        # (kmeans._LLOYD_CACHE), so a warm re-run times only the
+        # assignment pass — but the index block exists to compare the
+        # standing index against the PER-SNAPSHOT recompute, and a new
+        # snapshot changes the corpus, so the memo never hits in
+        # production (SCALE.md r12's cold-chain argument; r13: the
+        # memoized number kept the sf1 ratio inverted). Clearing it per
+        # execution times the honest comparator.
+        from mr_py_spark.operators.kmeans import _LLOYD_CACHE
+
+        _LLOYD_CACHE.pop(d, None)
+
+    pre_run = {"semantic_dedup": _cold_chain}
+
     def execute(name: str, d: str) -> None:
+        hook = pre_run.get(name)
+        if hook is not None:
+            hook(d)
         df = reg[name].fn(spark, d)
         df.write.format("noop").mode("overwrite").save()
 
