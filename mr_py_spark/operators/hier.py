@@ -48,7 +48,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from mr_py_spark.registry import register
@@ -480,6 +480,204 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _table_rows(e, sf_dir, "embeddings")
     _, _, assigned = hier_quantize(spark, e, n)
     return hier_survivors(assigned, float(_TAU))
+
+
+#: Probe counts for the hier ANN serve path: per-query candidate work
+#: is root_probe x leaf_probe x ~_LEAF_ROWS rows — CONSTANT in corpus
+#: size (the flat IVF tier's probed-FRACTION rule is Θ(n/4) per query;
+#: this is the sub-Θ(n) knob its docstring names for 10⁹ vectors).
+#: Recall comes from multi-probe at BOTH levels: a neighbor straddling
+#: a root boundary is reached through the next-nearest roots, one
+#: straddling a leaf boundary through sibling leaves — measured on the
+#: 30k two-scale clustered corpus in tests/test_properties.py.
+_ROOT_PROBE = 8
+_LEAF_PROBE = 8
+
+
+def hier_topk_with(
+    root_cent: DataFrame,
+    leaf_cent: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    root_probe: int = _ROOT_PROBE,
+    leaf_probe: int = _LEAF_PROBE,
+) -> DataFrame:
+    """Approximate top-k over a standing two-level index: each query
+    probes its ``root_probe`` nearest roots (broadcast argmax over the
+    ≤ _MAX_K-row root frame — the exempt bounded nested loop), then its
+    ``leaf_probe`` nearest leaves WITHIN each probed root (a cogroup on
+    the root bucket, so the full leaf table is never broadcast and a
+    query only ever scores its probed roots' leaves), and candidates
+    are an equi-join on the composite CELL key against the
+    (bucket, leaf)-bucketed inverted file — exchange-free on the corpus
+    side, exactly like the dedup tier. Exact re-rank with the house
+    Catalyst fold ``dot`` and the (desc sim, asc nn_id) tie-break all
+    kNN forms share.
+
+    Per-query candidate work is root_probe·leaf_probe·~_LEAF_ROWS rows
+    at ANY corpus size — the constant-cost serve tier the flat IVF
+    form's Θ(n/4) probed-fraction rule can't reach (its own docstring
+    names this knob). Leaf probing uses the fold-order kernel, so probe
+    sets are bit-deterministic; with probes ≥ the level widths the
+    result degenerates to the exact brute-force top-k (property-pinned
+    in tests/test_properties.py)."""
+    from mr_py_spark.functions import dot
+    from mr_py_spark.operators.similarity import _fold_order_blocks
+
+    wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
+    root_probes = (
+        queries.join(F.broadcast(root_cent), how="cross")
+        .select("q_id", "qv", "cid", dot("qv", "cv").alias("csim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= root_probe)
+        .select("q_id", "qv", F.col("cid").alias("bucket"))
+    )
+
+    lp = int(leaf_probe)
+
+    def probe_leaves(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        # an unoccupied root trains no leaves and indexes no vectors —
+        # probing it legitimately yields no candidates
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame(
+                {
+                    "q_id": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "leaf": pd.Series([], dtype="int64"),
+                    "qv": pd.Series([], dtype="object"),
+                }
+            )
+        cpdf = cpdf.sort_values("leaf")
+        A = np.asarray(list(qpdf["qv"]), dtype=np.float64)
+        C = np.asarray(list(cpdf["lv"]), dtype=np.float64)
+        leaf_ids = cpdf["leaf"].to_numpy()
+        qids = qpdf["q_id"].to_numpy()
+        qv_col = qpdf["qv"].reset_index(drop=True)
+        b = int(key[0])
+        out_q: list[int] = []
+        out_leaf: list[int] = []
+        out_qv: list = []
+        for s, sims in _fold_order_blocks(A, C):
+            for i in range(sims.shape[0]):
+                # deterministic ties: (-sim, leaf) via stable lexsort
+                order = np.lexsort((leaf_ids, -sims[i]))[:lp]
+                for j in order:
+                    out_q.append(int(qids[s + i]))
+                    out_leaf.append(int(leaf_ids[j]))
+                    out_qv.append(qv_col[s + i])
+        return pd.DataFrame(
+            {
+                "q_id": np.asarray(out_q, dtype=np.int64),
+                "bucket": np.full(len(out_q), b, dtype=np.int64),
+                "leaf": np.asarray(out_leaf, dtype=np.int64),
+                "qv": out_qv,
+            }
+        )
+
+    cells = (
+        root_probes.groupBy("bucket")
+        .cogroup(leaf_cent.groupBy("bucket"))
+        .applyInPandas(
+            probe_leaves, "q_id long, bucket long, leaf long, qv array<double>"
+        )
+    )
+    # each vector lives in exactly one cell and a query's probed cells
+    # are distinct, so (q_id, vec_id) candidates are unique — no dedup
+    cand = cells.join(assigned, ["bucket", "leaf"]).filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+    )
+
+
+def hier_index(spark: SparkSession, sf_dir: str):
+    """The FULL-TABLE standing two-level index — the ANN serve twin of
+    similarity.ivf_index (hier_corpus_index covers only the fixture's
+    corpus split, the dedup convention): root centroids, per-root leaf
+    centroids bucketed by root bucket, and the inverted file bucketed
+    by the composite cell key (bucket, leaf), all through the
+    content-stamped cache with the full builder stamp (every function
+    and knob the persisted bytes depend on, ADVICE r12). Returns
+    (root_cent, leaf_cent, assigned)."""
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+    from mr_py_spark.operators.similarity import (
+        _IVF_TRAIN_CAP,
+        _emb_double,
+        _fold_order_blocks,
+        _ivf_assign_pass,
+        _ivf_centroids,
+        ivf_assign_with,
+    )
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    n = _table_rows(e, sf_dir, "embeddings")
+    nroot = min(_hier_nroot(n), max(1, n))
+    stamp = builder_stamp(
+        _ivf_centroids, ivf_assign_with, _ivf_assign_pass,
+        _np_spherical_kmeans, hier_leaf_centroids, hier_assign,
+        _fold_order_blocks,
+        nroot=nroot, root_rows=_ROOT_ROWS, leaf_rows=_LEAF_ROWS,
+        train_cap=_IVF_TRAIN_CAP,
+    )
+
+    def build_root() -> DataFrame:
+        cents = _ivf_centroids(spark, e, nroot)
+        return spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid long, cv array<double>"
+        )
+
+    root_cent = _bucketed_table(
+        spark, sf_dir, "hier_root_full", "cid", frame_of=build_root,
+        src_name="embeddings", schema="cid long, cv array<double>",
+        stamp_extra=stamp,
+    )
+    leaf_cent = _bucketed_table(
+        spark, sf_dir, "hier_leaf_full", "bucket",
+        frame_of=lambda: hier_leaf_centroids(ivf_assign_with(root_cent, e)),
+        src_name="embeddings", schema="bucket long, leaf long, lv array<double>",
+        stamp_extra=stamp,
+    )
+    assigned = _bucketed_table(
+        spark, sf_dir, "hier_assign_full", ("bucket", "leaf"),
+        frame_of=lambda: hier_assign(ivf_assign_with(root_cent, e), leaf_cent),
+        src_name="embeddings",
+        schema="vec_id long, bucket long, leaf long, v array<double>",
+        stamp_extra=stamp,
+    )
+    return root_cent, leaf_cent, assigned
+
+
+@register("knn_hier_topk_indexed", tags=("C3", "B22"), oracle=None)
+def knn_hier_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 over the standing two-level index — the
+    CONSTANT-per-query-cost ANN serve tier (root_probe·leaf_probe·~64
+    candidate rows per query at any corpus size; the flat
+    ``knn_ivf_topk_indexed``'s probed-fraction rule is Θ(n/4)). Same
+    query set and emit shape as every other kNN form. Rows-only
+    (seeded quantizers are engine-specific); the full-probe
+    degeneration to exact brute force and the default-probe recall on
+    a two-scale clustered corpus are property-tested
+    (tests/test_properties.py); the standing-index scan, the absence
+    of any query-time assignment pass, and cartesian-freedom are
+    plan-asserted (tests/test_plans.py)."""
+    from mr_py_spark.operators.similarity import _emb_double
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    queries = (
+        e.filter(F.col("vec_id") < 50)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("v", "qv")
+    )
+    root_cent, leaf_cent, assigned = hier_index(spark, sf_dir)
+    return hier_topk_with(root_cent, leaf_cent, assigned, queries)
 
 
 def hier_index_append(

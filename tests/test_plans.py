@@ -100,6 +100,7 @@ def test_ann_plans_have_no_cartesian(spark):
         "knn_rplsh_topk",
         "knn_ivfpq_topk",
         "knn_ivf_topk_indexed",
+        "knn_hier_topk_indexed",
         "incremental_semantic_dedup",
     ):
         p = plan_of(spark, name)
@@ -130,6 +131,21 @@ def test_knn_ivf_indexed_reads_standing_index(spark):
     assert "mrps_bkt_ivf_assign" in p
     assert "mrps_bkt_ivf_cent" in p
     assert "MapInPandas" not in p  # assignment never re-runs at query time
+
+
+def test_knn_hier_indexed_reads_standing_index(spark):
+    """The constant-cost hier serve tier: root centroids and the
+    (bucket, leaf)-bucketed inverted file come from their persisted
+    tables; the ONLY Python stage is the leaf-probe cogroup (no
+    query-time assignment pass over the corpus), and candidates are an
+    equi-join on the composite cell key."""
+    p = plan_of(spark, "knn_hier_topk_indexed")
+    assert "mrps_bkt_hier_assign_full" in p
+    assert "mrps_bkt_hier_root_full" in p
+    assert "mrps_bkt_hier_leaf_full" in p
+    assert "MapInPandas" not in p  # assignment never re-runs at query time
+    assert "FlatMapCoGroupsInPandas" in p  # the leaf probe
+    assert "BroadcastNestedLoopJoin" in p  # bounded root broadcast only
 
 
 def test_decontaminate_embeddings_no_join(spark):

@@ -2601,3 +2601,111 @@ def test_hier_index_append_bit_equal_to_rebuild(spark, tmp_path):
         assert again == got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_hier_topk_full_probe_equals_brute_force(spark):
+    """The hier ANN serve path (hier_topk_with) with probes >= the
+    level widths must degenerate to the EXACT top-k: every cell is
+    probed, so the candidate set is the whole corpus and the re-rank
+    is brute force. Expected sims computed with the fold-order kernel
+    (the same left-to-right float64 op sequence Catalyst's dot folds),
+    so the compare is bitwise through round(_, 6)."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import hier_topk_with
+    from mr_py_spark.operators.similarity import _fold_order_blocks
+
+    rng = np.random.RandomState(11)
+    X = rng.randn(400, 8)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    root_cent, leaf_cent, assigned = _hier_toy_index(
+        spark, X, leaf_rows=16, nroot=4
+    )
+    assert leaf_cent.count() > 4  # a real hierarchy, not one leaf/root
+    q_ids = list(range(20))
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in q_ids],
+        "q_id long, qv array<double>",
+    )
+    out = hier_topk_with(
+        root_cent, leaf_cent, assigned, queries,
+        k=5, root_probe=1000, leaf_probe=1000,
+    ).collect()
+    got = sorted((r.q_id, r.nn_id, r.rn) for r in out)
+    got_sim = {(r.q_id, r.nn_id): r.sim for r in out}
+    Q = X[: len(q_ids)]
+    sims = np.vstack([s for _, s in _fold_order_blocks(Q, X)])
+    want = []
+    for qi in q_ids:
+        s = sims[qi].copy()
+        s[qi] = -np.inf  # q_id != nn_id
+        order = np.lexsort((np.arange(len(X)), -s))[:5]
+        want.extend((qi, int(ni), rn + 1) for rn, ni in enumerate(order))
+    assert got == sorted(want) and len(got) == 5 * len(q_ids)
+    # raw scoring is the same fold-order op sequence both sides; only
+    # the display rounding differs in MODE (Spark HALF_UP vs numpy
+    # half-even), so compare the rounded emit within one ulp of 1e-6
+    for (qi, ni, _rn) in want:
+        assert abs(got_sim[(qi, ni)] - float(sims[qi][ni])) < 1.0e-6
+
+
+def test_hier_topk_recall_on_clustered_corpus(spark):
+    """Default-probe recall of the constant-cost hier serve tier on a
+    two-scale clustered corpus (coarse clusters -> roots, sub-clusters
+    -> leaves — the structure real embedding corpora have): recall@5
+    vs numpy brute force must clear the bar even though per-query
+    candidate work is a constant root_probe*leaf_probe*~leaf_rows rows,
+    independent of corpus size."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import hier_topk_with
+
+    rng = np.random.RandomState(7)
+    n_coarse, n_sub, per_sub, dim = 12, 5, 100, 16
+    coarse = rng.standard_normal((n_coarse, dim))
+    coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
+    blocks = []
+    for c in coarse:
+        subs = c + 0.25 * rng.standard_normal((n_sub, dim))
+        subs /= np.linalg.norm(subs, axis=1, keepdims=True)
+        for sc in subs:
+            blocks.append(sc + 0.08 * rng.standard_normal((per_sub, dim)))
+    X = np.vstack(blocks)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    root_cent, leaf_cent, assigned = _hier_toy_index(
+        spark, X, leaf_rows=32, nroot=n_coarse
+    )
+    n_q = 40
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n_q)],
+        "q_id long, qv array<double>",
+    )
+    approx = {
+        (r.q_id, r.nn_id)
+        for r in hier_topk_with(
+            root_cent, leaf_cent, assigned, queries, k=5,
+            root_probe=4, leaf_probe=4,
+        ).collect()
+    }
+    sims = X[:n_q] @ X.T
+    sims[np.arange(n_q), np.arange(n_q)] = -np.inf
+    brute = {
+        (qi, int(ni))
+        for qi in range(n_q)
+        for ni in np.argsort(-sims[qi], kind="stable")[:5]
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.7, f"hier recall@5 {recall:.2f}"
+
+
+def test_knn_hier_indexed_fixture_recall(spark):
+    """The registered standing-index form on the fixture: same emit
+    shape as the other kNN forms, non-vacuous (every query returns a
+    full top-5), and recall@5 vs the oracle-backed exact form clears
+    the same bar the flat IVF tier is held to."""
+    brute = {(r.q_id, r.nn_id) for r in rows(spark, "knn_cosine_topk")}
+    out = rows(spark, "knn_hier_topk_indexed")
+    approx = {(r.q_id, r.nn_id) for r in out}
+    assert len(out) == len({r.q_id for r in out}) * 5
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"hier indexed recall@5 {recall:.2f}"
