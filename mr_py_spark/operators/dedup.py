@@ -1018,3 +1018,116 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", containment.alias("containment"))
         .filter(F.col("containment") >= 0.8)
     )
+
+
+#: Span length (in tokens) for substring-level exact dedup: long
+#: enough that a shared span is evidence of copying rather than
+#: idiom (the suffix-array dedup literature uses ~50 BPE tokens; 8
+#: whitespace words is the same order on this fixture's vocabulary),
+#: short enough that the fixture's planted near-dup prefixes and
+#: mutated replicas actually carry duplicated spans at every sf.
+_SPAN_L = 8
+
+
+@register(
+    "substring_dup_spans",
+    tags=("C1", "C5"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i:i+{_SPAN_L - 1}], ' ') AS g
+            FROM toks, UNNEST(generate_series(1, len(w) - {_SPAN_L - 1})) AS t(i)
+        ),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        dup AS (
+            SELECT doc_id, pos FROM grams
+            WHERE g IN (SELECT g FROM dupg)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) <= {_SPAN_L}
+                        THEN 0 ELSE 1 END AS brk
+            FROM dup
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(gid AS BIGINT) AS span_id,
+               min(pos) AS start_tok,
+               max(pos) + {_SPAN_L - 1} AS end_tok,
+               max(pos) + {_SPAN_L - 1} - min(pos) + 1 AS n_tokens
+        FROM grp
+        GROUP BY doc_id, gid
+    """,
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (C1/C5): the MAXIMAL duplicated
+    token spans per document — every _SPAN_L-token window whose text
+    occurs at >= 2 positions corpus-wide (cross-doc copying AND
+    within-doc repetition, both of which the suffix-array dedup
+    literature removes), with overlapping/adjacent duplicated windows
+    merged into [start_tok, end_tok] intervals. This is the REMOVAL
+    PLAN substring dedup actually needs — which token ranges to cut —
+    where document-level MinHash only says "these two docs are
+    similar" and ``boilerplate_ngrams`` only scores distinct-trigram
+    commonness per doc.
+
+    Scale shape (the gram-stream discipline this family settled in
+    r5/r11): duplicated grams come from groupBy(g).count() — partial
+    aggregation folds each task's occurrences before the exchange, so
+    a corpus-wide hot span ships one partial row per task — and the
+    position stream is re-annotated via a LEFT-SEMI equi-join on g (a
+    splittable probe side; never a gram-partitioned window, whose hot
+    partitions cannot be split). The interval merge is a per-DOC
+    gaps-and-islands window — keyed on doc_id, so its partitions are
+    document-sized regardless of corpus size. Token positions are
+    1-based on both engines (sequence/generate_series); windows break
+    when the next duplicated position starts more than _SPAN_L tokens
+    after the previous (covered-token unions stay contiguous through
+    overlap AND adjacency). All emitted columns are long; gid's
+    cumulative sum is HUGEINT in DuckDB and CAST back (the r10 rule).
+    At 100 TB the shuffle keys are ~8-word strings; hashing them to 64
+    bits (xxhash64) halves shuffle bytes but unpins the oracle —
+    engines' hashes differ — so the compared form groups by the gram
+    itself and the hash variant is the documented scale knob."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.lower("text")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(ngrams_arr("w", _SPAN_L)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    dupg = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 2
+    )
+    dup = grams.join(dupg.select("g"), "g", "left_semi")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) <= _SPAN_L, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    grp = isl.select(
+        "doc_id", "pos", F.sum("brk").over(wdoc).alias("gid")
+    )
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(_SPAN_L - 1)).alias("end_tok"),
+        (F.max("pos") + F.lit(_SPAN_L - 1) - F.min("pos") + 1).alias(
+            "n_tokens"
+        ),
+    ).select(
+        "doc_id",
+        F.col("gid").cast("long").alias("span_id"),
+        "start_tok",
+        "end_tok",
+        "n_tokens",
+    )

@@ -148,6 +148,23 @@ def test_knn_hier_indexed_reads_standing_index(spark):
     assert "BroadcastNestedLoopJoin" in p  # bounded root broadcast only
 
 
+def test_substring_dup_spans_plan_shape(spark):
+    """Substring-span dedup keeps the gram-stream discipline: document
+    frequency partial-aggregates before its exchange (a corpus-wide
+    hot span ships one partial row per task), the position stream is
+    re-annotated via a LEFT-SEMI equi-join (splittable probe side,
+    never a gram-partitioned window), and the interval-merge windows
+    are doc_id-keyed only — both riding ONE doc_id exchange."""
+    p = plan_of(spark, "substring_dup_spans")
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+    assert "LeftSemi" in p
+    assert p.count("Exchange hashpartitioning(doc_id") == 1
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line.split("windowspecdefinition", 1)[1][:24], line
+
+
 def test_decontaminate_embeddings_no_join(spark):
     """The benchmark set is bounded and broadcast, so the scoring pass
     must be a pure scan + mapInPandas — no join of any kind and no
