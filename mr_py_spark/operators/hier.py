@@ -502,6 +502,7 @@ def hier_topk_with(
     k: int = 5,
     root_probe: int = _ROOT_PROBE,
     leaf_probe: int = _LEAF_PROBE,
+    emit_candidates: bool = False,
 ) -> DataFrame:
     """Approximate top-k over a standing two-level index: each query
     probes its ``root_probe`` nearest roots (broadcast argmax over the
@@ -587,6 +588,8 @@ def hier_topk_with(
     cand = cells.join(assigned, ["bucket", "leaf"]).filter(
         F.col("q_id") != F.col("vec_id")
     )
+    if emit_candidates:  # audit hook: the per-query candidate frame
+        return cand.select("q_id", "vec_id", "bucket", "leaf")
     wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
     scored = cand.select(
         "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")

@@ -620,3 +620,145 @@ def lm_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (-(F.sum("lp").cast("double") / F.count("*"))).alias("avg_nll"),
         )
     )
+
+
+#: Fixed retrieval query set for ``bm25_retrieval`` — fixture-vocabulary
+#: multi-word queries, constant so both engines rank the same workload.
+_BM25_QUERIES = (
+    (0, "hash join merge"),
+    (1, "window sort order"),
+    (2, "stream batch query"),
+    (3, "vector scan column"),
+    (4, "customer table filter"),
+)
+_BM25_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _BM25_QUERIES)
+
+
+@register(
+    "bm25_retrieval",
+    tags=("C5", "B11", "B19"),
+    oracle=f"""
+        WITH q(query_id, qtext) AS (VALUES {_BM25_VALUES}),
+        tok AS (
+            SELECT doc_id, term FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                FROM documents
+            ) WHERE term <> ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                   CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+            FROM dl
+        ),
+        qt AS (
+            SELECT DISTINCT query_id, term FROM (
+                SELECT query_id, unnest(string_split(qtext, ' ')) AS term FROM q
+            )
+        ),
+        scored AS (
+            SELECT qt.query_id, tf.doc_id,
+                   CAST(ln(1.0e0 + (stats.n_docs - dfreq.df + 0.5e0)
+                                   / (dfreq.df + 0.5e0))
+                        * ((tf.tf * 2.2e0)
+                           / (tf.tf + 1.2e0 * (0.25e0 + (0.75e0 * dl.dl)
+                                                        / stats.avgdl)))
+                        AS DECIMAL(18,9)) AS s
+            FROM qt
+            JOIN tf ON qt.term = tf.term
+            JOIN dfreq ON qt.term = dfreq.term
+            JOIN dl ON tf.doc_id = dl.doc_id, stats
+        ),
+        agg AS (
+            SELECT query_id, doc_id, sum(s) AS ssum
+            FROM scored GROUP BY query_id, doc_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+               CAST(ssum AS DOUBLE) AS score, rn
+        FROM (
+            SELECT query_id, doc_id, ssum,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY ssum DESC, doc_id) AS rn
+            FROM agg
+        ) WHERE rn <= 10
+    """,
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (C5/B11): top-10 documents per query for a
+    fixed multi-word query set, Lucene-variant BM25
+    (idf = ln(1 + (N-df+0.5)/(df+0.5)), k1=1.2, b=0.75) over
+    whitespace tokens — the missing classic next to the inverted index
+    and TF-IDF: score a QUERY against the corpus, not a doc against
+    its own terms.
+
+    Bitwise-oracle-able by the house float policy (the
+    lm_perplexity_score discipline): every per-term partial score is a
+    deterministic double — integer-derived inputs, both engines
+    evaluating the IDENTICAL expression tree (double literals spelled
+    0.5e0-style in the oracle so DuckDB doesn't parse them as
+    DECIMAL), with the one libm ln pinned by the existing
+    cross-engine ln sweep — quantized to DECIMAL(18,9) BEFORE the
+    per-(query, doc) sum so aggregation is exact and order-insensitive;
+    ranking compares the exact decimal (ties on doc_id) and the double
+    cast happens once at emit.
+
+    Scale shape: tf/dl/df are wordcount-shaped groupBys (partial agg
+    before each exchange); the query-term table is bounded and
+    broadcast; corpus stats ride the 1-row broadcast-crossJoin glue
+    (the tfidf_top_terms precedent, exempt class); the per-query top-10
+    is a window over the (query_id, doc_id) aggregate whose partitions
+    are query-count-bounded. Nothing pins a broadcast on the tf join —
+    at web scale AQE shuffles it on term."""
+    docs = tbl(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id long, qtext string"
+    )
+    tok = docs.select(
+        "doc_id", F.explode(words(F.lower("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    qt = queries.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("term")
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfc = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / F.col("avgdl"))
+    )
+    scored = (
+        F.broadcast(qt)
+        .join(tf, "term")
+        .join(dfreq, "term")  # vocabulary-sized: AQE picks the strategy
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (idf * tfc).cast("decimal(18,9)").alias("s"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("s").alias("ssum"))
+    w = W.partitionBy("query_id").orderBy(F.desc("ssum"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "query_id", "doc_id", F.col("ssum").cast("double").alias("score"),
+            "rn",
+        )
+    )
