@@ -489,9 +489,13 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Recall comes from multi-probe at BOTH levels: a neighbor straddling
 #: a root boundary is reached through the next-nearest roots, one
 #: straddling a leaf boundary through sibling leaves — measured on the
-#: 30k two-scale clustered corpus in tests/test_properties.py.
-_ROOT_PROBE = 8
-_LEAF_PROBE = 8
+#: 30k two-scale clustered corpus in tests/test_properties.py. 12x12
+#: from the 2M-vector probe sweep (SCALE.md r13): recall@5 saturates
+#: at 12x12 (0.820; 16x16 and 24x16 buy nothing — the residual misses
+#: are the mutated fixture's weak-similarity tail, not probe-limited)
+#: at the same measured serve time as 8x8 (0.792).
+_ROOT_PROBE = 12
+_LEAF_PROBE = 12
 
 
 def hier_topk_with(
