@@ -687,6 +687,95 @@ def knn_hier_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hier_topk_with(root_cent, leaf_cent, assigned, queries)
 
 
+def hier_retrain(
+    spark: SparkSession,
+    root_table: str,
+    leaf_table: str,
+    idx_table: str,
+    exclude_ids: DataFrame | None = None,
+    extra_train: DataFrame | None = None,
+    root_rows: int = _ROOT_ROWS,
+    leaf_rows: int = _LEAF_ROWS,
+) -> dict:
+    """Quantizer RETRAIN for a standing two-level index triple — the
+    hier twin of ``similarity.ivf_retrain`` (never-retrain is the
+    default maintenance policy; this is the drift-triggered exception;
+    the gauge is ``ivf_drift_frame`` pointed at the ROOT table and the
+    inverted file's (vec_id, bucket, v) columns — a hier index drifts
+    at the root level first, because leaves partition within roots).
+    Re-fits the roots on the index's current contents, re-trains every
+    root's leaves in the one distributed pass, re-assigns every indexed
+    vector to its new cell, and rewrites all THREE standing tables in
+    place under their existing bucket specs via the crash-atomic
+    two-phase swap (bucketed.replace_bucketed_table).
+
+    Swap order is root → leaf → inverted file, each later stage
+    TRAINING/ASSIGNING FROM THE PERSISTED GENERATION it just wrote
+    (spark.table, not the builder lineage) — so the leaf trainer sees
+    exactly the roots a crash would leave behind, and a crash between
+    swaps leaves mixed generations that are still queryable and are
+    converged by the next retrain (the same documented window as the
+    flat form's two-table swap).
+
+    Deterministic given the index contents: the root training sample
+    is the first _IVF_TRAIN_CAP vectors BY vec_id, leaf training sorts
+    each group by vec_id and seeds on the bucket id — a replayed
+    retrain rebuilds bit-identical tables. ``exclude_ids`` and
+    ``extra_train`` carry the streaming replay discipline over
+    unchanged (pre-batch index view for the decision AND the corpus;
+    the tripping batch rides the training sample only). Returns
+    {"nroot", "n_leaves", "n_vecs"}."""
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import replace_bucketed_table
+    from mr_py_spark.operators.similarity import (
+        _IVF_TRAIN_CAP,
+        _ivf_centroids,
+        ivf_assign_with,
+    )
+
+    idx = spark.table(idx_table).select("vec_id", "v")
+    if exclude_ids is not None:
+        idx = idx.join(exclude_ids.select("vec_id"), "vec_id", "left_anti")
+    train = idx if extra_train is None else idx.unionByName(
+        extra_train.select("vec_id", "v")
+    )
+    sample = np.asarray(
+        [
+            r.v
+            for r in train.orderBy("vec_id").limit(_IVF_TRAIN_CAP)
+            .select("v").collect()
+        ],
+        dtype=np.float64,
+    )
+    n_vecs = idx.count()
+    nroot = min(_hier_nroot(n_vecs, root_rows), max(1, n_vecs), len(sample))
+    cents = _ivf_centroids(spark, idx, nroot, sample=sample)
+    replace_bucketed_table(
+        spark, root_table,
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid long, cv array<double>"
+        ),
+        "cid",
+    )
+    root_assigned = ivf_assign_with(spark.table(root_table), idx)
+    replace_bucketed_table(
+        spark, leaf_table,
+        hier_leaf_centroids(root_assigned, leaf_rows=leaf_rows),
+        "bucket",
+    )
+    replace_bucketed_table(
+        spark, idx_table,
+        hier_assign(root_assigned, spark.table(leaf_table)),
+        ("bucket", "leaf"),
+    )
+    return {
+        "nroot": int(nroot),
+        "n_leaves": int(spark.table(leaf_table).count()),
+        "n_vecs": int(n_vecs),
+    }
+
+
 def hier_index_append(
     root_cent: DataFrame,
     leaf_cent: DataFrame,

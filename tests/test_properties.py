@@ -2603,6 +2603,105 @@ def test_hier_index_append_bit_equal_to_rebuild(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_hier_retrain_planted_drift_recovers(spark, tmp_path):
+    """hier_retrain (the drift actuator for the two-level tier): a
+    planted-drift delta trips the ROOT-level drift rule on a private
+    standing index triple, the crash-atomic three-table rebuild
+    recovers the delta's quantization quality, index membership is
+    preserved, and a REPLAYED retrain (same index contents, same
+    tripping batch) rebuilds bit-identical cells."""
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.hier import (
+        hier_assign,
+        hier_leaf_centroids,
+        hier_retrain,
+    )
+    from mr_py_spark.operators.similarity import (
+        _ivf_centroids,
+        drift_degraded,
+        ivf_assign_with,
+        ivf_drift_frame,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    rng = np.random.RandomState(31)
+    centers = rng.standard_normal((6, 8))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.vstack([c + 0.12 * rng.standard_normal((50, 8)) for c in centers])
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, v array<double>",
+    )
+    root_t, leaf_t, idx_t = (
+        "t_hier_rt_root", "t_hier_rt_leaf", "t_hier_rt_idx"
+    )
+    for t in (root_t, leaf_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        root_cent = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(_ivf_centroids(spark, corpus, 8))],
+            "cid long, cv array<double>",
+        )
+        write_bucketed(root_cent, root_t, "cid", _BUCKETS,
+                       path=str(tmp_path / root_t))
+        ra = ivf_assign_with(spark.table(root_t), corpus)
+        write_bucketed(hier_leaf_centroids(ra, leaf_rows=8), leaf_t,
+                       "bucket", _BUCKETS, path=str(tmp_path / leaf_t))
+        write_bucketed(hier_assign(ra, spark.table(leaf_t)), idx_t,
+                       ("bucket", "leaf"), _BUCKETS,
+                       path=str(tmp_path / idx_t))
+        assert spark.table(leaf_t).count() > 8  # a real hierarchy
+
+        # planted drift: dimension-reversed copies — unit norm kept,
+        # uncorrelated with every trained root
+        delta = corpus.select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.reverse("v").alias("v"),
+        )
+
+        def drift():
+            return ivf_drift_frame(
+                spark.table(root_t),
+                spark.table(idx_t).select("vec_id", "bucket", "v"),
+                delta,
+            )
+
+        before = {r.cohort: float(r.p05_top1) for r in drift().collect()}
+        assert drift_degraded(drift())
+        ids_before = {r.vec_id for r in spark.table(idx_t).collect()}
+
+        stats = hier_retrain(
+            spark, root_t, leaf_t, idx_t, extra_train=delta,
+            root_rows=64, leaf_rows=8,
+        )
+        assert stats["n_vecs"] == len(X) and stats["n_leaves"] > stats["nroot"]
+        after = {r.cohort: float(r.p05_top1) for r in drift().collect()}
+        # the rebuilt quantizer covers the drifted region: the delta's
+        # quantization quality recovers, the indexed cohort stays sane
+        assert after["delta"] > before["delta"]
+        assert {r.vec_id for r in spark.table(idx_t).collect()} == ids_before
+
+        cells1 = sorted(
+            (r.vec_id, r.bucket, r.leaf) for r in spark.table(idx_t).collect()
+        )
+        # replayed retrain: same index contents + same tripping batch
+        # -> bit-identical tables
+        hier_retrain(
+            spark, root_t, leaf_t, idx_t, extra_train=delta,
+            root_rows=64, leaf_rows=8,
+        )
+        cells2 = sorted(
+            (r.vec_id, r.bucket, r.leaf) for r in spark.table(idx_t).collect()
+        )
+        assert cells1 == cells2
+    finally:
+        for t in (root_t, leaf_t, idx_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_hier_topk_full_probe_equals_brute_force(spark):
     """The hier ANN serve path (hier_topk_with) with probes >= the
     level widths must degenerate to the EXACT top-k: every cell is
