@@ -1342,3 +1342,212 @@ def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partition-inferred int -> long (stable emit width, CLAUDE.md)
         F.col("batch_id").cast("long").alias("batch_id"),
     )
+
+
+def _hier_maintenance_step(
+    spark: SparkSession, root_table: str, leaf_table: str, idx_table: str,
+    out: str, root_path: str, leaf_path: str, idx_path: str,
+    drift_check_every: int = 8, drift_ratio: float | None = None,
+    retrain_log: list | None = None,
+    root_rows: int | None = None, leaf_rows: int | None = None,
+):
+    """The per-micro-batch body of ``stream_hier_index_maintenance`` —
+    the TWO-LEVEL twin of ``_ivf_maintenance_step``, for corpora past
+    the flat tier's 4096-centroid broadcast cap (the hier quantizer is
+    the production form there, SCALE.md r13; a streaming loop that
+    quietly kept the flat quantizer would walk straight back into the
+    super-linear occupancy regime the hierarchy exists to avoid).
+
+    Same three replay-idempotence guards (pre-batch triage view,
+    per-batch_id dynamic partition overwrite, idempotent admit) and
+    the same self-healing schedule: the quantizer pair (roots + leaf
+    table) trains on the first batch; every ``drift_check_every``
+    batches the incoming batch is scored against the ROOT level
+    through ``ivf_drift_frame`` (a hier index drifts at the root
+    first — leaves only partition within roots) and a degraded p05
+    triggers ``hier_retrain`` — the crash-atomic three-table rebuild —
+    before the batch is triaged. Replay discipline is unchanged: the
+    drift decision and retrain corpus use the PRE-BATCH index view
+    (``exclude_ids``), the tripping batch rides ``extra_train``, and a
+    crash mid-swap is finished by recover_compaction at step entry.
+    ``root_rows``/``leaf_rows`` are test knobs (defaults: the module
+    grains, ~4096/~64)."""
+    from pyspark.sql import functions as SF
+
+    from mr_py_spark.operators.bucketed import _BUCKETS, recover_compaction
+    from mr_py_spark.operators.hier import (
+        _LEAF_ROWS,
+        _ROOT_ROWS,
+        _hier_nroot,
+        hier_assign,
+        hier_index_append,
+        hier_leaf_centroids,
+        hier_retrain,
+        semantic_delta_status_hier,
+    )
+    from mr_py_spark.operators.similarity import (
+        _DRIFT_P05_RATIO,
+        _ivf_centroids,
+        drift_degraded,
+        ivf_assign_with,
+        ivf_drift_frame,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    if drift_ratio is None:
+        drift_ratio = _DRIFT_P05_RATIO
+    r_rows = _ROOT_ROWS if root_rows is None else int(root_rows)
+    l_rows = _LEAF_ROWS if leaf_rows is None else int(leaf_rows)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        for p in (root_path, leaf_path, idx_path):
+            recover_compaction(spark, p)
+        batch = batch_df.select(
+            "vec_id", SF.col("embedding").cast("array<double>").alias("v")
+        )
+        if not spark.catalog.tableExists(root_table):
+            # one-time two-level fit on the FIRST batch: bounded-collect
+            # root k-means, then the distributed per-root leaf pass
+            n0 = batch.count()
+            nroot = min(_hier_nroot(n0, r_rows), max(1, n0))
+            cents = _ivf_centroids(spark, batch, nroot)
+            write_bucketed(
+                spark.createDataFrame(
+                    [(i, c) for i, c in enumerate(cents)],
+                    "cid long, cv array<double>",
+                ),
+                root_table, "cid", _BUCKETS, path=root_path,
+            )
+            write_bucketed(
+                hier_leaf_centroids(
+                    ivf_assign_with(spark.table(root_table), batch),
+                    leaf_rows=l_rows,
+                ),
+                leaf_table, "bucket", _BUCKETS, path=leaf_path,
+            )
+        root = spark.table(root_table)
+        leaf = spark.table(leaf_table)
+        ids = batch.select("vec_id")
+        have_idx = spark.catalog.tableExists(idx_table)
+        corpus = (
+            spark.table(idx_table).join(ids, "vec_id", "left_anti")
+            if have_idx
+            else spark.createDataFrame(
+                [], "vec_id long, bucket long, leaf long, v array<double>"
+            )
+        )
+        if (
+            drift_check_every
+            and have_idx
+            and batch_id > 0
+            and batch_id % drift_check_every == 0
+            and drift_degraded(
+                ivf_drift_frame(
+                    root, corpus.select("vec_id", "bucket", "v"), batch
+                ),
+                drift_ratio,
+            )
+        ):
+            hier_retrain(
+                spark, root_table, leaf_table, idx_table,
+                exclude_ids=ids, extra_train=batch,
+                root_rows=r_rows, leaf_rows=l_rows,
+            )
+            if retrain_log is not None:
+                retrain_log.append(int(batch_id))
+            root = spark.table(root_table)
+            leaf = spark.table(leaf_table)
+            corpus = spark.table(idx_table).join(ids, "vec_id", "left_anti")
+        status = semantic_delta_status_hier(root, leaf, corpus, batch)
+        status.persist().count()
+        (
+            status.withColumn("batch_id", SF.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out)
+        )
+        new_vecs = batch.join(
+            status.filter(SF.col("status") == "new").select("vec_id"),
+            "vec_id",
+            "left_semi",
+        )
+        if have_idx:
+            hier_index_append(root, leaf, new_vecs, idx_table, idempotent=True)
+        else:
+            write_bucketed(
+                hier_assign(ivf_assign_with(root, new_vecs), leaf),
+                idx_table, ("bucket", "leaf"), _BUCKETS, path=idx_path,
+            )
+        status.unpersist()
+
+    return step
+
+
+@register("stream_hier_index_maintenance", tags=("C9", "C2", "C3", "A8"))
+def stream_hier_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest loop for the STANDING TWO-LEVEL index — the
+    production semantic-maintenance form past the flat tier's
+    4096-centroid cap (SCALE.md r13: cell occupancy pinned at ~64 at
+    any corpus size where the flat loop's bucket occupancy grows
+    linearly): each micro-batch is triaged against the live
+    (bucket, leaf) cells (``semantic_delta_status_hier``, candidate
+    work ~64 rows/vector), statuses land in a parquet sink, survivors
+    are admitted via ``hier_index_append`` under the same composite
+    bucket spec, and root-level drift triggers the crash-atomic
+    three-table ``hier_retrain``. Replay-idempotent under
+    foreachBatch's at-least-once contract via the same three guards as
+    the LSH and flat-IVF loops (byte-level property tests in
+    tests/test_streaming_sink.py). Rows-only (seeded quantizers are
+    engine-specific); the fixture drain is checked for
+    one-status-per-vector and determinism."""
+    import shutil
+    import tempfile
+
+    harden(spark)
+    root_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.rstrip("/").replace("/", "_"),
+        "hier_maint",
+    )
+    shutil.rmtree(root_dir, ignore_errors=True)
+    out = os.path.join(root_dir, "out")
+    ckpt = os.path.join(root_dir, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    tag = stream_table_tag(sf_dir)
+    root_table = f"mrps_stream_hier_root_{tag}"
+    leaf_table = f"mrps_stream_hier_leaf_{tag}"
+    idx_table = f"mrps_stream_hier_idx_{tag}"
+    for t in (root_table, leaf_table, idx_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            _hier_maintenance_step(
+                spark, root_table, leaf_table, idx_table, out,
+                os.path.join(root_dir, "root"),
+                os.path.join(root_dir, "leaf"),
+                os.path.join(root_dir, "index"),
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(out).select(
+        "vec_id",
+        "status",
+        "match_id",
+        F.col("batch_id").cast("long").alias("batch_id"),
+    )

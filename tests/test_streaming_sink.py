@@ -533,3 +533,184 @@ def test_ivf_maintenance_undrifted_never_retrains(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {cent_t}")
             spark.sql(f"DROP TABLE IF EXISTS {idx_t}")
     assert results["checked"] == results["never"] and len(results["checked"]) == 24
+
+
+def test_hier_maintenance_two_batch_and_replay(spark, tmp_path):
+    """The two-level twin of the IVF maintenance loop: cross-batch
+    statuses hold through the (bucket, leaf) cells, the quantizer pair
+    trains once on batch 1, and a replayed (batch, batch_id) leaves
+    statuses, the inverted file, and BOTH quantizer tables
+    byte-identical."""
+    import os
+
+    import numpy as np
+
+    from mr_py_spark.streaming import _hier_maintenance_step
+
+    X = np.eye(40)
+    vecs = [[float(x) for x in r] for r in X]
+    root_t, leaf_t, idx_t = (
+        "mrps_test_shier_root", "mrps_test_shier_leaf", "mrps_test_shier_idx"
+    )
+    for t in (root_t, leaf_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    step = _hier_maintenance_step(
+        spark, root_t, leaf_t, idx_t, out,
+        str(tmp_path / "root"), str(tmp_path / "leaf"),
+        str(tmp_path / "index"),
+        root_rows=4, leaf_rows=2,  # force a real multi-leaf hierarchy
+    )
+
+    def snapshot():
+        statuses = sorted(
+            (r.vec_id, r.status, r.match_id, r.batch_id)
+            for r in spark.read.parquet(out).collect()
+        )
+        index = sorted(
+            (r.vec_id, r.bucket, r.leaf) for r in spark.table(idx_t).collect()
+        )
+        roots = sorted(tuple(r.cv) for r in spark.table(root_t).collect())
+        leaves = sorted(
+            (r.bucket, r.leaf, tuple(r.lv))
+            for r in spark.table(leaf_t).collect()
+        )
+        return statuses, index, roots, leaves
+
+    b0 = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(20)] + [(100, vecs[3])],
+        "vec_id long, embedding array<double>",
+    )
+    try:
+        step(b0, 0)
+        snap0 = snapshot()
+        assert len(snap0[3]) > len(snap0[2])  # more leaves than roots
+        got0 = {d: (s, m) for d, s, m, _ in snap0[0]}
+        assert len(got0) == 21
+        assert got0[3] == ("new", None)
+        assert got0[100] == ("dup_within_delta", 3)
+        step(b0, 0)  # replay of the bootstrap batch
+        assert snapshot() == snap0
+        b1 = spark.createDataFrame(
+            [(200, vecs[7]), (201, [float(x) for x in X[25]])],
+            "vec_id long, embedding array<double>",
+        )
+        step(b1, 1)
+        snap1 = snapshot()
+        got1 = {d: (s, m) for d, s, m, _ in snap1[0]}
+        assert got1[200] == ("dup_of_corpus", 7)
+        assert got1[201] == ("new", None)
+        step(b1, 1)  # replay of the latest batch
+        assert snapshot() == snap1
+        idx_ids = {v for v, _, _ in snap1[1]}
+        new_ids = {d for d, (s, _) in {**got0, **got1}.items() if s == "new"}
+        assert idx_ids == new_ids
+    finally:
+        for t in (root_t, leaf_t, idx_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hier_maintenance_drift_retrains_once_and_replays(spark, tmp_path):
+    """Planted drift through the two-level loop: a subspace-B batch
+    trips the root-level p05 rule exactly once, the three-table
+    rebuild covers B (follow-up B data is in-distribution — no second
+    retrain), and a replay of the RETRAINING batch leaves statuses,
+    the inverted file, and both quantizer tables byte-identical."""
+    import os
+
+    import numpy as np
+
+    from mr_py_spark.streaming import _hier_maintenance_step
+
+    X = np.eye(60)
+    vecs = [[float(x) for x in r] for r in X]
+    root_t, leaf_t, idx_t = (
+        "mrps_test_hdrift_root", "mrps_test_hdrift_leaf", "mrps_test_hdrift_idx"
+    )
+    for t in (root_t, leaf_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    log: list[int] = []
+    step = _hier_maintenance_step(
+        spark, root_t, leaf_t, idx_t, out,
+        str(tmp_path / "root"), str(tmp_path / "leaf"),
+        str(tmp_path / "index"),
+        drift_check_every=1, retrain_log=log, root_rows=4, leaf_rows=2,
+    )
+
+    def snapshot():
+        return (
+            sorted(
+                (r.vec_id, r.status, r.match_id, r.batch_id)
+                for r in spark.read.parquet(out).collect()
+            ),
+            sorted(
+                (r.vec_id, r.bucket, r.leaf)
+                for r in spark.table(idx_t).collect()
+            ),
+            sorted(tuple(r.cv) for r in spark.table(root_t).collect()),
+            sorted(
+                (r.bucket, r.leaf, tuple(r.lv))
+                for r in spark.table(leaf_t).collect()
+            ),
+        )
+
+    try:
+        step(
+            spark.createDataFrame(
+                [(i, vecs[i]) for i in range(20)],
+                "vec_id long, embedding array<double>",
+            ),
+            0,
+        )
+        assert log == []
+        b1 = spark.createDataFrame(
+            [(100 + i, vecs[30 + i]) for i in range(15)],
+            "vec_id long, embedding array<double>",
+        )
+        step(b1, 1)
+        assert log == [1]
+        snap1 = snapshot()
+        # the rebuilt ROOTS cover subspace B
+        assert any(
+            any(abs(c[d]) > 1e-9 for d in range(30, 45)) for c in snap1[2]
+        )
+        step(
+            spark.createDataFrame(
+                [(200 + i, vecs[35 + i]) for i in range(8)],
+                "vec_id long, embedding array<double>",
+            ),
+            2,
+        )
+        assert log == [1]  # exactly one rebuild on the whole stream
+        snap2 = snapshot()
+        step(b1, 1)  # replay of the retraining batch
+        assert snapshot() == snap2
+    finally:
+        for t in (root_t, leaf_t, idx_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_hier_maintenance_fixture_drain(spark):
+    """Registered-query drain on the fixture: one status per embedding,
+    statuses in the enum, deterministic across two drains."""
+    from mr_py_spark.registry import load_all
+
+    reg = load_all()
+    q = reg["stream_hier_index_maintenance"]
+    out1 = {
+        r.vec_id: (r.status, r.match_id)
+        for r in q.fn(spark, SF_DIR).collect()
+    }
+    n = tbl(spark, SF_DIR, "embeddings").count()
+    assert len(out1) == n
+    assert {s for s, _ in out1.values()} <= {
+        "new", "dup_within_delta", "dup_of_corpus"
+    }
+    out2 = {
+        r.vec_id: (r.status, r.match_id)
+        for r in q.fn(spark, SF_DIR).collect()
+    }
+    assert out1 == out2
