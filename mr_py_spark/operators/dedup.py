@@ -1131,3 +1131,102 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_tok",
         "n_tokens",
     )
+
+
+@register(
+    "substring_scrub",
+    tags=("C1", "C5"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i:i+{_SPAN_L - 1}], ' ') AS g
+            FROM toks, UNNEST(generate_series(1, len(w) - {_SPAN_L - 1})) AS t(i)
+        ),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        dup AS (
+            SELECT doc_id, pos FROM grams
+            WHERE g IN (SELECT g FROM dupg)
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, j AS i
+            FROM dup, UNNEST(generate_series(pos, pos + {_SPAN_L - 1})) AS t(j)
+        ),
+        tok AS (
+            SELECT doc_id, i, w[i] AS tok
+            FROM toks, UNNEST(generate_series(1, len(w))) AS t(i)
+        )
+        SELECT tok.doc_id,
+               count(*) AS n_tokens,
+               CAST(count(covered.i) AS BIGINT) AS n_dropped,
+               COALESCE(
+                   string_agg(CASE WHEN covered.i IS NULL THEN tok.tok END,
+                              ' ' ORDER BY tok.i),
+                   '') AS text_scrubbed
+        FROM tok
+        LEFT JOIN covered
+               ON tok.doc_id = covered.doc_id AND tok.i = covered.i
+        GROUP BY tok.doc_id
+    """,
+)
+def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE half of substring-level dedup (C1/C5): emit each
+    document with every token covered by a duplicated _SPAN_L-token
+    window REMOVED — the training-data deliverable the suffix-array
+    dedup literature actually produces (``substring_dup_spans`` is the
+    removal plan; this executes it). One row per document: token
+    count, dropped-token count, and the scrubbed text (empty string
+    when the whole document was duplicated — both engines, COALESCE on
+    the oracle side since string_agg over all-NULLs is NULL).
+
+    Scale shape: the duplicated-position stream is the
+    substring_dup_spans plan (partial-agg df, left-semi re-annotate);
+    covered token indices explode it ×_SPAN_L then distinct — linear
+    in duplicated positions. The rebuild joins the token stream LEFT
+    against covered on (doc_id, i) — a doc_id-prefixed key, so the hot
+    corpus-wide gram never concentrates a partition — and reassembles
+    per doc with collect_list(struct(i, tok)) + array_sort: the
+    document-sized buffer IS the asked-for output (the inverted-index
+    posting-list precedent), never an aggregation intermediate."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.lower("text")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(ngrams_arr("w", _SPAN_L)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    dupg = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 2
+    )
+    dup = grams.join(dupg.select("g"), "g", "left_semi")
+    covered = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_L - 1))
+            ).alias("i"),
+        )
+        .distinct()
+        .withColumn("cov", F.lit(1))
+    )
+    tok = toks.select(
+        "doc_id", F.posexplode("w").alias("i0", "tok")
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "tok")
+    kept = F.when(F.col("cov").isNull(), F.struct("i", "tok"))
+    return (
+        tok.join(covered, ["doc_id", "i"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("cov"), F.lit(0))).cast("long").alias(
+                "n_dropped"
+            ),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda x: x["tok"]
+                ),
+                " ",
+            ).alias("text_scrubbed"),
+        )
+    )

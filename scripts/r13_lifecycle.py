@@ -6,16 +6,17 @@ performs on the tier, one session, each step timed.
 
   1. BUILD    corpus LSH band index + flat IVF index + HIER two-level
               index (content/knob-stamped bucketed warehouse tables)
-  2. INGEST   drain both streaming maintenance loops over the fixture
-              (replay-idempotent foreachBatch; the IVF loop now carries
-              the in-loop drift check)
-  3. COMPACT  both stream-maintained tables back to one file per
+  2. INGEST   drain all three streaming maintenance loops over the
+              fixture (replay-idempotent foreachBatch; the IVF and
+              hier loops carry the in-loop drift check)
+  3. COMPACT  the stream-maintained tables back to one file per
               occupied bucket (crash-atomic two-phase swap)
   4. MONITOR  ivf_drift_stats (the gauge) on the delta split
   5. RETRAIN  ivf_drift_retrain (the actuator, planted-drift demo:
               detect -> rebuild in place -> re-score)
   6. SERVE    warm O(delta) triage against the standing indexes
-              (text, flat semantic, HIER semantic, indexed ANN)
+              (text, flat semantic, HIER semantic, indexed ANN flat
+              and hier)
 
 Usage: python scripts/r13_lifecycle.py --sf-dir /tmp/sparkgraft/sf10mut
 """
@@ -69,15 +70,17 @@ def main() -> None:
     timed("1b. corpus IVF index build/attach", lambda: ivf_corpus_index(spark, sf))
     timed("1c. hier two-level index build/attach", lambda: hier_corpus_index(spark, sf))
 
-    # 2. streaming ingest loops
+    # 2. streaming ingest loops (all three: text LSH, flat IVF, hier)
     run("stream_lsh_index_maintenance")
     run("stream_semantic_index_maintenance")
+    run("stream_hier_index_maintenance")
 
     # 3. compact the stream-maintained tables
     tag = stream_table_tag(sf)
     for table, keys in (
         (f"mrps_stream_lsh_idx_{tag}", _LSH_INDEX_KEYS),
         (f"mrps_stream_ivf_idx_{tag}", "bucket"),
+        (f"mrps_stream_hier_idx_{tag}", ("bucket", "leaf")),
     ):
         stats = timed(
             f"3. compact {table}", lambda: compact_bucketed_table(spark, table, keys)
@@ -99,6 +102,7 @@ def main() -> None:
     run("incremental_semantic_dedup")
     run("incremental_semantic_dedup_hier")
     run("knn_ivf_topk_indexed")
+    run("knn_hier_topk_indexed")
     spark.stop()
 
 
