@@ -2286,3 +2286,88 @@ def knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_topk_core(
         spark, e, queries, n_hint=_table_rows(e, sf_dir, "embeddings")
     )
+
+
+@register("emb_pca_whiten", tags=("C3", "B7", "B40"), oracle=None)
+def emb_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding table (C3 preprocessing): two
+    linear passes — (1) a partition-local moment fold (count, Σv,
+    Σvvᵀ) whose output is ONE row per partition (a bounded metadata
+    collect, the kmeans partial-moment class: partitions × (d + d²)
+    doubles for d = 64, never vector rows), combined on the driver in
+    partition-id order so the float fold is deterministic for a given
+    layout; (2) an eigendecomposition of the d×d covariance on the
+    driver (64×64 — O(d³) microseconds, no distributed work) whose
+    whitening matrix broadcasts into a projection mapInPandas. Output:
+    (vec_id, w) with components decorrelated and unit-variance — the
+    standard preconditioner before IVF/PQ quantization (isotropic
+    residuals make coarse cells rounder and PQ subspaces balanced).
+
+    Rows-only (LAPACK eigenvectors are platform-specific up to sign
+    and near-degenerate rotation); whitened-covariance ≈ I, zero mean,
+    and same-session determinism are property-tested
+    (tests/test_properties.py). At 100 TB both passes are single scans
+    with nothing wider than d² per task on the wire."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+
+    def moments(batches):
+        from pyspark import TaskContext
+
+        n = 0
+        s = None
+        S = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["v"]), dtype=np.float64)
+            n += len(m)
+            s = m.sum(0) if s is None else s + m.sum(0)
+            S = m.T @ m if S is None else S + m.T @ m
+        if n:
+            pid = TaskContext.get().partitionId()
+            yield pd.DataFrame(
+                {
+                    "pid": [int(pid)],
+                    "n": [int(n)],
+                    "s": [[float(x) for x in s]],
+                    "ss": [[float(x) for x in S.ravel()]],
+                }
+            )
+
+    parts = sorted(
+        e.mapInPandas(
+            moments, "pid long, n long, s array<double>, ss array<double>"
+        ).collect(),
+        key=lambda r: r.pid,
+    )
+    n_tot = sum(r.n for r in parts)
+    d = len(parts[0].s)
+    s_tot = np.zeros(d)
+    ss_tot = np.zeros((d, d))
+    for r in parts:  # deterministic partition-id fold order
+        s_tot += np.asarray(r.s)
+        ss_tot += np.asarray(r.ss).reshape(d, d)
+    mu = s_tot / n_tot
+    cov = ss_tot / n_tot - np.outer(mu, mu)
+    lam, vec = np.linalg.eigh(cov)
+    w_mat = vec @ np.diag(1.0 / np.sqrt(np.maximum(lam, 1e-9))) @ vec.T
+    b = _bc(spark, (mu, w_mat))
+
+    def project(batches):
+        mu_b, w_b = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(list(pdf["v"]), dtype=np.float64)
+            out = (m - mu_b) @ w_b
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "w": [[float(x) for x in row] for row in out],
+                }
+            )
+
+    return e.mapInPandas(project, "vec_id long, w array<double>")

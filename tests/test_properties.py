@@ -2808,3 +2808,41 @@ def test_knn_hier_indexed_fixture_recall(spark):
     assert len(out) == len({r.q_id for r in out}) * 5
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.5, f"hier indexed recall@5 {recall:.2f}"
+
+
+def test_emb_pca_whiten_identity_covariance_and_determinism(spark):
+    """Whitening contract: the projected fixture has (population)
+    covariance == identity and zero mean up to float noise — provided
+    the original covariance is numerically full-rank, which is
+    asserted as a precondition so the check cannot pass vacuously
+    through the eigenvalue clip — and a same-session re-run is
+    bit-identical."""
+    import numpy as np
+
+    out1 = rows(spark, "emb_pca_whiten")
+    W = np.asarray([r.w for r in sorted(out1, key=lambda r: r.vec_id)])
+    n, d = W.shape
+    assert n == len(out1) and d == 64
+    mu = W.mean(0)
+    cov = W.T @ W / n - np.outer(mu, mu)
+    # precondition: source covariance full-rank (clip not engaged)
+    from mr_py_spark.sources import tbl
+    from mr_py_spark.operators.similarity import _emb_double
+
+    X = np.asarray(
+        [
+            r.v
+            for r in _emb_double(
+                tbl(spark, SF_DIR, "embeddings"), "v"
+            ).collect()
+        ]
+    )
+    xmu = X.mean(0)
+    lam = np.linalg.eigvalsh(X.T @ X / len(X) - np.outer(xmu, xmu))
+    assert lam.min() > 1e-9
+    assert np.abs(mu).max() < 1e-9
+    assert np.abs(cov - np.eye(d)).max() < 1e-7, np.abs(cov - np.eye(d)).max()
+    out2 = rows(spark, "emb_pca_whiten")
+    assert sorted(map(tuple, ((r.vec_id, tuple(r.w)) for r in out1))) == sorted(
+        map(tuple, ((r.vec_id, tuple(r.w)) for r in out2))
+    )
