@@ -165,6 +165,38 @@ def test_substring_dup_spans_plan_shape(spark):
             assert "doc_id" in line.split("windowspecdefinition", 1)[1][:24], line
 
 
+def test_substring_scrub_plan_shape(spark):
+    """The rewrite half keeps the same gram-stream discipline as the
+    removal plan, and the token rebuild is a doc_id-prefixed equi-join
+    (never a position window or a cartesian)."""
+    p = plan_of(spark, "substring_scrub")
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p
+    assert "LeftSemi" in p
+    assert "windowspecdefinition" not in p
+
+
+def test_bm25_plan_shape(spark):
+    """BM25: tf/dl/df partial-aggregate before their exchanges, the
+    bounded query-term table broadcasts, corpus stats ride the 1-row
+    broadcast glue (the exempt nested loop), and nothing degenerates
+    to a cartesian."""
+    p = plan_of(spark, "bm25_retrieval")
+    assert "CartesianProduct" not in p
+    assert p.count("partial_count") >= 2
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row stats glue only
+
+
+def test_emb_pca_whiten_projection_is_scan_plus_map(spark):
+    """The whitening matrix is driver-resident (bounded moment
+    collect); the returned projection pass must be a pure scan +
+    mapInPandas — no join, no shuffle ahead of the Python stage."""
+    p = plan_of(spark, "emb_pca_whiten")
+    assert "Join" not in p
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
+
+
 def test_decontaminate_embeddings_no_join(spark):
     """The benchmark set is bounded and broadcast, so the scoring pass
     must be a pure scan + mapInPandas — no join of any kind and no
