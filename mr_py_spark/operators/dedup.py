@@ -1230,3 +1230,55 @@ def substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text_scrubbed"),
         )
     )
+
+
+@register("substring_dup_spans_hashed", tags=("C1", "C5"), oracle=None)
+def substring_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``substring_dup_spans`` with the gram SHUFFLE KEY hashed to 64
+    bits (xxhash64) — the documented 100 TB knob: the df aggregation
+    and the duplicated-position semi-join then carry 8-byte keys
+    instead of ~8-word strings (an order of magnitude less shuffle
+    payload on the corpus-wide stages; the interval merge is
+    unchanged, it never sees the gram). Rows-only: the oracle engine
+    has no xxhash64, and a 64-bit collision — P(any) ≈ n²/2⁶⁵, ~1e-10
+    at a billion distinct grams — could merge two distinct grams and
+    mint a false duplicated position, which is an accepted
+    approximation at scale exactly like MinHash's. Property-pinned
+    output-equal to the exact string-keyed form on the fixture
+    (tests/test_properties.py), where both are collision-free."""
+    docs = tbl(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", words(F.lower("text")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(ngrams_arr("w", _SPAN_L)).alias("pos0", "g"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        F.xxhash64("g").alias("gh"),
+    )
+    dupg = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= 2
+    )
+    dup = grams.join(dupg.select("gh"), "gh", "left_semi")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) <= _SPAN_L, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    grp = isl.select("doc_id", "pos", F.sum("brk").over(wdoc).alias("gid"))
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(_SPAN_L - 1)).alias("end_tok"),
+        (F.max("pos") + F.lit(_SPAN_L - 1) - F.min("pos") + 1).alias(
+            "n_tokens"
+        ),
+    ).select(
+        "doc_id",
+        F.col("gid").cast("long").alias("span_id"),
+        "start_tok",
+        "end_tok",
+        "n_tokens",
+    )

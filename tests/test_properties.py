@@ -2846,3 +2846,26 @@ def test_emb_pca_whiten_identity_covariance_and_determinism(spark):
     assert sorted(map(tuple, ((r.vec_id, tuple(r.w)) for r in out1))) == sorted(
         map(tuple, ((r.vec_id, tuple(r.w)) for r in out2))
     )
+
+
+def test_substring_hashed_equals_exact_on_fixture(spark):
+    """The 64-bit-keyed scale form must emit EXACTLY the string-keyed
+    form's spans on the fixture (collision-free there: distinct grams
+    are asserted to hash distinctly, so the equality is meaningful and
+    any future divergence means a real plan bug, not hash luck)."""
+    from mr_py_spark.functions import ngrams_arr, words
+    from mr_py_spark.operators.dedup import _SPAN_L
+    from mr_py_spark.sources import tbl
+
+    toks = tbl(spark, SF_DIR, "documents").select(
+        "doc_id", words(F.lower("text")).alias("w")
+    )
+    grams = toks.select(
+        F.explode(ngrams_arr("w", _SPAN_L)).alias("g")
+    ).distinct()
+    n_grams = grams.count()
+    n_hashes = grams.select(F.xxhash64("g")).distinct().count()
+    assert n_grams == n_hashes  # no collision on the fixture
+    a = sorted(map(tuple, rows(spark, "substring_dup_spans")))
+    b = sorted(map(tuple, rows(spark, "substring_dup_spans_hashed")))
+    assert a == b and len(a) > 0
