@@ -93,7 +93,9 @@ def main() -> None:
     )
     print(f"candidates/query flat (nlist={nlist}, n_probe={n_probe}): "
           f"mean={flat_per_q[0]:.0f} max={flat_per_q[1]}", flush=True)
-    print(f"candidates/query hier (8x8 probes): "
+    from mr_py_spark.operators.hier import _LEAF_PROBE, _ROOT_PROBE
+
+    print(f"candidates/query hier ({_ROOT_PROBE}x{_LEAF_PROBE} probes): "
           f"mean={hier_per_q[0]:.0f} max={hier_per_q[1]}", flush=True)
 
     for rep in range(args.reps):
