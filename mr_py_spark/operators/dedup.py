@@ -1282,3 +1282,137 @@ def substring_dup_spans_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_tok",
         "n_tokens",
     )
+
+
+def substring_gram_df_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING gram document-frequency table of the fixture's
+    corpus split — the substring-dedup analogue of corpus_lsh_index:
+    (g, df) for every _SPAN_L-token window in the corpus, persisted
+    once per sf_dir BUCKETED BY g so the incremental form's
+    gram-annotation join is exchange-free on the corpus side. Gram
+    keys stay STRINGS here (the compared form's contract; the 64-bit
+    xxhash64 key is the 100 TB knob, substring_dup_spans_hashed).
+    Content-stamped to the fixture with the builder stamp covering
+    the tokenization and span-length knobs."""
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+    from mr_py_spark.functions import ngrams_arr as _ng
+
+    def build() -> DataFrame:
+        docs = tbl(spark, sf_dir, "documents")
+        b = (F.col("doc_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+        toks = docs.filter(b != _INC_DELTA_BUCKET).select(
+            "doc_id", words(F.lower("text")).alias("w")
+        )
+        return (
+            toks.select(F.explode(_ng("w", _SPAN_L)).alias("g"))
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+
+    return _bucketed_table(
+        spark, sf_dir, "sub_gram_df", "g", frame_of=build,
+        src_name="documents", schema="g string, df long",
+        stamp_extra=builder_stamp(
+            words, ngrams_arr, span_l=_SPAN_L,
+            inc=(_INC_MULT, _INC_BUCKETS, _INC_DELTA_BUCKET),
+        ),
+    )
+
+
+@register(
+    "incremental_substring_dedup",
+    tags=("C1", "C5", "B22"),
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, i AS pos,
+                   array_to_string(w[i:i+{_SPAN_L - 1}], ' ') AS g
+            FROM toks, UNNEST(generate_series(1, len(w) - {_SPAN_L - 1})) AS t(i)
+        ),
+        dupg AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        dup AS (
+            SELECT doc_id, pos FROM grams
+            WHERE g IN (SELECT g FROM dupg)
+              AND (doc_id * {_INC_MULT}) % {_INC_BUCKETS} = {_INC_DELTA_BUCKET}
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) <= {_SPAN_L}
+                        THEN 0 ELSE 1 END AS brk
+            FROM dup
+        ),
+        grp AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+            FROM isl
+        )
+        SELECT doc_id,
+               CAST(gid AS BIGINT) AS span_id,
+               min(pos) AS start_tok,
+               max(pos) + {_SPAN_L - 1} AS end_tok,
+               max(pos) + {_SPAN_L - 1} - min(pos) + 1 AS n_tokens
+        FROM grp
+        GROUP BY doc_id, gid
+    """,
+)
+def incremental_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(delta) substring-span dedup — the incremental form of
+    ``substring_dup_spans`` over the standing corpus gram-df table
+    (the same snapshot convention as the MinHash and semantic
+    incremental tiers): only the DELTA split is tokenized, its grams
+    are annotated with corpus document frequency via one equi-join
+    against the g-bucketed standing table (exchange-free on the corpus
+    side; only the delta exchanges), a gram position is duplicated iff
+    corpus df + within-delta count >= 2, and the per-doc interval
+    merge is unchanged. The corpus is never re-tokenized per snapshot
+    — the cost a non-indexed pipeline pays on every crawl drop.
+
+    Output is BY CONSTRUCTION the full form's spans restricted to
+    delta docs (corpus ∪ delta = all docs, so the >= 2 criterion
+    coincides) — which is exactly what the oracle states (the full
+    substring_dup_spans SQL with the delta-split filter), making this
+    incremental form bitwise-oracle-backed, unlike the seeded MinHash/
+    semantic tiers. Maintenance of the standing table is a df MERGE
+    (sum counts per gram), not an append — the documented knob; the
+    per-sf_dir cached table is content-stamped and read-only here."""
+    docs = tbl(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+    delta = docs.filter(b == _INC_DELTA_BUCKET)
+    toks = delta.select("doc_id", words(F.lower("text")).alias("w"))
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(ngrams_arr("w", _SPAN_L)).alias("pos0", "g"),
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "g")
+    corpus_df = substring_gram_df_index(spark, sf_dir)
+    delta_df = grams.groupBy("g").agg(F.count(F.lit(1)).alias("ddf"))
+    dupg = (
+        delta_df.join(corpus_df, "g", "left")
+        .filter(F.coalesce(F.col("df"), F.lit(0)) + F.col("ddf") >= 2)
+        .select("g")
+    )
+    dup = grams.join(dupg, "g", "left_semi")
+    wdoc = W.partitionBy("doc_id").orderBy("pos")
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.when(F.col("pos") - F.lag("pos").over(wdoc) <= _SPAN_L, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk"),
+    )
+    grp = isl.select("doc_id", "pos", F.sum("brk").over(wdoc).alias("gid"))
+    return grp.groupBy("doc_id", "gid").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + F.lit(_SPAN_L - 1)).alias("end_tok"),
+        (F.max("pos") + F.lit(_SPAN_L - 1) - F.min("pos") + 1).alias(
+            "n_tokens"
+        ),
+    ).select(
+        "doc_id",
+        F.col("gid").cast("long").alias("span_id"),
+        "start_tok",
+        "end_tok",
+        "n_tokens",
+    )

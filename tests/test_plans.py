@@ -869,3 +869,18 @@ def test_multimodal_indexed_forms_read_standing_index(spark):
         assert "MapInPandas" not in p, name  # decode never re-runs
         assert "CartesianProduct" not in p, name
         assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_incremental_substring_reads_standing_gram_index(spark):
+    """The O(delta) substring form: corpus grams arrive as the
+    persisted g-bucketed df table (no corpus re-tokenization at query
+    time — the only documents scan feeds the delta split), candidate
+    annotation is equi-join shaped, and the interval merge stays
+    doc_id-keyed."""
+    p = plan_of(spark, "incremental_substring_dedup")
+    assert "mrps_bkt_sub_gram_df" in p
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p
+    for line in p.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line.split("windowspecdefinition", 1)[1][:24], line

@@ -2869,3 +2869,24 @@ def test_substring_hashed_equals_exact_on_fixture(spark):
     a = sorted(map(tuple, rows(spark, "substring_dup_spans")))
     b = sorted(map(tuple, rows(spark, "substring_dup_spans_hashed")))
     assert a == b and len(a) > 0
+
+
+def test_incremental_substring_equals_full_form_on_delta(spark):
+    """Engine-internal pin (the oracle states the same thing cross-
+    engine): the incremental form's spans are EXACTLY the full form's
+    spans restricted to the delta split — corpus-df + within-delta
+    count coincides with the corpus-wide >= 2 criterion because
+    corpus ∪ delta = all docs."""
+    from mr_py_spark.operators.dedup import (
+        _INC_BUCKETS,
+        _INC_DELTA_BUCKET,
+        _INC_MULT,
+    )
+
+    full = [
+        t
+        for t in map(tuple, rows(spark, "substring_dup_spans"))
+        if (t[0] * _INC_MULT) % _INC_BUCKETS == _INC_DELTA_BUCKET
+    ]
+    inc = sorted(map(tuple, rows(spark, "incremental_substring_dedup")))
+    assert inc == sorted(full) and len(inc) > 0
