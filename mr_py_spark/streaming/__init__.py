@@ -1418,6 +1418,12 @@ def _hier_maintenance_step(
                 ),
                 root_table, "cid", _BUCKETS, path=root_path,
             )
+        if not spark.catalog.tableExists(leaf_table):
+            # separate guard: a crash between the two bootstrap writes
+            # replays THIS batch (foreachBatch checkpoint), so the leaf
+            # rebuild from the persisted roots + the same batch is
+            # deterministic — the flat loop has no such window (one
+            # quantizer table), the two-level bootstrap does
             write_bucketed(
                 hier_leaf_centroids(
                     ivf_assign_with(spark.table(root_table), batch),

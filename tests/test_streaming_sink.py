@@ -714,3 +714,83 @@ def test_stream_hier_maintenance_fixture_drain(spark):
         for r in q.fn(spark, SF_DIR).collect()
     }
     assert out1 == out2
+
+
+def test_hier_maintenance_bootstrap_crash_between_quantizer_writes(
+    spark, tmp_path
+):
+    """The two-level bootstrap has a crash window the flat loop lacks:
+    die between the root write and the leaf write, and the replayed
+    batch must rebuild the leaf table from the persisted roots and
+    finish — byte-identical to a loop that never crashed (roots train
+    deterministically on the same batch, so the crash state IS a
+    prefix of the uncrashed run)."""
+    import os
+
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.hier import _hier_nroot
+    from mr_py_spark.operators.similarity import _ivf_centroids
+    from mr_py_spark.sources.sinks import write_bucketed
+    from mr_py_spark.streaming import _hier_maintenance_step
+
+    X = np.eye(30)
+    rows_b0 = [
+        (i, [float(x) for x in X[i]]) for i in range(15)
+    ]
+    b0 = spark.createDataFrame(rows_b0, "vec_id long, embedding array<double>")
+    batch = b0.selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+
+    snaps = {}
+    for label, pre_crash in (("clean", False), ("crashed", True)):
+        root_t, leaf_t, idx_t = (
+            f"mrps_test_hboot_root_{label}",
+            f"mrps_test_hboot_leaf_{label}",
+            f"mrps_test_hboot_idx_{label}",
+        )
+        for t in (root_t, leaf_t, idx_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        out = str(tmp_path / f"out_{label}")
+        os.makedirs(out, exist_ok=True)
+        if pre_crash:
+            # reproduce exactly the bootstrap's root write, then "die"
+            n0 = batch.count()
+            nroot = min(_hier_nroot(n0, 4), max(1, n0))
+            cents = _ivf_centroids(spark, batch, nroot)
+            write_bucketed(
+                spark.createDataFrame(
+                    [(i, c) for i, c in enumerate(cents)],
+                    "cid long, cv array<double>",
+                ),
+                root_t, "cid", _BUCKETS,
+                path=str(tmp_path / f"root_{label}"),
+            )
+        step = _hier_maintenance_step(
+            spark, root_t, leaf_t, idx_t, out,
+            str(tmp_path / f"root_{label}"), str(tmp_path / f"leaf_{label}"),
+            str(tmp_path / f"index_{label}"),
+            root_rows=4, leaf_rows=2,
+        )
+        try:
+            step(b0, 0)
+            snaps[label] = (
+                sorted(
+                    (r.vec_id, r.status, r.match_id, r.batch_id)
+                    for r in spark.read.parquet(out).collect()
+                ),
+                sorted(
+                    (r.vec_id, r.bucket, r.leaf)
+                    for r in spark.table(idx_t).collect()
+                ),
+                sorted(tuple(r.cv) for r in spark.table(root_t).collect()),
+                sorted(
+                    (r.bucket, r.leaf, tuple(r.lv))
+                    for r in spark.table(leaf_t).collect()
+                ),
+            )
+        finally:
+            for t in (root_t, leaf_t, idx_t):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+    assert snaps["crashed"] == snaps["clean"]
+    assert len(snaps["clean"][0]) == 15
