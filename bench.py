@@ -169,10 +169,16 @@ def main() -> None:
             # exists to track — the sf1 rerun is the comparable signal
             # (lineitem-scale fixture, 20k vectors: the Lloyd chain is
             # genuinely more work than the warm indexed triage here).
+            # The sub-block runs on the MUTATED sf1 twin (r13 review:
+            # byte-identical replicated documents/embeddings collapse
+            # near-dup and quantizer structure to the duplicate-
+            # multiplicity floor — the CLAUDE.md rule says near-dup and
+            # vector work at sf>=1 measures on mutated fixtures only).
             if idx_set and not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH"):
                 try:
+                    sf1m_dir = _ensure_sf1(mutate=True)
                     out["sf1"]["index"] = {
-                        labels[n]: timed(n, sf1_dir) for n in idx_set
+                        labels[n]: timed(n, sf1m_dir) for n in idx_set
                     }
                     out["sf1"]["index"]["unit"] = "sec"
                 except Exception as e:
@@ -184,26 +190,36 @@ def main() -> None:
     spark.stop()
 
 
-def _ensure_sf1() -> str:
+def _ensure_sf1(mutate: bool = False) -> str:
     """The sf1 fixture dir, generated on first use (and regenerated
     when the complete-marker is missing — /tmp vanishes between
     rounds). gen_sf.py is deterministic, so a kept fixture is
     byte-stable across rounds.
 
+    ``mutate=True`` returns the MUTATED twin (documents + embeddings
+    only — the two tables --mutate touches), which the index sub-block
+    measures on per the CLAUDE.md sf>=1 near-dup/vector rule; it lives
+    at its own path so the plain headline fixture is never disturbed.
+
     The marker records the GENERATION ARGS and a concurrent build is
     serialized with the bucketed-warehouse mkdir-lock pattern (ADVICE
     r11): two unguarded bench runs could interleave writes and both
     stamp complete, and a hand-generated fixture at the same path
-    (e.g. --mutate) would otherwise be silently served as if it were
-    the plain factor-10 build — an args mismatch regenerates."""
+    would otherwise be silently served as if it were the stamped
+    build — an args mismatch regenerates."""
     import subprocess
     import time as _time
 
-    sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft/sf1")
-    gen_args = "factor=10;mutate=0"
+    if mutate:
+        sf1 = os.environ.get("SPARK_GRAFT_SF1MUT_DIR", "/tmp/sparkgraft/sf1mut")
+        gen_args = "factor=10;mutate=1;tables=documents,embeddings"
+        tables = "documents embeddings"
+    else:
+        sf1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sparkgraft/sf1")
+        gen_args = "factor=10;mutate=0"
+        tables = "region nation customer supplier part orders lineitem events documents embeddings"
     marker = os.path.join(sf1, "_GEN_COMPLETE")
     lock = os.path.join(sf1, "_GEN_LOCK")
-    tables = "region nation customer supplier part orders lineitem events documents embeddings"
 
     def ok() -> bool:
         try:
@@ -240,10 +256,10 @@ def _ensure_sf1() -> str:
                 pass
             script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "scripts", "gen_sf.py")
-            subprocess.run(
-                [sys.executable, script, "--out", sf1, "--factor", "10"],
-                check=True, capture_output=True,
-            )
+            cmd = [sys.executable, script, "--out", sf1, "--factor", "10"]
+            if mutate:
+                cmd += ["--mutate", "--tables", "documents,embeddings"]
+            subprocess.run(cmd, check=True, capture_output=True)
             tmp = marker + ".tmp"
             with open(tmp, "w") as f:
                 f.write(gen_args)

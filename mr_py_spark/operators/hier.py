@@ -201,7 +201,17 @@ def hier_corpus_index(spark: SparkSession, sf_dir: str):
     candidate equi-joins on the cell stay exchange-free on the corpus
     side. All three ride the content-stamped cache with a builder
     stamp over every function and knob the persisted bytes depend on
-    (ADVICE r12: including the shared assignment kernel). Returns
+    (ADVICE r12: including the shared assignment kernel).
+
+    Cold-build cost note (r13 review): the leaf builder and the
+    inverted-file builder each run the root broadcast-argmax scan over
+    the corpus — one duplicated pass (here and in hier_index).
+    Eliminating it means persisting an n-sized root-assignment
+    intermediate (a write as expensive as the scan it saves) or fusing
+    two cache entries into one job (breaking the one-frame-per-table
+    cache contract); the dominant cold-build costs are the leaf
+    TRAINING groupBy and the leaf ASSIGNMENT cogroup, each intrinsic
+    and run once, so the duplicated argmax stays. Returns
     (root_cent, leaf_cent, assigned)."""
     from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
     from mr_py_spark.operators.dedup import (

@@ -1706,14 +1706,27 @@ def drift_degraded(drift: DataFrame, ratio: float = _DRIFT_P05_RATIO) -> bool:
     delta cohort's p05 top-1 similarity has degraded past ``ratio`` of
     the indexed cohort's — the actuator condition for ``ivf_retrain``
     (VERDICT r12 item 3: the monitor emitted the signal but nothing
-    consumed it). Bounded: the frame is 2 rows by construction."""
+    consumed it). Bounded: the frame is 2 rows by construction.
+
+    Cosine p05 lives in [-1, 1], and the multiplicative rule only has
+    degradation semantics for a POSITIVE indexed p05 (r13 review: with
+    idx p05 = -0.10, a delta at -0.09 — strictly BETTER quantized —
+    satisfied dlt < 0.8·idx and tripped a retrain on healthy data,
+    while idx p05 = 0 could never fire at all). At or below zero the
+    rule switches to an absolute margin of the same width the
+    multiplicative rule has at idx = 1: degraded iff
+    dlt < idx - (1 - ratio). Monotone in dlt for every idx, and a
+    better-than-indexed delta can never fire."""
     rows = {r.cohort: r for r in drift.collect()}
     if "indexed" not in rows or "delta" not in rows:
         return False
     idx, dlt = rows["indexed"], rows["delta"]
     if idx.p05_top1 is None or dlt.p05_top1 is None:
         return False
-    return float(dlt.p05_top1) < ratio * float(idx.p05_top1)
+    i, d = float(idx.p05_top1), float(dlt.p05_top1)
+    if i > 0.0:
+        return d < ratio * i
+    return d < i - (1.0 - ratio)
 
 
 def ivf_retrain(
@@ -1776,10 +1789,16 @@ def ivf_retrain(
         ],
         dtype=np.float64,
     )
-    n = len(sample)
+    # size the quantizer from the INDEX, not the capped training sample
+    # (r13 review: _kmeans_k(len(sample)) silently shrank the rebuilt
+    # quantizer on any index past _IVF_TRAIN_CAP — a 1M-vector index
+    # retrained into ~640-row buckets, re-entering the very occupancy
+    # regime the retrain exists to escape); the count is one bounded
+    # aggregate over the standing table, paid once per drift event
+    n_idx = idx.count()
     if nlist is None:
-        nlist = max(2, _kmeans_k(n))
-    nlist = min(nlist, max(1, n))
+        nlist = max(2, _kmeans_k(n_idx))
+    nlist = min(nlist, max(1, n_idx), max(1, len(sample)))
     cents = _ivf_centroids(spark, idx, nlist, sample=sample)
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)], "cid long, cv array<double>"
@@ -1877,15 +1896,23 @@ def ivf_drift_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def p05s() -> dict:
+            # NULL p05 (empty cohort) surfaces as nan in the emitted
+            # metrics; the DECISION path below never re-implements the
+            # rule (r13 review: the inline copy would silently diverge
+            # from drift_degraded on a future rule fix)
             return {
-                r.cohort: float(r.p05_top1)
+                r.cohort: (
+                    float("nan") if r.p05_top1 is None else float(r.p05_top1)
+                )
                 for r in ivf_drift_frame(
                     spark.table(cent_t), spark.table(idx_t), delta
                 ).collect()
             }
 
         before = p05s()
-        fired = before["delta"] < _DRIFT_P05_RATIO * before["indexed"]
+        fired = drift_degraded(
+            ivf_drift_frame(spark.table(cent_t), spark.table(idx_t), delta)
+        )
         if fired:
             ivf_retrain(spark, cent_t, idx_t, extra_train=delta)
         after = p05s()

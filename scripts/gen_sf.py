@@ -125,14 +125,36 @@ def mutate_embeddings(emb, vec_ids, copy: int):
     ids = np.asarray(vec_ids, dtype=np.uint64)[:, None]
     x = np.asarray(emb, dtype=np.float64)
     j = np.arange(x.shape[1], dtype=np.uint64)[None, :]
+    # splitmix64 finalizer over the (id, copy, dim) seed: the first cut
+    # used a pure AFFINE map here, which has no bit avalanche — two
+    # rows' h values differed by a j-independent constant, so heavy
+    # copies of DIFFERENT ids shared systematically correlated
+    # directions (measured: 86% of cross-id heavy pairs at cosine
+    # >= 0.35, 8% >= 0.9 — manufactured near-dup structure no real
+    # corpus has, the r11 bounded-salt lesson all over again; caught in
+    # r13 review, pinned by the gen_sf guard test).
     h = (
         ids * np.uint64(_MULT)
         + np.uint64(copy) * np.uint64(40503)
         + j * np.uint64(2246822519)
-    ) * np.uint64(_MULT)
+    )
+    h = (h ^ (h >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    h = (h ^ (h >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h = h ^ (h >> np.uint64(31))
     u = (h % np.uint64(2**32)).astype(np.float64) / 2**31 - 1.0
     u /= np.linalg.norm(u, axis=1, keepdims=True)
-    y = x + 0.05 * u if copy <= _N_LIGHT else 0.2 * x + u
+    if copy <= _N_LIGHT:
+        y = x + 0.05 * u
+    else:
+        # blend into the component of u ORTHOGONAL to x so the heavy
+        # copy sits at cosine EXACTLY 0.2 vs its base (r13 review: the
+        # raw blend's u·x term put an ~11% tail of "distinct" copies
+        # above the house tau 0.35 — a blurred copy-class boundary the
+        # guard test now pins crisp)
+        up = u - (u * x).sum(1, keepdims=True) * x
+        n = np.linalg.norm(up, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        y = 0.2 * x + np.sqrt(1.0 - 0.04) * (up / n)
     y /= np.linalg.norm(y, axis=1, keepdims=True)
     return y.astype(np.float32)
 
