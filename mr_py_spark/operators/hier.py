@@ -500,10 +500,15 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: a root boundary is reached through the next-nearest roots, one
 #: straddling a leaf boundary through sibling leaves — measured on the
 #: 30k two-scale clustered corpus in tests/test_properties.py. 12x12
-#: from the 2M-vector probe sweep (SCALE.md r13): recall@5 saturates
-#: at 12x12 (0.820; 16x16 and 24x16 buy nothing — the residual misses
-#: are the mutated fixture's weak-similarity tail, not probe-limited)
-#: at the same measured serve time as 8x8 (0.792).
+#: from the 2M-vector sweep on the HONEST mutated fixture (SCALE.md
+#: r13, post-mixer-fix): STRONG-neighbor recall (cosine >= 0.9, the
+#: near-dup tier's actual target set) is 1.000 at every probe setting
+#: — true near-dups co-assign; all-neighbor recall@5 rises smoothly
+#: with probes (0.57 @ 12x12 / 9k cands, 0.68 @ 24x24, 0.77 @ 48x24 —
+#: each still constant-in-n) because the fixture's residual top-5 are
+#: cosine ~0.3-0.5 NOISE directions no bucketing co-locates; on
+#: clustered corpora (the realistic shape) small probes already clear
+#: 0.7. 12x12 is the default operating point; callers own the knob.
 _ROOT_PROBE = 12
 _LEAF_PROBE = 12
 

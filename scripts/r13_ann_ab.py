@@ -104,14 +104,27 @@ def main() -> None:
         print(f"rep {rep}: flat serve {t_flat:.2f} s | hier serve {t_hier:.2f} s",
               flush=True)
 
-    brute = {(r.q_id, r.nn_id)
-             for r in reg["knn_cosine_topk"].fn(spark, sf).collect()}
+    brute_rows = reg["knn_cosine_topk"].fn(spark, sf).collect()
+    brute = {(r.q_id, r.nn_id) for r in brute_rows}
+    # strong neighbors (cosine >= 0.9): the planted near-dup twins —
+    # the target set the dedup/near-dup tier actually needs; the rest
+    # of the mutated fixture's top-5 are ~N(0, 1/64) noise directions
+    # no bucketing scheme co-locates
+    strong = {(r.q_id, r.nn_id) for r in brute_rows if r.sim >= 0.9}
     flat = {(r.q_id, r.nn_id)
             for r in reg["knn_ivf_topk_indexed"].fn(spark, sf).collect()}
     hier = {(r.q_id, r.nn_id)
             for r in reg["knn_hier_topk_indexed"].fn(spark, sf).collect()}
     print(f"recall@5 vs brute: flat {len(brute & flat) / len(brute):.3f} | "
           f"hier {len(brute & hier) / len(brute):.3f}", flush=True)
+    if strong:
+        print(
+            f"strong-neighbor (>=0.9) recall: "
+            f"flat {len(strong & flat) / len(strong):.3f} | "
+            f"hier {len(strong & hier) / len(strong):.3f} "
+            f"({len(strong)} strong pairs)",
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
