@@ -997,12 +997,34 @@ def _ivf_centroids(
         # (collect 4.8 s + 8 iters 9.4 s vs 30.1 s for ml KMeans) and
         # one less runtime dependency; bucketing quality is what IVF
         # needs, and the recall property tests gate it.
-        half = 0.5 * (cent**2).sum(1)
+        # Two r13-correction fixes to the Lloyd rounds, both exposed by
+        # the honest fixture (SCALE.md r13 correction; the poisoned
+        # fixture's fake structure left most clusters empty and hid
+        # them behind a 121-176 s build that was really 685-1912 s):
+        # (1) mean update is a scatter-add — the first cut looped
+        #     `X[assign == k].mean(0)` per OCCUPIED cluster, O(k·n)
+        #     boolean masks (measured 0.1 s vs minutes at k=4096);
+        # (2) the assignment matmul runs in float32 against a
+        #     CONTIGUOUS transposed centroid matrix — this container's
+        #     OpenBLAS does ~1.3 Gflop/s on a strided float64 gemm and
+        #     2.7x that in float32 (measured: 47.7 -> 17.4 s per round
+        #     at k=4096, n=100k). Assignment is a bucketing decision, so
+        #     float32 argmax is fine for a seeded quantizer (rows-only
+        #     + property contracts; builder stamps rebuild every cached
+        #     index); the MEANS still accumulate from float64 X.
+        # The 100 TB answer remains the distributed partial-moment
+        # Lloyd (kmeans.py) — this driver form exists for the bounded
+        # sample path and the L-table multi-seed tier.
+        X32 = X.astype(np.float32)
         for _ in range(8):
-            assign = (X @ cent.T - half).argmax(1)
-            for k in np.unique(assign):
-                cent[k] = X[assign == k].mean(0)
-            half = 0.5 * (cent**2).sum(1)
+            ct32 = np.ascontiguousarray(cent.T.astype(np.float32))
+            half32 = (0.5 * (cent**2).sum(1)).astype(np.float32)
+            assign = (X32 @ ct32 - half32).argmax(1)
+            sums = np.zeros_like(cent)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=len(cent))
+            occ = counts > 0
+            cent[occ] = sums[occ] / counts[occ, None].astype(np.float64)
         cents = [[float(x) for x in c] for c in cent]
     except Exception:
         cents = [[float(x) for x in r.v] for r in e.orderBy("vec_id").limit(nlist).collect()]
