@@ -95,10 +95,16 @@ def _np_spherical_kmeans(X: np.ndarray, k: int, seed: int) -> np.ndarray:
     else:
         cent = X[rng.choice(n, k, replace=False)].copy()
     for _ in range(8):
-        # argmin ||x-c||^2 == argmax x.c - |c|^2/2
+        # argmin ||x-c||^2 == argmax x.c - |c|^2/2; mean update is a
+        # scatter-add (the r13-correction Lloyd rule: a per-occupied-
+        # cluster mask loop is O(k·n) per round, which a hot root at
+        # k≈4096 over ~262k rows turns into 1e9 ops per round)
         assign = (X @ cent.T - 0.5 * (cent**2).sum(1)).argmax(1)
-        for c in np.unique(assign):
-            cent[c] = X[assign == c].mean(0)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=len(cent))
+        occ = counts > 0
+        cent[occ] = sums[occ] / counts[occ, None].astype(np.float64)
     assign = (X @ cent.T - 0.5 * (cent**2).sum(1)).argmax(1)
     cent = cent[np.unique(assign)]  # drop empties, renumber dense
     norms = np.linalg.norm(cent, axis=1)
