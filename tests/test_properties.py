@@ -2849,11 +2849,20 @@ def test_emb_pca_whiten_identity_covariance_and_determinism(spark):
     the original covariance is numerically full-rank, which is
     asserted as a precondition so the check cannot pass vacuously
     through the eigenvalue clip — and a same-session re-run is
-    bit-identical."""
+    bit-identical. The registered surface emits a repr-joined csv
+    STRING per vector (the r13 driver red: array cells crash the
+    canonicalizer); repr round-trips float64 exactly, so parsing it
+    back loses nothing and the checks are as strong as on the array
+    frame."""
     import numpy as np
 
     out1 = rows(spark, "emb_pca_whiten")
-    W = np.asarray([r.w for r in sorted(out1, key=lambda r: r.vec_id)])
+    W = np.asarray(
+        [
+            [float(x) for x in r.w_csv.split(",")]
+            for r in sorted(out1, key=lambda r: r.vec_id)
+        ]
+    )
     n, d = W.shape
     assert n == len(out1) and d == 64
     mu = W.mean(0)
@@ -2876,9 +2885,48 @@ def test_emb_pca_whiten_identity_covariance_and_determinism(spark):
     assert np.abs(mu).max() < 1e-9
     assert np.abs(cov - np.eye(d)).max() < 1e-7, np.abs(cov - np.eye(d)).max()
     out2 = rows(spark, "emb_pca_whiten")
-    assert sorted(map(tuple, ((r.vec_id, tuple(r.w)) for r in out1))) == sorted(
-        map(tuple, ((r.vec_id, tuple(r.w)) for r in out2))
+    assert sorted((r.vec_id, r.w_csv) for r in out1) == sorted(
+        (r.vec_id, r.w_csv) for r in out2
     )
+
+
+def test_emb_whiten_quantizer_audit_contract(spark):
+    """The whitening consumer emits exactly one row per variant with
+    well-formed stats (cells within the coarse k, occupancies
+    consistent, finite MSEs) and is empty-input-safe (ADVICE r13).
+    The A/B DIRECTION is deliberately not asserted here — it is a
+    measured outcome recorded in SCALE.md, not a contract."""
+    import math
+
+    out = {r.variant: r for r in rows(spark, "emb_whiten_quantizer_audit")}
+    assert set(out) == {"raw", "whitened"}
+    from mr_py_spark.operators.similarity import _AUDIT_NLIST
+
+    for r in out.values():
+        assert 1 <= r.cells <= _AUDIT_NLIST
+        assert r.occ_max >= 1 and r.occ_cv >= 0.0
+        assert math.isfinite(r.pq_mse_raw) and r.pq_mse_raw >= 0.0
+    # same corpus both sides: occ_max can't exceed the corpus size
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert all(r.occ_max <= n for r in out.values())
+
+
+def test_emb_pca_whiten_empty_input_returns_empty_frame(spark):
+    """ADVICE r13: an empty embeddings table must yield an empty
+    frame (both surfaces), not IndexError/ZeroDivisionError from the
+    moment fold."""
+    from mr_py_spark.operators.similarity import (
+        _pca_moments,
+        _pca_whiten_frame,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, v array<double>")
+    assert _pca_moments(spark, empty) is None
+    assert _pca_whiten_frame(spark, empty).count() == 0
+    assert _pca_whiten_frame(spark, empty, csv=True).columns == [
+        "vec_id",
+        "w_csv",
+    ]
 
 
 def test_substring_hashed_equals_exact_on_fixture(spark):
