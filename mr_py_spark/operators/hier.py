@@ -739,36 +739,26 @@ def hier_retrain(
     flat form's two-table swap).
 
     Deterministic given the index contents: the root training sample
-    is the first _IVF_TRAIN_CAP vectors BY vec_id, leaf training sorts
-    each group by vec_id and seeds on the bucket id — a replayed
+    is the tripping batch first, then the index's vectors BY vec_id
+    (`similarity._retrain_sample` — ADVICE r13: sorting the union
+    dropped the batch past the cap on any large index), leaf training
+    sorts each group by vec_id and seeds on the bucket id — a replayed
     retrain rebuilds bit-identical tables. ``exclude_ids`` and
     ``extra_train`` carry the streaming replay discipline over
     unchanged (pre-batch index view for the decision AND the corpus;
     the tripping batch rides the training sample only). Returns
     {"nroot", "n_leaves", "n_vecs"}."""
-    import numpy as np
-
     from mr_py_spark.operators.bucketed import replace_bucketed_table
     from mr_py_spark.operators.similarity import (
-        _IVF_TRAIN_CAP,
         _ivf_centroids,
+        _retrain_sample,
         ivf_assign_with,
     )
 
     idx = spark.table(idx_table).select("vec_id", "v")
     if exclude_ids is not None:
         idx = idx.join(exclude_ids.select("vec_id"), "vec_id", "left_anti")
-    train = idx if extra_train is None else idx.unionByName(
-        extra_train.select("vec_id", "v")
-    )
-    sample = np.asarray(
-        [
-            r.v
-            for r in train.orderBy("vec_id").limit(_IVF_TRAIN_CAP)
-            .select("v").collect()
-        ],
-        dtype=np.float64,
-    )
+    sample = _retrain_sample(idx, extra_train)
     n_vecs = idx.count()
     nroot = min(_hier_nroot(n_vecs, root_rows), max(1, n_vecs), len(sample))
     cents = _ivf_centroids(spark, idx, nroot, sample=sample)

@@ -935,6 +935,53 @@ _N_PROBE = 6  # floor; scales with nlist so probed-fraction stays put
 _IVF_TRAIN_CAP = 100_000  # k-means fits on a bounded prefix, not the corpus
 
 
+def _ordered_train_sample(df: DataFrame, cap: int | None = None):
+    """(rows, dim) float64 ndarray of the first ``cap`` (default
+    _IVF_TRAIN_CAP) vectors of ``df`` (vec_id, v) BY vec_id — the
+    deterministic bounded-collect form every quantizer fit must use. A
+    bare ``limit(cap).collect()`` has no stable order (ADVICE r13: a
+    foreachBatch replay may collect a different prefix — or the same
+    SET in a different ORDER, which still changes the seeded init's
+    row picks), voiding byte-identical replay; the orderBy is a
+    TakeOrderedAndProject, same bounded collect class."""
+    import numpy as np
+
+    cap = _IVF_TRAIN_CAP if cap is None else cap
+    return np.asarray(
+        [r.v for r in df.orderBy("vec_id").limit(cap).select("v").collect()],
+        dtype=np.float64,
+    )
+
+
+def _retrain_sample(
+    idx: DataFrame, extra_train: DataFrame | None, cap: int | None = None
+):
+    """Training sample for a quantizer retrain: the drift-tripping
+    batch rows FIRST (whole, they are bounded by the micro-batch), the
+    remainder filled deterministically from the index by vec_id.
+    ADVICE r13 (medium): the previous
+    ``idx.union(extra_train).orderBy(vec_id).limit(cap)`` silently
+    dropped every extra_train row once the index held >= cap LOWER
+    vec_ids — the normal streaming case (new batches carry higher
+    ids) — so the retrain never saw the drifted region it exists to
+    cover, contradicting the documented contract. Replay determinism
+    holds: the batch is part of the replayed input and both collects
+    are explicitly ordered."""
+    import numpy as np
+
+    cap = _IVF_TRAIN_CAP if cap is None else cap
+    if extra_train is None:
+        return _ordered_train_sample(idx, cap)
+    head = _ordered_train_sample(extra_train.select("vec_id", "v"), cap)
+    fill = cap - len(head)
+    if fill <= 0:
+        return head
+    tail = _ordered_train_sample(idx, fill)
+    return head if not len(tail) else (
+        tail if not len(head) else np.concatenate([head, tail])
+    )
+
+
 def _ivf_nlist(n: int) -> int:
     """Centroid count sized so the average bucket holds about
     _IVF_BUCKET_ROWS vectors: a FIXED nlist makes bucket size — and
@@ -1722,6 +1769,31 @@ def ivf_drift_frame(
 #: data has drifted off the quantizer's partition of the space.
 _DRIFT_P05_RATIO = 0.8
 
+#: Floor for the drift margin's scale (see ``drift_threshold``): below
+#: an indexed p05 of this, the margin stops shrinking multiplicatively
+#: and holds at (1-ratio)·_DRIFT_MARGIN_FLOOR absolute. Sized to the
+#: signal, not to the i=1 margin: on a low-structure corpus TRUE
+#: orthogonal drift only moves p05-of-top-1 by ~0.06 (fixture
+#: measurement, r14) while replay noise is <0.01 — the old absolute
+#: branch's 0.2 margin could never fire there, and the raw
+#: multiplicative margin →0 fires on noise.
+_DRIFT_MARGIN_FLOOR = 0.25
+
+
+def drift_threshold(i: float, ratio: float = _DRIFT_P05_RATIO) -> float:
+    """Fire threshold for the drift rule as a function of the indexed
+    cohort's p05: degraded iff delta p05 < i − (1−ratio)·max(i,
+    _DRIFT_MARGIN_FLOOR). Multiplicative (the original semantics) for
+    a healthy index, an absolute margin below the floor — CONTINUOUS
+    everywhere and monotone in ``i`` (ADVICE r13: the previous
+    two-branch form jumped from a ~0 margin at i=+ε to 0.2 at i=0, so
+    a marginally-healthier index was far more trigger-happy than an
+    exactly-neutral one). The margin is always > 0, so a
+    better-than-indexed delta can never fire. One function so the
+    decision path, the demo query, and the tests share the rule
+    (r13 review: an inline copy silently diverges on a rule fix)."""
+    return i - (1.0 - ratio) * max(i, _DRIFT_MARGIN_FLOOR)
+
 
 def drift_degraded(drift: DataFrame, ratio: float = _DRIFT_P05_RATIO) -> bool:
     """Decision rule over an ``ivf_drift_frame`` result: True when the
@@ -1734,21 +1806,16 @@ def drift_degraded(drift: DataFrame, ratio: float = _DRIFT_P05_RATIO) -> bool:
     degradation semantics for a POSITIVE indexed p05 (r13 review: with
     idx p05 = -0.10, a delta at -0.09 — strictly BETTER quantized —
     satisfied dlt < 0.8·idx and tripped a retrain on healthy data,
-    while idx p05 = 0 could never fire at all). At or below zero the
-    rule switches to an absolute margin of the same width the
-    multiplicative rule has at idx = 1: degraded iff
-    dlt < idx - (1 - ratio). Monotone in dlt for every idx, and a
-    better-than-indexed delta can never fire."""
+    while idx p05 = 0 could never fire at all). The fire condition is
+    ``dlt < drift_threshold(idx, ratio)`` — see there for the
+    continuity/monotonicity contract and the margin-floor sizing."""
     rows = {r.cohort: r for r in drift.collect()}
     if "indexed" not in rows or "delta" not in rows:
         return False
     idx, dlt = rows["indexed"], rows["delta"]
     if idx.p05_top1 is None or dlt.p05_top1 is None:
         return False
-    i, d = float(idx.p05_top1), float(dlt.p05_top1)
-    if i > 0.0:
-        return d < ratio * i
-    return d < i - (1.0 - ratio)
+    return float(dlt.p05_top1) < drift_threshold(float(idx.p05_top1), ratio)
 
 
 def ivf_retrain(
@@ -1766,8 +1833,9 @@ def ivf_retrain(
     point recovers to a queryable generation).
 
     Deterministic given the index contents: the training sample is the
-    first _IVF_TRAIN_CAP vectors BY vec_id (an explicit orderBy — a
-    bare limit over a bucketed scan has no stable order), so a
+    tripping batch first, then the first remaining vectors of the
+    index BY vec_id (`_retrain_sample` — explicit orderBy both parts;
+    a bare limit over a bucketed scan has no stable order), so a
     replayed retrain rebuilds bit-identical tables. The inverted-file
     rewrite is one broadcast-argmax pass over the index plus the
     bucketed side-write — O(index) once per drift event, vs the
@@ -1783,34 +1851,24 @@ def ivf_retrain(
     lost.
 
     ``extra_train`` (vec_id, v) folds the batch that TRIPPED the drift
-    alarm into the training sample — a retrain that never sees the
-    drifted region would re-partition the same old space and leave the
-    alarm ringing. Only the sample is widened; the inverted-file
-    rewrite still covers exactly the index rows (the loop admits the
-    batch itself through its normal idempotent path afterwards), and
-    replay determinism holds because the batch frame is part of the
-    replayed input.
+    alarm into the training sample — taken FIRST, before the index
+    fill (`_retrain_sample`; ADVICE r13: sorting the union by vec_id
+    dropped the batch past the cap exactly when the index was large,
+    and a retrain that never sees the drifted region would
+    re-partition the same old space and leave the alarm ringing). Only
+    the sample is widened; the inverted-file rewrite still covers
+    exactly the index rows (the loop admits the batch itself through
+    its normal idempotent path afterwards), and replay determinism
+    holds because the batch frame is part of the replayed input.
 
     Returns {"nlist", "n_vecs"} for ledgers/monitoring."""
-    import numpy as np
-
     from mr_py_spark.operators.bucketed import replace_bucketed_table
     from mr_py_spark.operators.kmeans import _kmeans_k
 
     idx = spark.table(idx_table).select("vec_id", "v")
     if exclude_ids is not None:
         idx = idx.join(exclude_ids.select("vec_id"), "vec_id", "left_anti")
-    train = idx if extra_train is None else idx.unionByName(
-        extra_train.select("vec_id", "v")
-    )
-    sample = np.asarray(
-        [
-            r.v
-            for r in train.orderBy("vec_id").limit(_IVF_TRAIN_CAP)
-            .select("v").collect()
-        ],
-        dtype=np.float64,
-    )
+    sample = _retrain_sample(idx, extra_train)
     # size the quantizer from the INDEX, not the capped training sample
     # (r13 review: _kmeans_k(len(sample)) silently shrank the rebuilt
     # quantizer on any index past _IVF_TRAIN_CAP — a 1M-vector index

@@ -1122,6 +1122,7 @@ def _ivf_maintenance_step(
     from mr_py_spark.operators.similarity import (
         _DRIFT_P05_RATIO,
         _ivf_centroids,
+        _ordered_train_sample,
         drift_degraded,
         ivf_assign_with,
         ivf_drift_frame,
@@ -1143,11 +1144,16 @@ def _ivf_maintenance_step(
             "vec_id", SF.col("embedding").cast("array<double>").alias("v")
         )
         if not spark.catalog.tableExists(cent_table):
-            # one-time quantizer fit on the FIRST batch (bounded
-            # collect inside _ivf_centroids); sized for cluster-mate
-            # candidate work like the batch corpus index
+            # one-time quantizer fit on the FIRST batch: the sample is
+            # collected EXPLICITLY ORDERED (ADVICE r13 — _ivf_centroids'
+            # default collection is a bare limit whose prefix/row-order
+            # is not replay-stable, voiding the byte-identical-replay
+            # guarantee this loop's crash-window tests rely on); sized
+            # for cluster-mate candidate work like the batch corpus
+            # index
             cents = _ivf_centroids(
-                spark, batch, max(2, _kmeans_k(batch.count()))
+                spark, batch, max(2, _kmeans_k(batch.count())),
+                sample=_ordered_train_sample(batch),
             )
             cent_df = spark.createDataFrame(
                 [(i, c) for i, c in enumerate(cents)],
@@ -1388,6 +1394,7 @@ def _hier_maintenance_step(
     from mr_py_spark.operators.similarity import (
         _DRIFT_P05_RATIO,
         _ivf_centroids,
+        _ordered_train_sample,
         drift_degraded,
         ivf_assign_with,
         ivf_drift_frame,
@@ -1407,10 +1414,14 @@ def _hier_maintenance_step(
         )
         if not spark.catalog.tableExists(root_table):
             # one-time two-level fit on the FIRST batch: bounded-collect
-            # root k-means, then the distributed per-root leaf pass
+            # root k-means on an EXPLICITLY ORDERED sample (ADVICE r13,
+            # same replay-stability reason as the flat loop's
+            # bootstrap), then the distributed per-root leaf pass
             n0 = batch.count()
             nroot = min(_hier_nroot(n0, r_rows), max(1, n0))
-            cents = _ivf_centroids(spark, batch, nroot)
+            cents = _ivf_centroids(
+                spark, batch, nroot, sample=_ordered_train_sample(batch)
+            )
             write_bucketed(
                 spark.createDataFrame(
                     [(i, c) for i, c in enumerate(cents)],

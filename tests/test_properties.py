@@ -2466,13 +2466,15 @@ def test_ivf_drift_retrain_recovers_delta_p05(spark):
     delta trips the drift rule (retrained == 1) and the rebuilt
     quantizer — whose training sample folded the tripping delta in —
     scores that same delta markedly closer to the indexed cohort."""
+    from mr_py_spark.operators.similarity import drift_threshold
+
     reg = load_all()
     out = {r.metric: r.value for r in reg["ivf_drift_retrain"].fn(spark, SF_DIR).collect()}
     assert out["retrained"] == 1.0
-    assert out["p05_delta_before"] < 0.8 * out["p05_indexed_before"]
+    assert out["p05_delta_before"] < drift_threshold(out["p05_indexed_before"])
     # recovery: the delta cohort's p05 improves and clears the trigger
     assert out["p05_delta_after"] > out["p05_delta_before"]
-    assert out["p05_delta_after"] >= 0.8 * out["p05_indexed_after"]
+    assert out["p05_delta_after"] >= drift_threshold(out["p05_indexed_after"])
 
 
 def test_multimodal_indexed_forms_bit_equal_recompute(spark):
@@ -2634,6 +2636,82 @@ def test_hier_index_append_bit_equal_to_rebuild(spark, tmp_path):
         assert again == got
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_drift_rule_continuous_monotone_never_fires_on_better(spark):
+    """ADVICE r13: the drift decision's fire threshold as a function
+    of the indexed cohort's p05 must be CONTINUOUS (the old two-branch
+    rule jumped from margin ~0 at idx=+eps to 0.2 at idx=0 — a
+    marginally-healthier index was far more trigger-happy than a
+    neutral one) and monotone, and a delta at-or-above the indexed
+    cohort must never fire. Scalar sweep + DataFrame spot checks
+    through the real entry point."""
+    from mr_py_spark.operators.similarity import (
+        drift_degraded,
+        drift_threshold as thr,
+    )
+
+    grid = [x / 1000.0 for x in range(-1000, 1001)]
+    for a, b in zip(grid, grid[1:]):
+        assert abs(thr(b) - thr(a)) <= 0.001 + 1e-12  # continuous
+        assert thr(b) >= thr(a) - 1e-12  # monotone in idx
+    assert all(thr(i) < i for i in grid)  # better delta never fires
+
+    def frame(i, d):
+        return spark.createDataFrame(
+            [("indexed", 10, i, i, i), ("delta", 10, d, d, d)],
+            "cohort string, n_vecs long, mean_top1 double, "
+            "p05_top1 double, p50_top1 double",
+        ).select("cohort", "n_vecs", "mean_top1", "p05_top1", "p50_top1")
+
+    # around zero: the old rule's inversion — +eps-healthy fired on a
+    # delta the exactly-neutral index ignored; now both agree, and the
+    # margin floor ((1-ratio)*0.25 = 0.05) separates noise from drift
+    assert not drift_degraded(frame(0.001, -0.04))
+    assert not drift_degraded(frame(0.0, -0.04))
+    assert drift_degraded(frame(0.001, -0.06))
+    assert drift_degraded(frame(0.0, -0.06))
+    # healthy regime keeps the multiplicative semantics
+    assert drift_degraded(frame(0.8, 0.63))
+    assert not drift_degraded(frame(0.8, 0.65))
+    # better-than-indexed delta never fires (the r13 review case)
+    assert not drift_degraded(frame(-0.10, -0.09))
+    assert not drift_degraded(frame(-0.5, -0.5))
+    assert not drift_degraded(frame(0.5, 0.6))
+
+
+def test_retrain_sample_keeps_tripping_batch_past_cap(spark):
+    """ADVICE r13 (medium): the retrain training sample must contain
+    the drift-tripping batch even when the index holds >= cap vectors
+    with LOWER vec_ids (the normal streaming case — the old
+    union-then-sort silently dropped every extra_train row past the
+    cap, so the rebuilt quantizer never saw the drifted region). Also:
+    bit-identical on replay."""
+    import numpy as np
+
+    from mr_py_spark.operators.similarity import _retrain_sample
+
+    idx = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(40)],
+        "vec_id long, v array<double>",
+    )
+    extra = spark.createDataFrame(
+        [(1000 + i, [0.0, float(1000 + i)]) for i in range(5)],
+        "vec_id long, v array<double>",
+    )
+    s1 = _retrain_sample(idx, extra, cap=10)
+    assert s1.shape == (10, 2)
+    # batch first, in vec_id order; remainder = lowest index vec_ids
+    assert [row[1] for row in s1[:5]] == [1000.0, 1001.0, 1002.0, 1003.0, 1004.0]
+    assert [row[0] for row in s1[5:]] == [0.0, 1.0, 2.0, 3.0, 4.0]
+    s2 = _retrain_sample(idx, extra, cap=10)
+    assert np.array_equal(s1, s2)
+    # batch alone larger than the cap: bounded, batch-prefix only
+    s3 = _retrain_sample(idx, extra, cap=3)
+    assert s3.shape == (3, 2) and [r[1] for r in s3] == [1000.0, 1001.0, 1002.0]
+    # no batch: the plain ordered prefix
+    s4 = _retrain_sample(idx, None, cap=4)
+    assert [r[0] for r in s4] == [0.0, 1.0, 2.0, 3.0]
 
 
 def test_hier_retrain_planted_drift_recovers(spark, tmp_path):
