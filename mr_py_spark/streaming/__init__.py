@@ -992,7 +992,9 @@ def statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_maintenance_step(
-    spark: SparkSession, table: str, out: str, idx_path: str
+    spark: SparkSession, table: str, out: str, idx_path: str,
+    reband_check_every: int = 8, collision_cap: float | None = None,
+    reband_log: list | None = None,
 ):
     """The per-micro-batch body of ``stream_lsh_index_maintenance``,
     split out so the two-batch planted test can drive it over a
@@ -1025,18 +1027,39 @@ def _lsh_maintenance_step(
     All three guards are broadcast-side joins on the SMALL batch
     frame (LeftSemi/LeftAnti BuildRight over ids, or index-side
     map-only anti against the broadcast ids) — no new shuffle of
-    index-sized data, so the O(batch x occupancy) claim stands."""
+    index-sized data, so the O(batch x occupancy) claim stands.
+
+    Every ``reband_check_every`` batches the loop runs the re-band
+    gauge (lsh_occupancy_frame) on the PRE-BATCH index view and, past
+    ``collision_cap``, escalates the banding in place (lsh_reband —
+    crash-atomic; r14, closing the text tier's gauge-without-actuator
+    gap, VERDICT r13 item 4). The same replay discipline as the
+    semantic tier's retrain: the DECISION reads the pre-batch view, so
+    an original run and its replay agree; band entries are a pure
+    function of (signature, band_rows), so even a double-fired replay
+    rewrite converges to the same rows; triage and appends derive the
+    CURRENT banding from the table (minhash_delta_status /
+    lsh_index_append), so both generations answer probes correctly."""
     from pyspark.sql import functions as SF
 
     from mr_py_spark.operators.bucketed import _BUCKETS
     from mr_py_spark.operators.dedup import (
+        _LSH_COLLISION_CAP,
         _LSH_INDEX_KEYS,
+        _N_HASHES,
         lsh_band_entries,
         lsh_index_append,
+        lsh_index_band_rows,
+        lsh_next_band_rows,
+        lsh_occupancy_frame,
+        lsh_reband,
+        lsh_reband_needed,
         minhash_delta_status,
         minhash_signatures,
     )
     from mr_py_spark.sources.sinks import write_bucketed
+
+    cap = _LSH_COLLISION_CAP if collision_cap is None else collision_cap
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", "text")
@@ -1050,6 +1073,20 @@ def _lsh_maintenance_step(
             if have_index
             else None
         )
+        if (
+            reband_check_every
+            and have_index
+            and batch_id > 0
+            and batch_id % reband_check_every == 0
+        ):
+            cur = lsh_index_band_rows(spark.table(table))
+            if cur < _N_HASHES and lsh_reband_needed(
+                lsh_occupancy_frame(cb), cap, band_rows=cur
+            ):
+                lsh_reband(spark, table, lsh_next_band_rows(cur))
+                if reband_log is not None:
+                    reband_log.append(int(batch_id))
+                cb = spark.table(table).join(ids, "doc_id", "left_anti")
         status = minhash_delta_status(
             batch.limit(0) if not have_index else None,
             batch,

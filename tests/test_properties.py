@@ -1711,6 +1711,73 @@ def test_stream_outer_join_withholds_tail(spark, tmp_path):
     assert got == {(1, 1, 2), (2, 3, None)}, got
 
 
+def test_lsh_reband_gauge_and_actuator_demo(spark):
+    """The re-band surface (r14): the gauge does NOT fire on the plain
+    fixture index (no-op without planted growth — the never-reband
+    default holds), and the registered actuator demo's contract holds
+    end-to-end: planted weak-similarity growth trips it, the rewrite
+    escalates to the next banding, collision mass drops below its
+    before value, and a byte-identical probe is still recalled through
+    the re-banded index."""
+    from mr_py_spark.operators.dedup import (
+        corpus_lsh_index,
+        lsh_occupancy_frame,
+        lsh_reband_needed,
+    )
+
+    # no-op without growth: the standing fixture index sits far below
+    # the cap (most band buckets are singletons after the planted ~4%)
+    assert not lsh_reband_needed(
+        lsh_occupancy_frame(corpus_lsh_index(spark, SF_DIR)), band_rows=4
+    )
+
+    out = {
+        r.metric: r.value
+        for r in rows(spark, "lsh_reband_actuator")
+    }
+    assert out["fired"] == 1.0
+    assert out["band_rows_after"] == 8.0
+    assert out["collision_after"] < out["collision_before"]
+    assert out["exact_probe_recalled"] == 1.0
+
+
+def test_lsh_band_entries_band_rows_param_and_derivation(spark):
+    """Parameterized banding invariants: band_rows must divide
+    _N_HASHES (loud failure otherwise), the band_id range matches the
+    banding, lsh_index_band_rows derives the banding back from any
+    entries frame (the index is self-describing), and a full-signature
+    (one-band) banding keys on ALL 16 components."""
+    import pytest as _pytest
+
+    from mr_py_spark.operators.dedup import (
+        _N_HASHES,
+        lsh_band_entries,
+        lsh_index_band_rows,
+        lsh_next_band_rows,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources import tbl
+
+    sig = minhash_signatures(
+        tbl(spark, SF_DIR, "documents").limit(20)
+    )
+    for r in (4, 8, 16):
+        bands = lsh_band_entries(sig, r)
+        n_bands = _N_HASHES // r
+        ids = sorted(
+            x.band_id for x in bands.select("band_id").distinct().collect()
+        )
+        assert ids == list(range(n_bands))
+        assert lsh_index_band_rows(bands) == r
+    with _pytest.raises(ValueError):
+        lsh_band_entries(sig, 5)
+    assert lsh_next_band_rows(4) == 8
+    assert lsh_next_band_rows(8) == 16
+    assert lsh_next_band_rows(16) == 16  # capped at one band
+    # empty frame reports the build default
+    assert lsh_index_band_rows(lsh_band_entries(sig.limit(0))) == 4
+
+
 def test_minhash_delta_status_planted(spark):
     """incremental_minhash_dedup's core on planted docs: a delta
     near-dup of a corpus doc is 'dup_of_corpus' (min corpus partner),

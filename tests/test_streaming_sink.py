@@ -401,6 +401,118 @@ def test_lsh_maintenance_step_replay_idempotent(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_lsh_maintenance_reband_trips_once_and_replays(spark, tmp_path):
+    """The text tier's gauge→actuator loop (r14, VERDICT r13 item 4):
+    a standing index whose weak-similarity collision mass has grown
+    past the cap is re-banded IN the maintenance loop — exactly once,
+    at the scheduled check batch, to the next banding step — and the
+    escalated index keeps answering probes (an exact twin still
+    triages dup_of_corpus). Self-validating plant: the cap is chosen
+    strictly between the MEASURED collision mass at 4 and 8 rows per
+    band, so the test fails loudly if the planted corpus stops
+    separating the bandings instead of passing vacuously. Replaying
+    the tripping batch is a byte-level no-op (the gauge reads the
+    pre-batch view at the CURRENT banding, which is already below the
+    cap)."""
+    import os
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
+        lsh_band_entries,
+        lsh_index_band_rows,
+        lsh_occupancy_frame,
+        minhash_delta_status,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+    from mr_py_spark.streaming import _lsh_maintenance_step
+
+    # sliding 80-token windows (stride 5) over a stream of globally
+    # unique tokens, plus one unique token per doc: neighbors share
+    # most shingles (real overlap, no salt-collision structure), so
+    # short bands collide far more than selective ones
+    stream = [f"w{n}" for n in range(600)]
+    docs = [
+        (i, " ".join(stream[i * 5 : i * 5 + 80] + [f"u{i}"]))
+        for i in range((600 - 80) // 5)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    sig = minhash_signatures(corpus)
+    mass = {
+        r: float(
+            lsh_occupancy_frame(lsh_band_entries(sig, r))
+            .collect()[0]
+            .collision_per_doc
+        )
+        for r in (4, 8)
+    }
+    assert mass[8] < mass[4], mass  # the plant must separate bandings
+    cap = (mass[4] + mass[8]) / 2.0
+
+    table = "mrps_test_stream_lsh_reband"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    write_bucketed(
+        lsh_band_entries(sig), table, _LSH_INDEX_KEYS, _BUCKETS,
+        path=str(tmp_path / "index"),
+    )
+    log: list[int] = []
+    step = _lsh_maintenance_step(
+        spark, table, out, str(tmp_path / "index"),
+        reband_check_every=2, collision_cap=cap, reband_log=log,
+    )
+
+    def snapshot():
+        return (
+            sorted(
+                (r.doc_id, r.status, r.match_id, r.batch_id)
+                for r in spark.read.parquet(out).collect()
+            ),
+            sorted(tuple(r) for r in spark.table(table).collect()),
+        )
+
+    novel = [
+        (2000 + i, f"totally novel content {i} " + " ".join(f"n{i}_{j}" for j in range(30)))
+        for i in range(3)
+    ]
+    try:
+        step(spark.createDataFrame(novel[:1], "doc_id long, text string"), 0)
+        step(spark.createDataFrame(novel[1:2], "doc_id long, text string"), 1)
+        assert log == [] and lsh_index_band_rows(spark.table(table)) == 4
+        # batch 2 is the scheduled check: fires exactly once
+        step(spark.createDataFrame(novel[2:3], "doc_id long, text string"), 2)
+        assert log == [2]
+        assert lsh_index_band_rows(spark.table(table)) == 8
+        after = float(
+            lsh_occupancy_frame(spark.table(table))
+            .collect()[0].collision_per_doc
+        )
+        assert after < cap
+        snap2 = snapshot()
+        # replay of the tripping batch: byte-identical, no second fire
+        step(spark.createDataFrame(novel[2:3], "doc_id long, text string"), 2)
+        assert snapshot() == snap2 and log == [2]
+        # the next check batch stays quiet below the cap
+        step(spark.createDataFrame(
+            [(3000, "more novel " + " ".join(f"m{j}" for j in range(30)))],
+            "doc_id long, text string"), 4)
+        assert log == [2]
+        # the escalated index still answers probes: an exact twin of a
+        # planted doc triages dup_of_corpus (every banding preserves
+        # full-signature agreement)
+        probe = spark.createDataFrame(
+            [(9_999_999, docs[0][1])], "doc_id long, text string"
+        )
+        st = minhash_delta_status(
+            None, probe, corpus_bands=spark.table(table)
+        ).collect()
+        assert st[0].status == "dup_of_corpus" and st[0].match_id == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_ivf_maintenance_drift_triggers_one_retrain(spark, tmp_path):
     """The drift actuator (VERDICT r12 item 3): a planted-drift stream
     — batch 0 trains the quantizer on subspace A, batch 1 arrives from
