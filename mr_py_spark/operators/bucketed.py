@@ -383,6 +383,73 @@ def replace_bucketed_table(
     _swap_in_side_copy(spark, table, tmp_tbl, path, cols, keys, n_buckets)
 
 
+def replay_guard(
+    spark: SparkSession, table: str, new_rows: DataFrame, id_col: str
+) -> DataFrame:
+    """O(delta) idempotence guard for standing-index appends (VERDICT
+    r13 'minor, watch it': the *_index_append replay guards probed the
+    FULL standing table's id column per micro-batch — a column-pruned
+    scan, O(index) per batch at 10⁹ rows). Returns ``new_rows`` with
+    ids the table already holds dropped.
+
+    Mechanism: a max-id WATERMARK in a tiny parquet sidecar NEXT TO
+    the table's own data directory (``<location>_rwm`` — no catalog
+    entry, so externally-owned sessions never get a surprise managed
+    table in their warehouse dir). Invariant — the watermark is always
+    >= every id the standing table holds, because it is raised BEFORE
+    the caller can append (and bootstraps from a one-time full max
+    over the table, so pre-guard appends are covered). Ids ABOVE the
+    watermark
+    are therefore provably absent: the normal streaming batch (fresh,
+    higher ids) passes through with ZERO index I/O — the input frame
+    is returned as-is. Only ids at-or-below the watermark (a replay,
+    or id reuse) pay the exact index-side semi-join, restricted to
+    those suspects.
+
+    Crash-safe in both directions: a crash AFTER the raise but BEFORE
+    the append leaves the watermark stale-HIGH, which only widens the
+    exact-check set (the retried batch's ids are <= wm, get checked
+    against the table, found absent, and admitted — nothing lost); the
+    watermark table itself vanishing mid-overwrite degrades to the
+    bootstrap full-max path. The guard is only sound if every append
+    to ``table`` flows through it (or through a caller that raises the
+    watermark first) — all three maintenance loops do."""
+    if not spark.catalog.tableExists(table):
+        return new_rows
+    wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
+    mx = new_rows.agg(F.max(id_col)).collect()[0][0]
+    if mx is None:  # empty batch
+        return new_rows
+    mx = int(mx)
+    wm = None
+    try:
+        got = spark.read.parquet(wm_path).agg(F.max("wm")).collect()[0][0]
+        wm = None if got is None else int(got)
+    except Exception:
+        pass  # absent or half-written sidecar -> bootstrap below
+    if wm is None:
+        # bootstrap: one full (column-pruned) max over the standing
+        # table, paid ONCE per table lifetime — covers ids appended
+        # before the guard existed
+        got = spark.table(table).agg(F.max(id_col)).collect()[0][0]
+        wm = mx if got is None else max(mx, int(got))
+        suspects = new_rows
+        raise_to = wm
+    else:
+        suspects = new_rows.filter(F.col(id_col) <= F.lit(wm))
+        raise_to = mx if mx > wm else None
+    # raise the commitment BEFORE the caller can append
+    if raise_to is not None:
+        spark.createDataFrame([(int(raise_to),)], "wm long").write.mode(
+            "overwrite"
+        ).parquet(wm_path)
+    if suspects is not new_rows and not suspects.limit(1).count():
+        return new_rows  # the O(delta) fast path: zero index I/O
+    ids = suspects.select(id_col)
+    already = spark.table(table).select(id_col).join(ids, id_col, "left_semi")
+    return new_rows.join(already, id_col, "left_anti")
+
+
 def compact_bucketed_table(
     spark: SparkSession, table: str, key: str | tuple[str, ...],
     n_buckets: int = _BUCKETS,

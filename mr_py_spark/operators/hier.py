@@ -549,6 +549,43 @@ def hier_topk_with(
     result degenerates to the exact brute-force top-k (property-pinned
     in tests/test_properties.py)."""
     from mr_py_spark.functions import dot
+
+    cells = _hier_probe_cells(
+        root_cent, leaf_cent, queries, root_probe, leaf_probe
+    )
+    # each vector lives in exactly one cell and a query's probed cells
+    # are distinct, so (q_id, vec_id) candidates are unique — no dedup
+    cand = cells.join(assigned, ["bucket", "leaf"]).filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    if emit_candidates:  # audit hook: the per-query candidate frame
+        return cand.select("q_id", "vec_id", "bucket", "leaf")
+    wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
+    scored = cand.select(
+        "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+    )
+
+
+def _hier_probe_cells(
+    root_cent: DataFrame,
+    leaf_cent: DataFrame,
+    queries: DataFrame,
+    root_probe: int,
+    leaf_probe: int,
+) -> DataFrame:
+    """The two-level probe stage shared by the exact and PQ serve
+    tiers: per query, the ``root_probe`` nearest roots (broadcast
+    argmax over the bounded root frame — the exempt nested loop), then
+    the ``leaf_probe`` nearest leaves WITHIN each probed root via a
+    cogroup on the root bucket (the leaf table is never broadcast;
+    only the query side exchanges). Returns (q_id, bucket, leaf, qv)
+    — one row per probed CELL."""
+    from mr_py_spark.functions import dot
     from mr_py_spark.operators.similarity import _fold_order_blocks
 
     wq = W.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("cid"))
@@ -601,28 +638,12 @@ def hier_topk_with(
             }
         )
 
-    cells = (
+    return (
         root_probes.groupBy("bucket")
         .cogroup(leaf_cent.groupBy("bucket"))
         .applyInPandas(
             probe_leaves, "q_id long, bucket long, leaf long, qv array<double>"
         )
-    )
-    # each vector lives in exactly one cell and a query's probed cells
-    # are distinct, so (q_id, vec_id) candidates are unique — no dedup
-    cand = cells.join(assigned, ["bucket", "leaf"]).filter(
-        F.col("q_id") != F.col("vec_id")
-    )
-    if emit_candidates:  # audit hook: the per-query candidate frame
-        return cand.select("q_id", "vec_id", "bucket", "leaf")
-    wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
-    scored = cand.select(
-        "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(wk))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
     )
 
 
@@ -681,6 +702,262 @@ def hier_index(spark: SparkSession, sf_dir: str):
         stamp_extra=stamp,
     )
     return root_cent, leaf_cent, assigned
+
+
+#: Serve-tier PQ geometry (the knn_ivfpq_topk sizing: 16 subspaces ×
+#: 256 centroids = 16 one-byte codes per vector — coarse codes
+#: collapse within-cell neighbors, see vectors._pq_train's measured
+#: cliff) and the ADC tier's default operating point: the wider-probe
+#: knob the r13 verdict asked for (all-neighbor recall had no
+#: mitigation beyond probes, and probes paid LINEARLY in full-vector
+#: candidates — 16-byte codes make 4× the cells cost ~1/8 the
+#: candidate bytes of the exact 12×12 tier).
+_PQ_M, _PQ_K = 16, 256
+_PQ_ROOT_PROBE = 24
+_PQ_LEAF_PROBE = 24
+
+
+def _hier_pq_books(spark: SparkSession, sf_dir: str):
+    """Standing PQ codebooks for the hier serve tier: trained once on
+    the deterministic ordered bounded sample (the _PQ_TRAIN exemption
+    class), persisted as a tiny content-stamped table (m·k = 4096 rows
+    of sub-vectors — bounded metadata, collected whole at serve time).
+    Returns the (M, K, sub) ndarray."""
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+    from mr_py_spark.operators.similarity import (
+        _emb_double,
+        _ordered_train_sample,
+    )
+    from mr_py_spark.operators.vectors import _PQ_TRAIN, _pq_train
+
+    def build() -> DataFrame:
+        e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+        X = _ordered_train_sample(e, _PQ_TRAIN)
+        books = _pq_train(
+            X, m=_PQ_M, k=min(_PQ_K, len(X)), sub=X.shape[1] // _PQ_M
+        )
+        rows = [
+            (mi, ki, [float(x) for x in books[mi, ki]])
+            for mi in range(books.shape[0])
+            for ki in range(books.shape[1])
+        ]
+        return spark.createDataFrame(rows, "mi long, ki long, sub array<double>")
+
+    tbl_books = _bucketed_table(
+        spark, sf_dir, "hier_pq_books", "mi", frame_of=build,
+        src_name="embeddings", schema="mi long, ki long, sub array<double>",
+        stamp_extra=builder_stamp(
+            _pq_train, _ordered_train_sample, m=_PQ_M, k=_PQ_K,
+            train=_PQ_TRAIN,
+        ),
+    )
+    rows = tbl_books.collect()
+    m = max(r.mi for r in rows) + 1
+    k = max(r.ki for r in rows) + 1
+    sub = len(rows[0].sub)
+    books = np.empty((m, k, sub))
+    for r in rows:
+        books[r.mi, r.ki] = r.sub
+    return books
+
+
+def hier_pq_codes(
+    spark: SparkSession, sf_dir: str, assigned: DataFrame, books
+) -> DataFrame:
+    """Standing PQ-code inverted file for the hier serve tier: one
+    zero-shuffle encode pass over the assigned table, persisted
+    bucketed by the SAME composite cell key — so the ADC candidate
+    join is exchange-free on the corpus side exactly like the exact
+    tier's, but each candidate row carries 16 one-byte codes instead
+    of the 512-byte double vector (~20× less through the join and the
+    Python workers)."""
+    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+
+    return _bucketed_table(
+        spark, sf_dir, "hier_pq_codes", ("bucket", "leaf"),
+        frame_of=lambda: _pq_encode_frame(assigned, books),
+        src_name="embeddings",
+        schema="vec_id long, bucket long, leaf long, code array<int>",
+        stamp_extra=builder_stamp(
+            hier_pq_codes, _pq_encode_frame, m=_PQ_M, k=_PQ_K
+        ),
+    )
+
+
+def _pq_encode_frame(assigned: DataFrame, books) -> DataFrame:
+    """One zero-shuffle encode pass: (vec_id, bucket, leaf, v) →
+    (vec_id, bucket, leaf, code) under the broadcast codebooks. The
+    argmax is the matmul form (sub @ bookᵀ − ||book||²/2) — the
+    difference-tensor form was memory-bandwidth-bound at sf100
+    (the knn_ivfpq encode lesson)."""
+    from mr_py_spark.util import bc as _bc
+
+    b_books = _bc(
+        assigned.sparkSession, np.asarray(books, dtype=np.float64)
+    )
+
+    def encode(batches):
+        bks = b_books.value  # (M, K, sub)
+        m, _, sub = bks.shape
+        half = 0.5 * (bks**2).sum(-1)  # (M, K)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(list(pdf["v"]), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for mi in range(m):
+                s = X[:, mi * sub : (mi + 1) * sub]
+                codes[:, mi] = (s @ bks[mi].T - half[mi]).argmax(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": pdf["bucket"],
+                    "leaf": pdf["leaf"],
+                    "code": list(codes),
+                }
+            )
+
+    return assigned.mapInPandas(
+        encode, "vec_id long, bucket long, leaf long, code array<int>"
+    )
+
+
+def hier_topk_pq_with(
+    root_cent: DataFrame,
+    leaf_cent: DataFrame,
+    codes: DataFrame,
+    assigned: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 5,
+    root_probe: int = _PQ_ROOT_PROBE,
+    leaf_probe: int = _PQ_LEAF_PROBE,
+    rerank: int = 20,
+) -> DataFrame:
+    """ADC-pre-ranked top-k over the standing two-level index — the
+    all-neighbor recall lift (VERDICT r13 item 6; chosen over
+    multi-assignment because the measured failure mode is NOISE-
+    direction neighbors no bucketing co-locates, so the fix is
+    affording WIDER probes, not spilling boundary vectors): probe
+    root_probe×leaf_probe cells (double the exact tier's default),
+    rank the candidates with 16-byte PQ codes through the broadcast
+    per-query ADC lookup tables (the knn_ivfpq machinery — the
+    candidate stream carries (q_id, vec_id, code), never a vector),
+    then exact-re-rank only the ADC top rerank·k per query.
+
+    Scale shape: candidate join exchange-free on the (bucket, leaf)-
+    bucketed code table; ADC is one zero-shuffle mapInArrow; the exact
+    re-rank joins the BROADCAST shortlist (rerank·k·n_q rows) against
+    the assigned table PRUNED to the probed buckets — an `isin` over
+    the bounded probed-root set that parquet row-group stats on the
+    sorted bucket column turn into O(probed) I/O, so no stage reads
+    the corpus. Query LUTs are driver-built from the bounded query
+    set (the knn_ivfpq bounded-collect class). With probes covering
+    every cell and ``rerank·k`` ≥ the candidate count this degenerates
+    to the exact tier bit-for-bit (property-pinned)."""
+    from mr_py_spark.functions import dot
+    from mr_py_spark.util import bc as _bc
+
+    books = np.asarray(books, dtype=np.float64)
+    m, _, sub = books.shape
+
+    cells = _hier_probe_cells(
+        root_cent, leaf_cent, queries, root_probe, leaf_probe
+    )
+    cand = (
+        cells.select("q_id", "bucket", "leaf")
+        .join(codes, ["bucket", "leaf"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", "code")
+    )
+
+    # per-query ADC LUTs, driver-side (bounded query set by contract)
+    q_rows = queries.select("q_id", "qv").collect()
+    qids = np.asarray([r["q_id"] for r in q_rows], dtype=np.int64)
+    order = np.argsort(qids)
+    qids = qids[order]
+    Q = np.asarray(
+        [q_rows[i]["qv"] for i in order], dtype=np.float64
+    ).reshape(len(qids), m, sub)
+    b_lut = _bc(
+        queries.sparkSession, (qids, np.einsum("qms,mks->qmk", Q, books))
+    )
+
+    def adc(batches):
+        import pyarrow as pa
+
+        lut_qids, luts = b_lut.value
+        marange = np.arange(m)[None, :]
+        for rb in batches:
+            if not len(rb):
+                continue
+            q_id = np.asarray(rb.column(0))
+            qidx = np.searchsorted(lut_qids, q_id)
+            cds = np.asarray(rb.column(2).flatten()).reshape(len(rb), m)
+            sim = luts[qidx[:, None], marange, cds].sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), pa.array(sim, type=pa.float64())],
+                ["q_id", "nn_id", "adc_sim"],
+            )
+
+    scored = cand.mapInArrow(adc, "q_id long, nn_id long, adc_sim double")
+    wk = W.partitionBy("q_id").orderBy(F.desc("adc_sim"), F.asc("nn_id"))
+    short = (
+        scored.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= rerank * k)
+        .select("q_id", "nn_id")
+    )
+
+    # exact re-rank: broadcast the shortlist+query vectors, prune the
+    # assigned scan to the probed roots (bounded isin → row-group
+    # skipping on the bucket-sorted files), map-side join on vec_id —
+    # no corpus shuffle, no corpus-wide read
+    probed = sorted(
+        r.bucket
+        for r in cells.select("bucket").distinct().collect()
+    )  # ≤ n_q·root_probe values — probe metadata, bounded
+    corpus = assigned.filter(F.col("bucket").isin(probed)).select(
+        F.col("vec_id").alias("nn_id"), F.col("v").alias("cv")
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
+    return (
+        F.broadcast(short.join(queries.select("q_id", "qv"), "q_id"))
+        .join(corpus, "nn_id")
+        .select("q_id", "nn_id", dot("qv", "cv").alias("sim_raw"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "nn_id", F.round("sim_raw", 6).alias("sim"), "rn")
+    )
+
+
+
+@register("knn_hier_pq_topk_indexed", tags=("C3", "B22"), oracle=None)
+def knn_hier_pq_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_hier_topk_indexed``'s recall-lifted sibling: the same
+    standing two-level index plus a standing 16-byte PQ code table —
+    2× the probes of the exact tier at a fraction of its candidate
+    bytes, exact re-rank of the ADC top-100. Rows-only (seeded
+    quantizers + float ADC are engine-specific); the full-probe/full-
+    rerank degeneration to the exact tier and the recall dominance
+    over the exact tier at matched probes are property-tested
+    (tests/test_properties.py); SCALE.md r14 records the 2M-fixture
+    recall-vs-candidates curve against r13's probe sweep."""
+    from mr_py_spark.operators.similarity import _emb_double
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    queries = (
+        e.filter(F.col("vec_id") < 50)
+        .withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("v", "qv")
+    )
+    root_cent, leaf_cent, assigned = hier_index(spark, sf_dir)
+    books = _hier_pq_books(spark, sf_dir)
+    codes = hier_pq_codes(spark, sf_dir, assigned, books)
+    return hier_topk_pq_with(
+        root_cent, leaf_cent, codes, assigned, queries, books
+    )
 
 
 @register("knn_hier_topk_indexed", tags=("C3", "B22"), oracle=None)
@@ -800,18 +1077,16 @@ def hier_index_append(
     (vec_id, bucket, leaf, v) entries under the same (bucket, leaf)
     bucket spec (Spark validates it; drift fails loudly). The same
     replay guard as ivf_index_append: ``idempotent=True`` drops
-    vec_ids the table already holds before the append."""
-    from mr_py_spark.operators.bucketed import _BUCKETS
+    vec_ids the table already holds before the append —
+    watermark-gated (bucketed.replay_guard, r14), so the normal fresh
+    batch costs zero index I/O."""
+    from mr_py_spark.operators.bucketed import _BUCKETS, replay_guard
     from mr_py_spark.operators.similarity import ivf_assign_with
     from mr_py_spark.sources.sinks import write_bucketed
 
     if idempotent:
-        ids = new_vectors.select("vec_id")
-        already = (
-            new_vectors.sparkSession.table(table)
-            .select("vec_id")
-            .join(ids, "vec_id", "left_semi")
+        new_vectors = replay_guard(
+            new_vectors.sparkSession, table, new_vectors, "vec_id"
         )
-        new_vectors = new_vectors.join(already, "vec_id", "left_anti")
     entries = hier_assign(ivf_assign_with(root_cent, new_vectors), leaf_cent)
     write_bucketed(entries, table, ("bucket", "leaf"), _BUCKETS, mode="append")

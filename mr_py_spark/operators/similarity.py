@@ -1435,19 +1435,16 @@ def ivf_index_append(
     loops (VERDICT r11 — the lsh_maintenance_step guard 3): vectors
     whose vec_id the table already holds are dropped before the
     append, so re-running a crashed batch admits nothing. The check is
-    an index-side broadcast semi against the (small) delta ids
-    followed by a small-vs-small anti — no index-sized shuffle."""
-    from mr_py_spark.operators.bucketed import _BUCKETS
+    watermark-gated (bucketed.replay_guard, r14): the normal fresh
+    batch costs ZERO index I/O; only at-or-below-watermark suspects
+    (a replay) pay an index-side semi restricted to them."""
+    from mr_py_spark.operators.bucketed import _BUCKETS, replay_guard
     from mr_py_spark.sources.sinks import write_bucketed
 
     if idempotent:
-        ids = new_vectors.select("vec_id")
-        already = (
-            new_vectors.sparkSession.table(table)
-            .select("vec_id")
-            .join(ids, "vec_id", "left_semi")
+        new_vectors = replay_guard(
+            new_vectors.sparkSession, table, new_vectors, "vec_id"
         )
-        new_vectors = new_vectors.join(already, "vec_id", "left_anti")
     write_bucketed(ivf_assign_with(cent, new_vectors), table, "bucket",
                    _BUCKETS, mode="append")
 

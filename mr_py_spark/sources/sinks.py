@@ -39,6 +39,15 @@ def write_bucketed(
     required on externally-owned sessions whose static
     ``spark.sql.warehouse.dir`` points somewhere unwritable."""
     keys = [key] if isinstance(key, str) else list(key)
+    if mode != "append" and path is not None:
+        # a (re)created table invalidates any replay-guard watermark
+        # sidecar a previous generation left at this path: a stale
+        # watermark BELOW the new contents' ids would let a replayed
+        # append pass unchecked (bucketed.replay_guard's invariant is
+        # per table generation; stale-HIGH is safe, stale-LOW is not)
+        import shutil as _sh
+
+        _sh.rmtree(path.rstrip("/") + "_rwm", ignore_errors=True)
     w = (
         df.write.mode(mode)
         .bucketBy(n_buckets, keys[0], *keys[1:])

@@ -1042,7 +1042,7 @@ def _lsh_maintenance_step(
     lsh_index_append), so both generations answer probes correctly."""
     from pyspark.sql import functions as SF
 
-    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.bucketed import _BUCKETS, replay_guard
     from mr_py_spark.operators.dedup import (
         _LSH_COLLISION_CAP,
         _LSH_INDEX_KEYS,
@@ -1111,14 +1111,11 @@ def _lsh_maintenance_step(
             "left_semi",
         )
         if have_index:
-            # guard 3: never re-admit a doc the index already holds.
-            # `already` is the (<= batch-sized) intersection, produced
-            # by a broadcast semi on the ids, so the final anti is a
-            # small-vs-small broadcast — no index-sized shuffle.
-            already = spark.table(table).select("doc_id").join(
-                ids, "doc_id", "left_semi"
-            )
-            new_docs = new_docs.join(already, "doc_id", "left_anti")
+            # guard 3: never re-admit a doc the index already holds —
+            # watermark-gated (bucketed.replay_guard, r14): a fresh
+            # batch costs zero index I/O, a replay pays an index semi
+            # restricted to its own (at-or-below-watermark) ids.
+            new_docs = replay_guard(spark, table, new_docs, "doc_id")
             lsh_index_append(new_docs, table)
         else:
             entries = lsh_band_entries(minhash_signatures(new_docs))

@@ -148,6 +148,23 @@ def test_knn_hier_indexed_reads_standing_index(spark):
     assert "BroadcastNestedLoopJoin" in p  # bounded root broadcast only
 
 
+def test_knn_hier_pq_indexed_plan_shape(spark):
+    """The ADC pre-rank serve tier (r14): candidates come from the
+    standing (bucket, leaf)-bucketed CODE table (16-byte codes, never
+    vectors), ADC is the one Arrow stage, the exact re-rank reads the
+    assigned table with the probed-bucket `in` predicate PUSHED to the
+    parquet scan (row-group skipping on the bucket-sorted files) under
+    a broadcast join of the bounded shortlist — and nothing
+    degenerates to a cartesian."""
+    p = plan_of(spark, "knn_hier_pq_topk_indexed")
+    assert "mrps_bkt_hier_pq_codes" in p
+    assert "mrps_bkt_hier_assign_full" in p  # re-rank only
+    assert "MapInArrow" in p or "PythonMapInArrow" in p  # the ADC pass
+    assert "CartesianProduct" not in p
+    # the probed-bucket pruning reaches the re-rank scan
+    assert p.count("PushedFilters: [In(bucket") >= 1 or "bucket IN" in p
+
+
 def test_substring_dup_spans_plan_shape(spark):
     """Substring-span dedup keeps the gram-stream discipline: document
     frequency partial-aggregates before its exchange (a corpus-wide

@@ -2988,6 +2988,133 @@ def test_knn_hier_indexed_fixture_recall(spark):
     assert recall >= 0.5, f"hier indexed recall@5 {recall:.2f}"
 
 
+def test_hier_pq_full_probe_full_rerank_degenerates_to_exact(spark):
+    """The ADC pre-rank tier's anchor pin (r14): with probes covering
+    every cell and the rerank budget covering every candidate, the PQ
+    path's shortlist IS the full candidate set, the exact re-rank sees
+    exactly what the exact tier scores, and the emit must match the
+    exact tier BIT-FOR-BIT (same (q_id, nn_id, sim, rn) rows) — ADC
+    can only reorder a shortlist that here contains everything."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import (
+        _pq_encode_frame,
+        hier_topk_pq_with,
+        hier_topk_with,
+    )
+    from mr_py_spark.operators.vectors import _pq_train
+
+    rng = np.random.RandomState(23)
+    X = rng.randn(300, 16)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    root_cent, leaf_cent, assigned = _hier_toy_index(
+        spark, X, leaf_rows=16, nroot=4
+    )
+    books = _pq_train(X, m=8, k=16, sub=2)
+    codes = _pq_encode_frame(assigned, books)
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(15)],
+        "q_id long, qv array<double>",
+    )
+    exact = sorted(
+        tuple(r)
+        for r in hier_topk_with(
+            root_cent, leaf_cent, assigned, queries,
+            k=5, root_probe=1000, leaf_probe=1000,
+        ).collect()
+    )
+    pq = sorted(
+        tuple(r)
+        for r in hier_topk_pq_with(
+            root_cent, leaf_cent, codes, assigned, queries, books,
+            k=5, root_probe=1000, leaf_probe=1000, rerank=1000,
+        ).collect()
+    )
+    assert pq == exact and len(pq) == 75
+
+
+def test_hier_pq_recall_dominates_exact_at_matched_cost(spark):
+    """The recall-lift claim (VERDICT r13 item 6): on the two-scale
+    clustered corpus, the ADC tier at its 2×-probes operating point
+    must recall at least as much as the exact tier at the baseline
+    probes — wider probes are the fix for neighbors outside the probed
+    cells, and 16-byte codes are what make them affordable."""
+    import numpy as np
+
+    from mr_py_spark.operators.hier import (
+        _pq_encode_frame,
+        hier_topk_pq_with,
+        hier_topk_with,
+    )
+    from mr_py_spark.operators.vectors import _pq_train
+
+    rng = np.random.RandomState(7)
+    n_coarse, n_sub, per_sub, dim = 12, 5, 100, 16
+    coarse = rng.standard_normal((n_coarse, dim))
+    coarse /= np.linalg.norm(coarse, axis=1, keepdims=True)
+    blocks = []
+    for c in coarse:
+        subs = c + 0.25 * rng.standard_normal((n_sub, dim))
+        subs /= np.linalg.norm(subs, axis=1, keepdims=True)
+        for sc in subs:
+            blocks.append(sc + 0.08 * rng.standard_normal((per_sub, dim)))
+    X = np.vstack(blocks)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    root_cent, leaf_cent, assigned = _hier_toy_index(
+        spark, X, leaf_rows=32, nroot=n_coarse
+    )
+    books = _pq_train(X[:4096], m=8, k=32, sub=2)
+    codes = _pq_encode_frame(assigned, books)
+    n_q = 40
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n_q)],
+        "q_id long, qv array<double>",
+    )
+    sims = X[:n_q] @ X.T
+    sims[np.arange(n_q), np.arange(n_q)] = -np.inf
+    brute = {
+        (qi, int(ni))
+        for qi in range(n_q)
+        for ni in np.argsort(-sims[qi], kind="stable")[:5]
+    }
+
+    def recall(pairs):
+        return len(brute & pairs) / len(brute)
+
+    r_exact = recall(
+        {
+            (r.q_id, r.nn_id)
+            for r in hier_topk_with(
+                root_cent, leaf_cent, assigned, queries, k=5,
+                root_probe=4, leaf_probe=4,
+            ).collect()
+        }
+    )
+    r_pq = recall(
+        {
+            (r.q_id, r.nn_id)
+            for r in hier_topk_pq_with(
+                root_cent, leaf_cent, codes, assigned, queries, books,
+                k=5, root_probe=8, leaf_probe=8, rerank=20,
+            ).collect()
+        }
+    )
+    assert r_pq >= r_exact, (r_pq, r_exact)
+    assert r_pq >= 0.7, r_pq
+
+
+def test_knn_hier_pq_indexed_fixture_contract(spark):
+    """The registered ADC tier on the fixture: full top-5 per query,
+    and recall vs the oracle-backed exact form at least the exact
+    hier tier's bar."""
+    brute = {(r.q_id, r.nn_id) for r in rows(spark, "knn_cosine_topk")}
+    out = rows(spark, "knn_hier_pq_topk_indexed")
+    approx = {(r.q_id, r.nn_id) for r in out}
+    assert len(out) == len({r.q_id for r in out}) * 5
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"hier pq indexed recall@5 {recall:.2f}"
+
+
 def test_emb_pca_whiten_identity_covariance_and_determinism(spark):
     """Whitening contract: the projected fixture has (population)
     covariance == identity and zero mean up to float noise — provided

@@ -359,3 +359,80 @@ def test_compaction_refuses_managed_table(spark):
         assert spark.table(table).count() == 20
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_replay_guard_fast_path_and_exactness(spark, tmp_path):
+    """The O(delta) replay guard (VERDICT r13 'watch it'): a FRESH
+    batch (ids above the watermark) passes through as the IDENTICAL
+    DataFrame object — proof no index-side join was attached, i.e.
+    zero index I/O on the normal streaming path — while a replayed or
+    mixed batch drops exactly the ids the table already holds. Crash
+    windows: a raise-then-crash (watermark advanced, rows never
+    appended) must NOT lose the retried batch, and a vanished sidecar
+    degrades to the exact bootstrap check."""
+    import shutil
+
+    from mr_py_spark.operators.bucketed import replay_guard
+
+    table = "t_replay_guard"
+    path = str(tmp_path / "idx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        base = spark.createDataFrame(
+            [(i, i * 10) for i in range(10)], "vec_id long, x long"
+        )
+        write_bucketed(base, table, "vec_id", 4, path=path)
+
+        # bootstrap call: table max is scanned once, fresh ids kept
+        b1 = spark.createDataFrame(
+            [(i, 0) for i in range(10, 15)], "vec_id long, x long"
+        )
+        out1 = replay_guard(spark, table, b1, "vec_id")
+        assert sorted(r.vec_id for r in out1.collect()) == list(range(10, 15))
+        write_bucketed(out1, table, "vec_id", 4, mode="append")
+
+        # fresh batch after bootstrap: the fast path returns the SAME
+        # object (no plan surgery, no index scan)
+        b2 = spark.createDataFrame(
+            [(i, 0) for i in range(15, 18)], "vec_id long, x long"
+        )
+        assert replay_guard(spark, table, b2, "vec_id") is b2
+        write_bucketed(b2, table, "vec_id", 4, mode="append")
+
+        # full replay of b2: everything dropped
+        assert replay_guard(spark, table, b2, "vec_id").count() == 0
+        # mixed batch: only the unseen id survives
+        b3 = spark.createDataFrame(
+            [(16, 0), (17, 0), (99, 0)], "vec_id long, x long"
+        )
+        assert sorted(
+            r.vec_id for r in replay_guard(spark, table, b3, "vec_id").collect()
+        ) == [99]
+
+        # crash window: the guard raised the watermark for 99 above,
+        # but 99 was never appended — retrying the batch must still
+        # admit it (suspects are exact-checked against the table)
+        out3 = replay_guard(spark, table, b3, "vec_id")
+        assert sorted(r.vec_id for r in out3.collect()) == [99]
+        write_bucketed(out3, table, "vec_id", 4, mode="append")
+        assert replay_guard(spark, table, b3, "vec_id").count() == 0
+
+        # vanished sidecar: bootstrap re-derives from the table —
+        # replay still admits nothing, fresh still admitted
+        shutil.rmtree(path + "_rwm", ignore_errors=True)
+        assert replay_guard(spark, table, b3, "vec_id").count() == 0
+        b4 = spark.createDataFrame([(200, 0)], "vec_id long, x long")
+        assert sorted(
+            r.vec_id for r in replay_guard(spark, table, b4, "vec_id").collect()
+        ) == [200]
+
+        # table recreation at the same path clears the stale sidecar
+        # (a stale-LOW watermark would be unsound for a new generation)
+        import os
+
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+        write_bucketed(base, table, "vec_id", 4, path=path)
+        assert not os.path.exists(path + "_rwm")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
