@@ -2633,11 +2633,15 @@ def emb_whiten_quantizer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers are comparable). Rows-only: k-means/PQ float iterations
     are engine-specific; the emit contract (exactly these two
     variants, stats well-formed) is property-tested, and SCALE.md r14
-    pins the measured DIRECTION — on this near-isotropic fixture
-    whitening does NOT help (it amplifies sampling noise; the
-    preconditioner pays only when the spectrum is skewed, which the
-    scale A/B demonstrates on a spectrally-decayed variant). Either
-    direction is a recorded answer, not a contract. Scale shape: per
+    pins the measured DIRECTION (scripts/r14_whiten_ab.py, 200k
+    vectors): on the near-isotropic fixture whitening is a wash
+    (occ_cv 0.046→0.053, PQ MSE unchanged — nothing to fix, noise
+    amplified); on a spectrally-decayed variant (condition ~400) it
+    FIXES coarse-cell balance (occ_cv 0.150→0.053, occ_max −14%) while
+    costing ~3% raw-space PQ MSE (PQ allocates bits where variance is;
+    whitening equalizes it). So: precondition the IVF/coarse tier with
+    it, do NOT whiten ahead of a raw-MSE-targeted PQ. Either direction
+    is a recorded answer, not a contract. Scale shape: per
     variant two bounded driver fits + one
     zero-shuffle scoring pass + a k-row groupBy; the whitened side
     adds `_pca_moments`' single-scan bounded moment fold."""
