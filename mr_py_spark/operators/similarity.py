@@ -942,15 +942,31 @@ def _ordered_train_sample(df: DataFrame, cap: int | None = None):
     bare ``limit(cap).collect()`` has no stable order (ADVICE r13: a
     foreachBatch replay may collect a different prefix — or the same
     SET in a different ORDER, which still changes the seeded init's
-    row picks), voiding byte-identical replay; the orderBy is a
-    TakeOrderedAndProject, same bounded collect class."""
+    row picks), voiding byte-identical replay.
+
+    TWO-PHASE collect (r14, found by the 2M guard A/B): a direct
+    ``orderBy(id).limit(cap)`` over the VECTOR columns is a
+    TakeOrderedAndProject whose driver merge receives partitions × cap
+    rows — 32 tasks × 100k × 528 B ≈ 1 GB at fixture widths, blowing
+    spark.driver.maxResultSize before the limit applies. Phase 1 takes
+    the id column alone (partitions × cap × 8 B — real metadata) to
+    learn the cap-th id; phase 2 collects exactly the rows at-or-below
+    that threshold through a pushed-down filter (≤ cap full vectors on
+    the wire, the size the sample actually is)."""
     import numpy as np
 
     cap = _IVF_TRAIN_CAP if cap is None else cap
-    return np.asarray(
-        [r.v for r in df.orderBy("vec_id").limit(cap).select("v").collect()],
-        dtype=np.float64,
+    ids = [
+        r[0]
+        for r in df.select("vec_id").orderBy("vec_id").limit(cap).collect()
+    ]
+    if not ids:
+        return np.asarray([], dtype=np.float64)
+    rows = (
+        df.filter(F.col("vec_id") <= ids[-1]).select("vec_id", "v").collect()
     )
+    rows.sort(key=lambda r: r[0])
+    return np.asarray([r.v for r in rows[:cap]], dtype=np.float64)
 
 
 def _retrain_sample(
