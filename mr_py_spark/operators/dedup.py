@@ -789,7 +789,7 @@ def lsh_index_append(new_docs: DataFrame, table: str) -> None:
 
     spark = new_docs.sparkSession
     entries = lsh_band_entries(
-        minhash_signatures(new_docs), lsh_index_band_rows(spark.table(table))
+        minhash_signatures(new_docs), lsh_table_band_rows(spark, table)
     )
     write_bucketed(entries, table, _LSH_INDEX_KEYS, _BUCKETS, mode="append")
 
@@ -799,12 +799,51 @@ def lsh_index_band_rows(bands: DataFrame) -> int:
     from its band_id range (_N_HASHES // n_bands): the index is
     SELF-DESCRIBING, so probes/appends/gauges never need a side
     metadata channel that could drift from the table (r14 re-band
-    actuator). One bounded column-pruned agg; an empty frame reports
-    the build default."""
+    actuator). One column-pruned agg — O(index) reads, so PER-BATCH
+    callers on a STANDING TABLE go through ``lsh_table_band_rows``
+    (sidecar-cached, this as the fallback); an empty frame reports the
+    build default."""
     row = bands.agg(F.max("band_id").alias("m")).collect()[0]
     if row.m is None:
         return _BAND_ROWS
     return _N_HASHES // (int(row.m) + 1)
+
+
+def _banding_sidecar(spark: SparkSession, table: str) -> str:
+    from mr_py_spark.operators.bucketed import _table_location
+
+    return _table_location(spark, table).rstrip("/") + "_banding"
+
+
+def lsh_table_band_rows(spark: SparkSession, table: str) -> int:
+    """``lsh_index_band_rows`` for a STANDING table, without the
+    per-call index scan (the replay-guard lesson, same round: a
+    bounded-looking derive that reads a full column per micro-batch is
+    O(index) per batch at 10⁹ rows). The banding rides a 1-row parquet
+    sidecar next to the table's data directory, written by
+    ``lsh_reband``; absent or unreadable (pre-r14 tables, a crash
+    mid-overwrite) it degrades to the exact column derive and
+    REPAIRS the sidecar. The sidecar can never go stale-wrong: only
+    lsh_reband changes a table's banding, and it rewrites the sidecar
+    inside the same call."""
+    import os as _os
+
+    side = _banding_sidecar(spark, table)
+    if _os.path.exists(side):
+        try:
+            got = spark.read.parquet(side).collect()
+            if got:
+                return int(got[0][0])
+        except Exception:
+            pass  # half-written sidecar -> derive + repair below
+    rows = lsh_index_band_rows(spark.table(table))
+    try:
+        spark.createDataFrame([(int(rows),)], "band_rows long").write.mode(
+            "overwrite"
+        ).parquet(side)
+    except Exception:
+        pass  # read-only location: derive-per-call still correct
+    return rows
 
 
 #: Re-band trigger: the index's mean COLLISION mass per band probe —
@@ -891,6 +930,11 @@ def lsh_reband(spark: SparkSession, table: str, band_rows: int) -> dict:
     )
     entries = lsh_band_entries(sig, band_rows)
     replace_bucketed_table(spark, table, entries, _LSH_INDEX_KEYS)
+    # refresh the banding sidecar inside the same call (the only
+    # banding-changing operation, so the cache can never go stale)
+    spark.createDataFrame(
+        [(int(band_rows),)], "band_rows long"
+    ).write.mode("overwrite").parquet(_banding_sidecar(spark, table))
     return {
         "band_rows": int(band_rows),
         "n_docs": int(

@@ -48,6 +48,10 @@ def write_bucketed(
         import shutil as _sh
 
         _sh.rmtree(path.rstrip("/") + "_rwm", ignore_errors=True)
+        # same reasoning for the LSH banding sidecar: a recreated table
+        # at the build-default banding under a stale 8-row sidecar
+        # would band its appends wrong (mixed-banding corruption)
+        _sh.rmtree(path.rstrip("/") + "_banding", ignore_errors=True)
     w = (
         df.write.mode(mode)
         .bucketBy(n_buckets, keys[0], *keys[1:])

@@ -1049,8 +1049,8 @@ def _lsh_maintenance_step(
         _N_HASHES,
         lsh_band_entries,
         lsh_index_append,
-        lsh_index_band_rows,
         lsh_next_band_rows,
+        lsh_table_band_rows,
         lsh_occupancy_frame,
         lsh_reband,
         lsh_reband_needed,
@@ -1079,7 +1079,7 @@ def _lsh_maintenance_step(
             and batch_id > 0
             and batch_id % reband_check_every == 0
         ):
-            cur = lsh_index_band_rows(spark.table(table))
+            cur = lsh_table_band_rows(spark, table)
             if cur < _N_HASHES and lsh_reband_needed(
                 lsh_occupancy_frame(cb), cap, band_rows=cur
             ):

@@ -1778,6 +1778,60 @@ def test_lsh_band_entries_band_rows_param_and_derivation(spark):
     assert lsh_index_band_rows(lsh_band_entries(sig.limit(0))) == 4
 
 
+def test_lsh_table_band_rows_sidecar_lifecycle(spark, tmp_path):
+    """The per-batch banding lookup must not scan the index (the
+    replay-guard lesson): the sidecar answers after a derive-and-
+    repair bootstrap, lsh_reband refreshes it in the same call, a
+    vanished sidecar re-derives correctly, and table recreation at the
+    same path clears it (a stale 8-row sidecar over a recreated 4-row
+    table would band appends wrong)."""
+    import os
+
+    from mr_py_spark.operators.bucketed import _BUCKETS, _table_location
+    from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
+        lsh_band_entries,
+        lsh_reband,
+        lsh_table_band_rows,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i} " * 4) for i in range(30)],
+        "doc_id long, text string",
+    )
+    table = "t_banding_sidecar"
+    path = str(tmp_path / "idx")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            lsh_band_entries(minhash_signatures(docs)), table,
+            _LSH_INDEX_KEYS, _BUCKETS, path=path,
+        )
+        side = _table_location(spark, table).rstrip("/") + "_banding"
+        assert not os.path.exists(side)
+        assert lsh_table_band_rows(spark, table) == 4  # derive + repair
+        assert os.path.exists(side)
+        lsh_reband(spark, table, 8)
+        assert lsh_table_band_rows(spark, table) == 8  # refreshed in-call
+        import shutil
+
+        shutil.rmtree(side)
+        assert lsh_table_band_rows(spark, table) == 8  # re-derive correct
+        # recreation clears the sidecar
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(path, ignore_errors=True)
+        write_bucketed(
+            lsh_band_entries(minhash_signatures(docs)), table,
+            _LSH_INDEX_KEYS, _BUCKETS, path=path,
+        )
+        assert not os.path.exists(side)
+        assert lsh_table_band_rows(spark, table) == 4
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_minhash_delta_status_planted(spark):
     """incremental_minhash_dedup's core on planted docs: a delta
     near-dup of a corpus doc is 'dup_of_corpus' (min corpus partner),
