@@ -815,32 +815,50 @@ def _banding_sidecar(spark: SparkSession, table: str) -> str:
     return _table_location(spark, table).rstrip("/") + "_banding"
 
 
+def _table_generation(spark: SparkSession, table: str) -> int:
+    """Identity of the table's CURRENT data-directory generation: the
+    dir's inode. The crash-atomic swap (replace_bucketed_table /
+    recover_compaction) installs a NEW directory by rename, so any
+    rebuild — including a rollback — changes the inode; appends write
+    files INTO the dir and leave it unchanged. This is what lets a
+    cached derived property (the banding sidecar) self-heal across a
+    crash between the swap and the sidecar refresh: a sidecar bound to
+    the pre-swap inode simply mismatches and the caller re-derives."""
+    import os as _os
+
+    from mr_py_spark.operators.bucketed import _table_location
+
+    return int(_os.stat(_table_location(spark, table)).st_ino)
+
+
 def lsh_table_band_rows(spark: SparkSession, table: str) -> int:
     """``lsh_index_band_rows`` for a STANDING table, without the
     per-call index scan (the replay-guard lesson, same round: a
     bounded-looking derive that reads a full column per micro-batch is
     O(index) per batch at 10⁹ rows). The banding rides a 1-row parquet
-    sidecar next to the table's data directory, written by
-    ``lsh_reband``; absent or unreadable (pre-r14 tables, a crash
-    mid-overwrite) it degrades to the exact column derive and
-    REPAIRS the sidecar. The sidecar can never go stale-wrong: only
-    lsh_reband changes a table's banding, and it rewrites the sidecar
-    inside the same call."""
+    sidecar next to the table's data directory, BOUND to the data
+    dir's generation (inode — see ``_table_generation``): absent,
+    unreadable, or from another generation (pre-r14 tables, a crash
+    between lsh_reband's swap and its sidecar refresh, a compaction or
+    rollback), it degrades to the exact column derive and REPAIRS the
+    sidecar — so a stale sidecar can cost one bounded re-derive, never
+    a wrong banding."""
     import os as _os
 
     side = _banding_sidecar(spark, table)
+    gen = _table_generation(spark, table)
     if _os.path.exists(side):
         try:
             got = spark.read.parquet(side).collect()
-            if got:
-                return int(got[0][0])
+            if got and int(got[0]["gen"]) == gen:
+                return int(got[0]["band_rows"])
         except Exception:
             pass  # half-written sidecar -> derive + repair below
     rows = lsh_index_band_rows(spark.table(table))
     try:
-        spark.createDataFrame([(int(rows),)], "band_rows long").write.mode(
-            "overwrite"
-        ).parquet(side)
+        spark.createDataFrame(
+            [(int(rows), gen)], "band_rows long, gen long"
+        ).write.mode("overwrite").parquet(side)
     except Exception:
         pass  # read-only location: derive-per-call still correct
     return rows
@@ -930,10 +948,13 @@ def lsh_reband(spark: SparkSession, table: str, band_rows: int) -> dict:
     )
     entries = lsh_band_entries(sig, band_rows)
     replace_bucketed_table(spark, table, entries, _LSH_INDEX_KEYS)
-    # refresh the banding sidecar inside the same call (the only
-    # banding-changing operation, so the cache can never go stale)
+    # refresh the banding sidecar, bound to the NEW generation; a
+    # crash before this line leaves a sidecar bound to the OLD inode,
+    # which lsh_table_band_rows detects and re-derives — stale can
+    # cost a re-derive, never a wrong banding
     spark.createDataFrame(
-        [(int(band_rows),)], "band_rows long"
+        [(int(band_rows), _table_generation(spark, table))],
+        "band_rows long, gen long",
     ).write.mode("overwrite").parquet(_banding_sidecar(spark, table))
     return {
         "band_rows": int(band_rows),

@@ -1819,6 +1819,22 @@ def test_lsh_table_band_rows_sidecar_lifecycle(spark, tmp_path):
 
         shutil.rmtree(side)
         assert lsh_table_band_rows(spark, table) == 8  # re-derive correct
+        # crash window: a rebuild WITHOUT the sidecar refresh (a crash
+        # between lsh_reband's swap and its sidecar write) must not
+        # serve the stale banding — the generation binding (dir inode)
+        # forces a re-derive
+        from mr_py_spark.operators.bucketed import replace_bucketed_table
+        from mr_py_spark.operators.dedup import lsh_index_band_rows as _derive
+
+        assert lsh_table_band_rows(spark, table) == 8  # sidecar warm
+        sig2 = spark.table(table).filter(F.col("band_id") == 0).select(
+            "doc_id", *[f"mh{i}" for i in range(16)]
+        )
+        replace_bucketed_table(
+            spark, table, lsh_band_entries(sig2, 16), _LSH_INDEX_KEYS
+        )  # the swap alone; sidecar still says 8 @ old generation
+        assert _derive(spark.table(table)) == 16
+        assert lsh_table_band_rows(spark, table) == 16  # healed, not 8
         # recreation clears the sidecar
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)
