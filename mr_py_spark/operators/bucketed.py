@@ -450,6 +450,42 @@ def replay_guard(
     return new_rows.join(already, id_col, "left_anti")
 
 
+def raise_watermark(
+    spark: SparkSession, table: str, new_rows: DataFrame, id_col: str
+) -> None:
+    """Unconditionally raise ``table``'s replay-guard watermark to
+    cover ``new_rows`` BEFORE they are appended (ADVICE r14:
+    ``replay_guard``'s soundness precondition — every append raises the
+    watermark first — was documented but not enforced; an
+    idempotent=False append of above-watermark ids left the watermark
+    stale-LOW by caller mixing, so a later idempotent replay of those
+    rows took the zero-I/O fast path and re-admitted duplicates). The
+    ``*_index_append`` helpers call this on every non-guarded append.
+
+    Only an EXISTING watermark is raised: while no sidecar exists the
+    table has never been guard-checked, and ``replay_guard``'s
+    bootstrap takes a full max over the table — which covers unguarded
+    history exactly; writing a batch-local max here instead could land
+    BELOW pre-existing ids (stale-LOW, the unsound direction). Raising
+    is idempotent and stale-HIGH-safe, so a caller that already went
+    through ``replay_guard`` (which raises) pays only one 1-row
+    sidecar read and one delta-sized max."""
+    if not spark.catalog.tableExists(table):
+        return
+    wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
+    try:
+        got = spark.read.parquet(wm_path).agg(F.max("wm")).collect()[0][0]
+    except Exception:
+        return  # no sidecar yet: replay_guard's bootstrap covers history
+    if got is None:
+        return
+    mx = new_rows.agg(F.max(id_col)).collect()[0][0]
+    if mx is not None and int(mx) > int(got):
+        spark.createDataFrame([(int(mx),)], "wm long").write.mode(
+            "overwrite"
+        ).parquet(wm_path)
+
+
 def compact_bucketed_table(
     spark: SparkSession, table: str, key: str | tuple[str, ...],
     n_buckets: int = _BUCKETS,

@@ -856,6 +856,82 @@ def test_lsh_index_side_exchange_free_under_shuffle_join(spark):
     assert checked == len(scan_idxs), p[:3000]
 
 
+def test_lsh_gauge_delta_probe_plan(spark, tmp_path):
+    """The O(delta) gauge bump's occupancy probe (VERDICT r14 item 1):
+    the index side must be ONE map-only scan — the delta keys arrive
+    by broadcast left-semi BEFORE the groupBy, so the aggregation
+    state is bounded by the delta's key count and the bucketed scan
+    feeds its partial agg with NO Exchange (no shuffle of index-sized
+    data anywhere in the probe)."""
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
+        _lsh_gauge_delta_frame,
+        lsh_band_entries,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    docs = spark.createDataFrame(
+        [(i, f"gauge plan probe text {i % 3} " * 5) for i in range(30)],
+        "doc_id long, text string",
+    )
+    table = "t_gauge_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            lsh_band_entries(minhash_signatures(docs)), table,
+            _LSH_INDEX_KEYS, _BUCKETS, path=str(tmp_path / "idx"),
+        )
+        delta = lsh_band_entries(
+            minhash_signatures(
+                spark.createDataFrame(
+                    [(100, "gauge plan probe text 0 " * 5)],
+                    "doc_id long, text string",
+                )
+            )
+        )
+        df = _lsh_gauge_delta_frame(spark, table, delta)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        lines = p.split("== Initial Plan ==")[0].splitlines()
+        scan_idxs = [
+            i for i, l in enumerate(lines)
+            if "FileScan" in l and "t_gauge_plan" in l
+        ]
+        assert len(scan_idxs) == 1, p[:3000]  # ONE pass over the index
+
+        def indent(line: str) -> int:
+            for marker in ("+- ", "Scan ", "FileScan "):
+                i = line.find(marker)
+                if i >= 0:
+                    return i
+            return len(line) - len(line.lstrip())
+
+        # ancestor walk: between the index scan and its first
+        # HashAggregate there must be only the broadcast semi join —
+        # never an Exchange (the index side shuffles nothing)
+        si = scan_idxs[0]
+        cur = indent(lines[si])
+        saw_semi = False
+        for j in range(si - 1, -1, -1):
+            ind = indent(lines[j])
+            if ind < cur:
+                cur = ind
+                if "HashAggregate" in lines[j]:
+                    break
+                if "BroadcastHashJoin" in lines[j]:
+                    assert "LeftSemi" in lines[j], lines[j]
+                    saw_semi = True
+                assert "Exchange" not in lines[j], (
+                    f"index side shuffled before its partial agg:\n"
+                    f"{lines[j]}\n...\n{lines[si]}"
+                )
+        assert saw_semi, p[:3000]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_incremental_semantic_dedup_hier_reads_standing_index(spark):
     """The hierarchical O(delta) semantic form (VERDICT r12 item 1):
     the corpus side is the persisted (bucket, leaf)-bucketed inverted

@@ -1848,6 +1848,147 @@ def test_lsh_table_band_rows_sidecar_lifecycle(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_lsh_gauge_incremental_exact_zero_io_and_replay(spark, tmp_path, monkeypatch):
+    """The O(delta) gauge (VERDICT r14 item 1 — the in-loop full gauge
+    was an index-sized groupBy + corpus-wide distinct every 8 batches):
+
+    - the incrementally-maintained sufficient statistics match the
+      exact one-pass recompute EXACTLY (integer mass, not an
+      estimator) through bootstrap, two appends, and a re-band refresh;
+    - the warm check path reads ZERO index data (spark.table is forced
+      to raise — the decision is a 1-file sidecar read);
+    - a ``batch_max_id`` read serves the PRE-batch snapshot (the
+      replay discipline: original and replay decide on the same view);
+    - a crash-retry double-bump is a no-op (the bump watermark)."""
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
+        _lsh_gauge_bump,
+        _lsh_gauge_full,
+        lsh_band_entries,
+        lsh_gauge_stats,
+        lsh_index_append,
+        lsh_reband,
+        lsh_table_band_rows,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    def mk(ids):
+        # every other doc shares one of two texts -> real band-bucket
+        # collisions, so mass > 0 and every append moves it
+        return spark.createDataFrame(
+            [(i, f"shared body text variant {i % 2} " * 6) for i in ids],
+            "doc_id long, text string",
+        )
+
+    def exact():
+        m, nd, _ = _lsh_gauge_full(spark.table(table))
+        return {"mass": m, "n_docs": nd}
+
+    table = "t_gauge_stats"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            lsh_band_entries(minhash_signatures(mk(range(20)))),
+            table, _LSH_INDEX_KEYS, _BUCKETS, path=str(tmp_path / "idx"),
+        )
+        s0 = lsh_gauge_stats(spark, table)  # bootstrap (exact, repairs)
+        assert s0 == exact() and s0["n_docs"] == 20 and s0["mass"] > 0
+        lsh_index_append(mk(range(100, 110)), table)  # bump O(delta)
+        s1 = lsh_gauge_stats(spark, table)
+        assert s1 == exact() and s1["n_docs"] == 30
+        lsh_index_append(mk(range(200, 210)), table)
+        s2 = lsh_gauge_stats(spark, table)
+        assert s2 == exact() and s2["n_docs"] == 40
+        # replay discipline: a check on behalf of the already-bumped
+        # batch (max id 209 <= bump watermark) sees the PRE-batch stats
+        assert lsh_gauge_stats(spark, table, batch_max_id=209) == s1
+        assert lsh_gauge_stats(spark, table, batch_max_id=210) == s2
+        # crash-retry: re-bumping the same delta is a watermark no-op
+        entries = lsh_band_entries(
+            minhash_signatures(mk(range(200, 210))),
+            lsh_table_band_rows(spark, table),
+        )
+        _lsh_gauge_bump(spark, table, entries)
+        assert lsh_gauge_stats(spark, table) == s2 == exact()
+        # warm check path: NO index read at all
+        monkeypatch.setattr(
+            type(spark), "table",
+            lambda self, name: (_ for _ in ()).throw(
+                AssertionError("warm gauge check scanned the index")
+            ),
+        )
+        assert lsh_gauge_stats(spark, table) == s2
+        assert lsh_gauge_stats(spark, table, batch_max_id=209) == s1
+        monkeypatch.undo()
+        # re-band refreshes the statistics exactly at the new banding
+        out = lsh_reband(spark, table, 8)
+        assert out["n_docs"] == 40
+        assert lsh_gauge_stats(spark, table) == exact()
+    finally:
+        monkeypatch.undo()
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_raise_watermark_closes_mixed_mode_replay(spark, tmp_path):
+    """ADVICE r14: replay_guard's soundness precondition (every append
+    raises the watermark first) is now ENFORCED by the append helpers —
+    an idempotent=False append of above-watermark ids no longer lets a
+    later idempotent replay of those rows take the zero-I/O fast path
+    and re-admit duplicates. Also pins the absent-sidecar rule: while
+    no watermark exists, raise_watermark leaves it absent (a
+    batch-local max could land BELOW pre-existing ids — stale-LOW)."""
+    import os
+
+    from mr_py_spark.operators.bucketed import (
+        _BUCKETS,
+        _table_location,
+        raise_watermark,
+        replay_guard,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in ids], "vec_id long, v array<double>"
+        )
+
+    from mr_py_spark.operators.similarity import (
+        ivf_assign_with,
+        ivf_index_append,
+    )
+
+    table = "t_rwm_mixed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        cent = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "cid long, cv array<double>"
+        )
+        write_bucketed(
+            ivf_assign_with(cent, vecs(range(5))), table, "bucket",
+            _BUCKETS, path=str(tmp_path / "ivf"),
+        )
+        wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
+        # absent sidecar: raise_watermark must NOT invent one
+        raise_watermark(spark, table, vecs([100]), "vec_id")
+        assert not os.path.exists(wm_path)
+        # an idempotent append bootstraps the watermark (full max)
+        ivf_index_append(cent, vecs(range(5, 8)), table, idempotent=True)
+        # the mixed-mode hole: a NON-idempotent append of higher ids...
+        ivf_index_append(cent, vecs(range(10, 13)), table, idempotent=False)
+        # ...must have raised the watermark, so an idempotent REPLAY of
+        # exactly those rows admits nothing
+        before = spark.table(table).count()
+        ivf_index_append(cent, vecs(range(10, 13)), table, idempotent=True)
+        assert spark.table(table).count() == before
+        # and replay_guard itself sees them as suspects, not fast-path
+        kept = replay_guard(spark, table, vecs(range(10, 13)), "vec_id")
+        assert kept.count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_minhash_delta_status_planted(spark):
     """incremental_minhash_dedup's core on planted docs: a delta
     near-dup of a corpus doc is 'dup_of_corpus' (min corpus partner),
