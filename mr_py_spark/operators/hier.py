@@ -647,6 +647,44 @@ def _hier_probe_cells(
     )
 
 
+#: Design ceiling of the TWO-level construction: ~4096 roots × ~4096
+#: leaves/root × ~64 vectors/leaf ≈ 1.1e9 vectors. Past it, per-root
+#: leaf-training groups exceed ~262k rows and cell occupancy drifts off
+#: the ~_LEAF_ROWS grain — the continuation is a THIRD level (same
+#: construction; the leaf trainer is already group-local), decided
+#: AGAINST for now (VERDICT r14 item 8: no ≥100M-vector fixture is on
+#: the measurement path), so the ceiling is pinned with a loud assert
+#: instead of a silent drift.
+_HIER_TWO_LEVEL_CEIL = 4096 * 4096 * 64
+
+
+def _hier_index_stamp(n: int) -> str:
+    """The builder stamp shared by ALL standing tables derived from the
+    hier index build — the three index tables AND the PQ code table
+    (ADVICE r14: hier_pq_codes' stamp omitted the assignment builder,
+    so an edit to hier_assign rebuilt the index under its own stamp
+    while the codes table re-attached STALE — ADC would score codes
+    whose (bucket, leaf) cells no longer match the index). One source
+    of truth so the two can never drift apart again."""
+    from mr_py_spark.operators.bucketed import builder_stamp
+    from mr_py_spark.operators.similarity import (
+        _IVF_TRAIN_CAP,
+        _fold_order_blocks,
+        _ivf_assign_pass,
+        _ivf_centroids,
+        ivf_assign_with,
+    )
+
+    nroot = min(_hier_nroot(n), max(1, n))
+    return builder_stamp(
+        _ivf_centroids, ivf_assign_with, _ivf_assign_pass,
+        _np_spherical_kmeans, hier_leaf_centroids, hier_assign,
+        _fold_order_blocks,
+        nroot=nroot, root_rows=_ROOT_ROWS, leaf_rows=_LEAF_ROWS,
+        train_cap=_IVF_TRAIN_CAP,
+    )
+
+
 def hier_index(spark: SparkSession, sf_dir: str):
     """The FULL-TABLE standing two-level index — the ANN serve twin of
     similarity.ivf_index (hier_corpus_index covers only the fixture's
@@ -656,26 +694,23 @@ def hier_index(spark: SparkSession, sf_dir: str):
     content-stamped cache with the full builder stamp (every function
     and knob the persisted bytes depend on, ADVICE r12). Returns
     (root_cent, leaf_cent, assigned)."""
-    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+    from mr_py_spark.operators.bucketed import _bucketed_table
     from mr_py_spark.operators.similarity import (
-        _IVF_TRAIN_CAP,
         _emb_double,
-        _fold_order_blocks,
-        _ivf_assign_pass,
         _ivf_centroids,
         ivf_assign_with,
     )
 
     e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
     n = _table_rows(e, sf_dir, "embeddings")
-    nroot = min(_hier_nroot(n), max(1, n))
-    stamp = builder_stamp(
-        _ivf_centroids, ivf_assign_with, _ivf_assign_pass,
-        _np_spherical_kmeans, hier_leaf_centroids, hier_assign,
-        _fold_order_blocks,
-        nroot=nroot, root_rows=_ROOT_ROWS, leaf_rows=_LEAF_ROWS,
-        train_cap=_IVF_TRAIN_CAP,
+    assert n <= _HIER_TWO_LEVEL_CEIL, (
+        f"hier_index: {n} vectors exceeds the two-level design ceiling "
+        f"({_HIER_TWO_LEVEL_CEIL} ≈ 4096·4096·64) — add the third "
+        "quantizer level (hier.py module docstring) before indexing "
+        "corpora this size"
     )
+    nroot = min(_hier_nroot(n), max(1, n))
+    stamp = _hier_index_stamp(n)
 
     def build_root() -> DataFrame:
         cents = _ivf_centroids(spark, e, nroot)
@@ -717,6 +752,24 @@ _PQ_ROOT_PROBE = 24
 _PQ_LEAF_PROBE = 24
 
 
+def _pq_books_stamp() -> str:
+    """The builder stamp of the PERSISTED PQ codebooks — everything the
+    trained book bytes depend on. Shared by _hier_pq_books (its own
+    table's stamp) and hier_pq_codes (ADVICE r14: the codes are a pure
+    function of the BOOKS as well as the assignment, but the codes
+    table's stamp covered only the encode pass — a _pq_train or
+    _PQ_TRAIN change rebuilt the books under their own stamp while the
+    codes re-attached stale, so ADC would score stale codes against
+    new books: silent recall collapse in the pre-rank)."""
+    from mr_py_spark.operators.bucketed import builder_stamp
+    from mr_py_spark.operators.similarity import _ordered_train_sample
+    from mr_py_spark.operators.vectors import _PQ_TRAIN, _pq_train
+
+    return builder_stamp(
+        _pq_train, _ordered_train_sample, m=_PQ_M, k=_PQ_K, train=_PQ_TRAIN
+    )
+
+
 def _hier_pq_books(spark: SparkSession, sf_dir: str):
     """Standing PQ codebooks for the hier serve tier: trained once on
     the deterministic ordered bounded sample (the _PQ_TRAIN exemption
@@ -725,7 +778,7 @@ def _hier_pq_books(spark: SparkSession, sf_dir: str):
     Returns the (M, K, sub) ndarray."""
     import numpy as np
 
-    from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
+    from mr_py_spark.operators.bucketed import _bucketed_table
     from mr_py_spark.operators.similarity import (
         _emb_double,
         _ordered_train_sample,
@@ -748,10 +801,7 @@ def _hier_pq_books(spark: SparkSession, sf_dir: str):
     tbl_books = _bucketed_table(
         spark, sf_dir, "hier_pq_books", "mi", frame_of=build,
         src_name="embeddings", schema="mi long, ki long, sub array<double>",
-        stamp_extra=builder_stamp(
-            _pq_train, _ordered_train_sample, m=_PQ_M, k=_PQ_K,
-            train=_PQ_TRAIN,
-        ),
+        stamp_extra=_pq_books_stamp(),
     )
     rows = tbl_books.collect()
     m = max(r.mi for r in rows) + 1
@@ -772,9 +822,15 @@ def hier_pq_codes(
     join is exchange-free on the corpus side exactly like the exact
     tier's, but each candidate row carries 16 one-byte codes instead
     of the 512-byte double vector (~20× less through the join and the
-    Python workers)."""
+    Python workers).
+
+    The persisted codes are a pure function of (assignment, books,
+    encode pass), so the stamp folds in ALL THREE builders (ADVICE
+    r14: the encode-only stamp let a books or assignment rebuild serve
+    STALE codes — the r12 stale-stamp knob class)."""
     from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
 
+    n = _table_rows(tbl(spark, sf_dir, "embeddings"), sf_dir, "embeddings")
     return _bucketed_table(
         spark, sf_dir, "hier_pq_codes", ("bucket", "leaf"),
         frame_of=lambda: _pq_encode_frame(assigned, books),
@@ -782,7 +838,9 @@ def hier_pq_codes(
         schema="vec_id long, bucket long, leaf long, code array<int>",
         stamp_extra=builder_stamp(
             hier_pq_codes, _pq_encode_frame, m=_PQ_M, k=_PQ_K
-        ),
+        )
+        + _pq_books_stamp()
+        + _hier_index_stamp(n),
     )
 
 
@@ -1079,8 +1137,13 @@ def hier_index_append(
     replay guard as ivf_index_append: ``idempotent=True`` drops
     vec_ids the table already holds before the append —
     watermark-gated (bucketed.replay_guard, r14), so the normal fresh
-    batch costs zero index I/O."""
-    from mr_py_spark.operators.bucketed import _BUCKETS, replay_guard
+    batch costs zero index I/O; ``idempotent=False`` appends still
+    RAISE the watermark (ADVICE r14 — see ivf_index_append)."""
+    from mr_py_spark.operators.bucketed import (
+        _BUCKETS,
+        raise_watermark,
+        replay_guard,
+    )
     from mr_py_spark.operators.similarity import ivf_assign_with
     from mr_py_spark.sources.sinks import write_bucketed
 
@@ -1088,5 +1151,7 @@ def hier_index_append(
         new_vectors = replay_guard(
             new_vectors.sparkSession, table, new_vectors, "vec_id"
         )
+    else:
+        raise_watermark(new_vectors.sparkSession, table, new_vectors, "vec_id")
     entries = hier_assign(ivf_assign_with(root_cent, new_vectors), leaf_cent)
     write_bucketed(entries, table, ("bucket", "leaf"), _BUCKETS, mode="append")

