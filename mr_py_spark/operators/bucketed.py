@@ -473,10 +473,16 @@ def raise_watermark(
     if not spark.catalog.tableExists(table):
         return
     wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
+    if not os.path.exists(wm_path):
+        # no sidecar yet: replay_guard's bootstrap covers history. The
+        # exists-check (local fs, same assumption as _table_location)
+        # spares one Spark job + a logged AnalysisException per append
+        # on never-guarded tables.
+        return
     try:
         got = spark.read.parquet(wm_path).agg(F.max("wm")).collect()[0][0]
     except Exception:
-        return  # no sidecar yet: replay_guard's bootstrap covers history
+        return  # half-written sidecar: bootstrap covers it
     if got is None:
         return
     mx = new_rows.agg(F.max(id_col)).collect()[0][0]

@@ -112,8 +112,29 @@ def _np_spherical_kmeans(X: np.ndarray, k: int, seed: int) -> np.ndarray:
     return cent / norms[:, None]
 
 
+def _spread_by_bucket(root_assigned: DataFrame, spread: int | None) -> DataFrame:
+    """BUILD-path skew fix (r15, VERDICT r14 item 5): the leaf-train /
+    assign group exchanges default to the session's shuffle-partition
+    count, so each task bundles many root groups — at 8M vectors the
+    r15 profile measured max/p50 task time 3.4x on leaf training (a
+    298 s straggler against an 89 s median, the stage wall pinned by
+    it) where 2M showed 1.2x. An explicit repartition on the group key
+    into ~nroot partitions puts ~one group per task: HashPartitioning
+    (bucket, spread) satisfies the groupBy/cogroup's required
+    clustering for ANY partition count, so no second exchange is
+    added, and an explicit-N repartition is exempt from AQE
+    coalescing. Opt-in (None = current behavior) because the SERVE
+    path must keep its standing leaf table exchange-free: spreading a
+    delta-side cogroup would re-shuffle the big leaf side to match."""
+    if spread is None:
+        return root_assigned
+    return root_assigned.repartition(max(1, int(spread)), "bucket")
+
+
 def hier_leaf_centroids(
-    root_assigned: DataFrame, leaf_rows: int = _LEAF_ROWS
+    root_assigned: DataFrame,
+    leaf_rows: int = _LEAF_ROWS,
+    spread: int | None = None,
 ) -> DataFrame:
     """(bucket, leaf, lv): per-root-bucket leaf centroids, trained in
     ONE distributed pass grouped by root bucket — no driver collect at
@@ -122,7 +143,9 @@ def hier_leaf_centroids(
     sorted by vec_id before training and the rng is seeded on the
     bucket id, so rebuilds are bit-identical regardless of partition
     layout. k_leaf = ceil(occupancy / leaf_rows), capped at _MAX_K —
-    sized per group, so hot roots get proportionally more leaves."""
+    sized per group, so hot roots get proportionally more leaves.
+    ``spread`` (build paths pass nroot) unbundles groups from tasks —
+    see _spread_by_bucket."""
 
     def train(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id")
@@ -138,19 +161,26 @@ def hier_leaf_centroids(
             }
         )
 
-    return root_assigned.groupBy("bucket").applyInPandas(
+    return _spread_by_bucket(root_assigned, spread).groupBy("bucket").applyInPandas(
         train, "bucket long, leaf long, lv array<double>"
     )
 
 
-def hier_assign(root_assigned: DataFrame, leaf_cent: DataFrame) -> DataFrame:
+def hier_assign(
+    root_assigned: DataFrame,
+    leaf_cent: DataFrame,
+    spread: int | None = None,
+) -> DataFrame:
     """(vec_id, bucket, leaf, v): leaf assignment WITHIN each root
     bucket — a cogroup on the root bucket id, so a vector only ever
     meets its own root's ≤ _MAX_K leaves and the leaf table as a whole
     is never broadcast or crossed. Scoring is the fold-order kernel
     (bit-stable, row-blocked against hot roots). When ``leaf_cent``
     comes from its (bucket)-bucketed standing table the leaf side is
-    exchange-free; only ``root_assigned`` shuffles."""
+    exchange-free; only ``root_assigned`` shuffles. ``spread`` is the
+    BUILD-path skew fix (see _spread_by_bucket) — never set it on the
+    delta/serve path, where it would re-shuffle the standing leaf
+    side to match the spread partitioning."""
     from mr_py_spark.operators.similarity import _fold_order_blocks
 
     def assign(key, vpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
@@ -192,7 +222,7 @@ def hier_assign(root_assigned: DataFrame, leaf_cent: DataFrame) -> DataFrame:
         )
 
     return (
-        root_assigned.groupBy("bucket")
+        _spread_by_bucket(root_assigned, spread).groupBy("bucket")
         .cogroup(leaf_cent.groupBy("bucket"))
         .applyInPandas(assign, "vec_id long, bucket long, leaf long, v array<double>")
     )
@@ -209,16 +239,17 @@ def hier_corpus_index(spark: SparkSession, sf_dir: str):
     stamp over every function and knob the persisted bytes depend on
     (ADVICE r12: including the shared assignment kernel).
 
-    Cold-build cost note (r13 review): the leaf builder and the
-    inverted-file builder each run the root broadcast-argmax scan over
-    the corpus — one duplicated pass (here and in hier_index).
-    Eliminating it means persisting an n-sized root-assignment
-    intermediate (a write as expensive as the scan it saves) or fusing
-    two cache entries into one job (breaking the one-frame-per-table
-    cache contract); the dominant cold-build costs are the leaf
-    TRAINING groupBy and the leaf ASSIGNMENT cogroup, each intrinsic
-    and run once, so the duplicated argmax stays. Returns
-    (root_cent, leaf_cent, assigned)."""
+    Cold-build cost note (r13 review, REVERSED by the r15 profile):
+    the r13 guess was that the leaf TRAINING groupBy and ASSIGNMENT
+    cogroup dominate, so the duplicated root broadcast-argmax pass
+    (leaf builder + inverted-file builder each re-derive it) was kept.
+    The r15 per-stage profile at 8M measured the opposite — the
+    O(n·nroot·d) root-assignment matmul is ~85% of build CPU (5.7k s
+    task time per pass vs ~0.7k s for ALL leaf k-means training) and
+    the composition paid it twice. The intermediate is therefore now
+    persisted (MEMORY_AND_DISK — ~n·(d+3)·8 bytes, spills rather than
+    recomputes; lazy, so the cached-table re-attach path never
+    materializes it). Returns (root_cent, leaf_cent, assigned)."""
     from mr_py_spark.operators.bucketed import _bucketed_table, builder_stamp
     from mr_py_spark.operators.dedup import (
         _INC_BUCKETS,
@@ -264,21 +295,31 @@ def hier_corpus_index(spark: SparkSession, sf_dir: str):
         src_name="embeddings", schema="cid long, cv array<double>",
         stamp_extra=stamp,
     )
-    leaf_cent = _bucketed_table(
-        spark, sf_dir, "hier_leaf_cent", "bucket",
-        frame_of=lambda: hier_leaf_centroids(ivf_assign_with(root_cent, corpus)),
-        src_name="embeddings", schema="bucket long, leaf long, lv array<double>",
-        stamp_extra=stamp,
+    # the O(n·nroot·d) matmul, computed at most ONCE per cold build
+    # (r15 profile: ~85% of build CPU; both builders consume it).
+    # Lazy: the re-attach path never materializes it.
+    from pyspark import StorageLevel
+
+    root_assigned = ivf_assign_with(root_cent, corpus).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    assigned = _bucketed_table(
-        spark, sf_dir, "hier_corpus_assign", ("bucket", "leaf"),
-        frame_of=lambda: hier_assign(
-            ivf_assign_with(root_cent, corpus), leaf_cent
-        ),
-        src_name="embeddings",
-        schema="vec_id long, bucket long, leaf long, v array<double>",
-        stamp_extra=stamp,
-    )
+    try:
+        leaf_cent = _bucketed_table(
+            spark, sf_dir, "hier_leaf_cent", "bucket",
+            frame_of=lambda: hier_leaf_centroids(root_assigned, spread=nroot),
+            src_name="embeddings",
+            schema="bucket long, leaf long, lv array<double>",
+            stamp_extra=stamp,
+        )
+        assigned = _bucketed_table(
+            spark, sf_dir, "hier_corpus_assign", ("bucket", "leaf"),
+            frame_of=lambda: hier_assign(root_assigned, leaf_cent, spread=nroot),
+            src_name="embeddings",
+            schema="vec_id long, bucket long, leaf long, v array<double>",
+            stamp_extra=stamp,
+        )
+    finally:
+        root_assigned.unpersist()
     return root_cent, leaf_cent, assigned
 
 
@@ -446,8 +487,12 @@ def hier_quantize(
         "cid long, cv array<double>",
     )
     root_assigned = ivf_assign_with(root_cent, vectors)
-    leaf_cent = hier_leaf_centroids(root_assigned, leaf_rows=leaf_rows)
-    return root_cent, leaf_cent, hier_assign(root_assigned, leaf_cent)
+    leaf_cent = hier_leaf_centroids(
+        root_assigned, leaf_rows=leaf_rows, spread=nroot
+    )
+    return root_cent, leaf_cent, hier_assign(
+        root_assigned, leaf_cent, spread=nroot
+    )
 
 
 def hier_survivors(assigned: DataFrame, tau: float) -> DataFrame:
@@ -723,19 +768,32 @@ def hier_index(spark: SparkSession, sf_dir: str):
         src_name="embeddings", schema="cid long, cv array<double>",
         stamp_extra=stamp,
     )
-    leaf_cent = _bucketed_table(
-        spark, sf_dir, "hier_leaf_full", "bucket",
-        frame_of=lambda: hier_leaf_centroids(ivf_assign_with(root_cent, e)),
-        src_name="embeddings", schema="bucket long, leaf long, lv array<double>",
-        stamp_extra=stamp,
+    # the O(n·nroot·d) root-assignment matmul, computed at most ONCE
+    # per cold build (r15 profile at 8M: ~85% of build CPU, previously
+    # paid by BOTH builders); MEMORY_AND_DISK so a big corpus spills
+    # rather than recomputes, lazy so re-attach never materializes it.
+    from pyspark import StorageLevel
+
+    root_assigned = ivf_assign_with(root_cent, e).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    assigned = _bucketed_table(
-        spark, sf_dir, "hier_assign_full", ("bucket", "leaf"),
-        frame_of=lambda: hier_assign(ivf_assign_with(root_cent, e), leaf_cent),
-        src_name="embeddings",
-        schema="vec_id long, bucket long, leaf long, v array<double>",
-        stamp_extra=stamp,
-    )
+    try:
+        leaf_cent = _bucketed_table(
+            spark, sf_dir, "hier_leaf_full", "bucket",
+            frame_of=lambda: hier_leaf_centroids(root_assigned, spread=nroot),
+            src_name="embeddings",
+            schema="bucket long, leaf long, lv array<double>",
+            stamp_extra=stamp,
+        )
+        assigned = _bucketed_table(
+            spark, sf_dir, "hier_assign_full", ("bucket", "leaf"),
+            frame_of=lambda: hier_assign(root_assigned, leaf_cent, spread=nroot),
+            src_name="embeddings",
+            schema="vec_id long, bucket long, leaf long, v array<double>",
+            stamp_extra=stamp,
+        )
+    finally:
+        root_assigned.unpersist()
     return root_cent, leaf_cent, assigned
 
 
@@ -1104,17 +1162,27 @@ def hier_retrain(
         ),
         "cid",
     )
-    root_assigned = ivf_assign_with(spark.table(root_table), idx)
-    replace_bucketed_table(
-        spark, leaf_table,
-        hier_leaf_centroids(root_assigned, leaf_rows=leaf_rows),
-        "bucket",
+    # persist the O(n·nroot·d) assignment across the two rewrites it
+    # feeds (the r15 profile's duplicated-matmul finding, same as the
+    # builders)
+    from pyspark import StorageLevel
+
+    root_assigned = ivf_assign_with(spark.table(root_table), idx).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    replace_bucketed_table(
-        spark, idx_table,
-        hier_assign(root_assigned, spark.table(leaf_table)),
-        ("bucket", "leaf"),
-    )
+    try:
+        replace_bucketed_table(
+            spark, leaf_table,
+            hier_leaf_centroids(root_assigned, leaf_rows=leaf_rows, spread=nroot),
+            "bucket",
+        )
+        replace_bucketed_table(
+            spark, idx_table,
+            hier_assign(root_assigned, spark.table(leaf_table), spread=nroot),
+            ("bucket", "leaf"),
+        )
+    finally:
+        root_assigned.unpersist()
     return {
         "nroot": int(nroot),
         "n_leaves": int(spark.table(leaf_table).count()),
