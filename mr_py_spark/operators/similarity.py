@@ -1836,6 +1836,110 @@ def drift_threshold(i: float, ratio: float = _DRIFT_P05_RATIO) -> float:
     return i - (1.0 - ratio) * max(i, _DRIFT_MARGIN_FLOOR)
 
 
+def drift_ref_stats(
+    spark: SparkSession, cent: DataFrame, idx_table: str,
+    assigned: DataFrame | None,
+) -> dict:
+    """GENERATION-PINNED reference cohort for the drift gauge (r15 —
+    the semantic twin of the LSH gauge fix: ``ivf_drift_frame``'s
+    indexed cohort re-scores the ENTIRE inverted file — a full
+    vector-column scan, n dot products and a percentile — every
+    scheduled check, the same O(index)-per-check class VERDICT r14
+    item 1 named). The indexed cohort's {n_vecs, mean_top1, p05_top1,
+    p50_top1} are computed ONCE per index GENERATION and pinned in a
+    ``_drift_ref.json`` INSIDE the index table's data directory — the
+    LSH gauge's lifetime-by-location trick: a retrain's two-phase swap
+    renames a fresh directory into place, so the reference resets
+    exactly when the quantizer does, and appends leave it pinned.
+
+    Pinning is also a SEMANTIC fix, not just a cost one: the old
+    moving reference re-scored post-drift ADMISSIONS into the indexed
+    cohort, so an index slowly filling with drifted-but-under-cap
+    vectors dragged its own reference down and masked exactly the
+    drift the gauge exists to catch. The pinned reference is the
+    quantizer's own cohort as of its generation — what "degraded
+    relative to training" actually means.
+
+    ``assigned`` is the caller's PRE-BATCH index view, used only on
+    the bootstrap path (absent/unreadable sidecar: first check of a
+    generation, or a crash before the pin landed) — one exact pass,
+    repaired to the sidecar. An EMPTY cohort is returned but never
+    pinned (a replay-window first check with the whole index
+    anti-joined away must not freeze n_vecs=0 for the generation).
+    Pass ``assigned=None`` on a known-warm path; the read path never
+    touches the index (property-tested)."""
+    import json as _json
+    import os as _os
+
+    from mr_py_spark.operators.bucketed import _table_location
+
+    path = _os.path.join(_table_location(spark, idx_table), "_drift_ref.json")
+    keys = ("n_vecs", "mean_top1", "p05_top1", "p50_top1")
+    try:
+        with open(path) as f:
+            d = _json.load(f)
+        return {k: d[k] for k in keys}
+    except (OSError, ValueError, KeyError):
+        pass
+    if assigned is None:
+        raise ValueError(
+            f"drift_ref_stats: no pinned reference at {path} and no "
+            "bootstrap frame supplied"
+        )
+    row = (
+        assigned.join(F.broadcast(cent), assigned["bucket"] == cent["cid"])
+        .select(dot("v", "cv").alias("score"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.avg("score").alias("mean_top1"),
+            F.expr("percentile(score, 0.05)").alias("p05_top1"),
+            F.expr("percentile(score, 0.5)").alias("p50_top1"),
+        )
+        .collect()[0]
+    )
+    stats = {
+        "n_vecs": int(row.n_vecs),
+        "mean_top1": None if row.mean_top1 is None else float(row.mean_top1),
+        "p05_top1": None if row.p05_top1 is None else float(row.p05_top1),
+        "p50_top1": None if row.p50_top1 is None else float(row.p50_top1),
+    }
+    if stats["n_vecs"] > 0:
+        try:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump(stats, f)
+            _os.replace(tmp, path)
+        except OSError:
+            pass  # read-only location: derive-per-call still correct
+    return stats
+
+
+def delta_p05(cent: DataFrame, delta: DataFrame) -> float | None:
+    """The delta cohort's p05 top-1 centroid similarity — the O(batch)
+    half of the drift check (one zero-shuffle scored-assignment pass
+    over the DELTA only)."""
+    row = (
+        ivf_assign_scored(cent, delta)
+        .agg(F.expr("percentile(score, 0.05)").alias("p"))
+        .collect()[0]
+    )
+    return None if row.p is None else float(row.p)
+
+
+def drift_degraded_pinned(
+    ref: dict, d_p05: float | None, ratio: float = _DRIFT_P05_RATIO
+) -> bool:
+    """``drift_degraded`` over a pinned reference dict + a delta p05
+    instead of the 2-row exact frame — the in-loop decision form
+    (sidecar read + one O(batch) pass; zero index I/O when warm).
+    Same rule, same threshold function, shared with the exact path."""
+    if not ref or ref.get("n_vecs", 0) == 0 or ref.get("p05_top1") is None:
+        return False
+    if d_p05 is None:
+        return False
+    return d_p05 < drift_threshold(float(ref["p05_top1"]), ratio)
+
+
 def drift_degraded(drift: DataFrame, ratio: float = _DRIFT_P05_RATIO) -> bool:
     """Decision rule over an ``ivf_drift_frame`` result: True when the
     delta cohort's p05 top-1 similarity has degraded past ``ratio`` of

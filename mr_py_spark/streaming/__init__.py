@@ -1152,17 +1152,25 @@ def _ivf_maintenance_step(
     quantizer trains once on the first batch; thereafter the loop is
     SELF-HEALING (VERDICT r12 item 3 — the first-batch-only quantizer
     was the gauge-without-actuator gap): every ``drift_check_every``
-    batches the incoming batch is scored against the index through
-    ``ivf_drift_frame``, and when its p05 top-1 similarity degrades
-    past ``drift_ratio`` of the indexed cohort's, ``ivf_retrain``
+    batches the incoming batch's p05 top-1 similarity is compared to
+    the GENERATION-PINNED indexed-cohort reference (r15,
+    ``drift_ref_stats`` — bootstrap once per quantizer generation from
+    the pre-batch view, then a 1-file sidecar read plus one O(batch)
+    scoring pass; the old form re-scored the full inverted file every
+    scheduled check, the same O(index) gauge class the LSH loop fixed
+    this round — and a moving reference also MASKED slow drift by
+    absorbing post-drift admissions into the cohort it compared
+    against), and on degradation past ``drift_ratio`` ``ivf_retrain``
     rebuilds centroids + inverted file in place (crash-atomic swap)
-    before the batch is triaged. The check costs one O(index) scoring
-    pass, which is why it is scheduled, not per-batch; 0 disables it
-    (the pure never-retrain policy). Replay stays byte-idempotent: the
-    drift decision and the retrain corpus both use the PRE-BATCH index
-    view (``exclude_ids``), so a replayed batch makes the identical
-    decision and rebuilds identical tables; a crash mid-swap is
-    finished by the recover_compaction call at step entry.
+    before the batch is triaged; 0 disables it (the pure never-retrain
+    policy). Replay stays byte-idempotent: the drift decision reads
+    the pinned reference (written at the first check of the
+    generation, so original and replay agree) and the retrain corpus
+    uses the PRE-BATCH index view (``exclude_ids``), so a replayed
+    batch makes the identical decision and rebuilds identical tables;
+    the reference sidecar lives INSIDE the index's data directory and
+    resets exactly when a retrain swaps the generation; a crash
+    mid-swap is finished by the recover_compaction call at step entry.
     ``retrain_log`` (tests) collects the batch_ids that retrained."""
     from pyspark.sql import functions as SF
 
@@ -1172,9 +1180,10 @@ def _ivf_maintenance_step(
         _DRIFT_P05_RATIO,
         _ivf_centroids,
         _ordered_train_sample,
-        drift_degraded,
+        delta_p05,
+        drift_degraded_pinned,
+        drift_ref_stats,
         ivf_assign_with,
-        ivf_drift_frame,
         ivf_index_append,
         ivf_retrain,
         semantic_delta_status,
@@ -1222,7 +1231,17 @@ def _ivf_maintenance_step(
             and have_idx
             and batch_id > 0
             and batch_id % drift_check_every == 0
-            and drift_degraded(ivf_drift_frame(cent, corpus, batch), drift_ratio)
+            # r15: the reference cohort is GENERATION-PINNED
+            # (drift_ref_stats — bootstrap once per generation from the
+            # pre-batch view, then a sidecar read), and only the DELTA
+            # is scored per check — the old ivf_drift_frame call
+            # re-scored the whole inverted file every scheduled check,
+            # the O(index) gauge class the LSH tier fixed this round
+            and drift_degraded_pinned(
+                drift_ref_stats(spark, cent, idx_table, corpus),
+                delta_p05(cent, batch),
+                drift_ratio,
+            )
         ):
             ivf_retrain(
                 spark, cent_table, idx_table, exclude_ids=ids,
@@ -1417,11 +1436,13 @@ def _hier_maintenance_step(
     per-batch_id dynamic partition overwrite, idempotent admit) and
     the same self-healing schedule: the quantizer pair (roots + leaf
     table) trains on the first batch; every ``drift_check_every``
-    batches the incoming batch is scored against the ROOT level
-    through ``ivf_drift_frame`` (a hier index drifts at the root
-    first — leaves only partition within roots) and a degraded p05
-    triggers ``hier_retrain`` — the crash-atomic three-table rebuild —
-    before the batch is triaged. Replay discipline is unchanged: the
+    batches the incoming batch is scored against the ROOT level (a
+    hier index drifts at the root first — leaves only partition within
+    roots) and compared to the generation-pinned reference
+    (``drift_ref_stats``/``drift_degraded_pinned``, r15 — see the flat
+    loop for why the pinned form replaces the per-check full-index
+    re-score); a degraded p05 triggers ``hier_retrain`` — the
+    crash-atomic three-table rebuild — before the batch is triaged. Replay discipline is unchanged: the
     drift decision and retrain corpus use the PRE-BATCH index view
     (``exclude_ids``), the tripping batch rides ``extra_train``, and a
     crash mid-swap is finished by recover_compaction at step entry.
@@ -1444,9 +1465,10 @@ def _hier_maintenance_step(
         _DRIFT_P05_RATIO,
         _ivf_centroids,
         _ordered_train_sample,
-        drift_degraded,
+        delta_p05,
+        drift_degraded_pinned,
+        drift_ref_stats,
         ivf_assign_with,
-        ivf_drift_frame,
     )
     from mr_py_spark.sources.sinks import write_bucketed
 
@@ -1507,10 +1529,17 @@ def _hier_maintenance_step(
             and have_idx
             and batch_id > 0
             and batch_id % drift_check_every == 0
-            and drift_degraded(
-                ivf_drift_frame(
-                    root, corpus.select("vec_id", "bucket", "v"), batch
+            # r15: generation-pinned reference (sidecar in the idx
+            # table's data dir — hier_retrain swaps that dir, so the
+            # reference resets exactly with the quantizer) + O(batch)
+            # delta scoring, replacing the full-inverted-file re-score
+            # per check; a hier index still gauges at the ROOT level
+            and drift_degraded_pinned(
+                drift_ref_stats(
+                    spark, root, idx_table,
+                    corpus.select("vec_id", "bucket", "v"),
                 ),
+                delta_p05(root, batch),
                 drift_ratio,
             )
         ):

@@ -1989,6 +1989,103 @@ def test_raise_watermark_closes_mixed_mode_replay(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_drift_ref_stats_pinned_generation(spark, tmp_path):
+    """The generation-pinned drift reference (r15 — the semantic twin
+    of the O(delta) LSH gauge): bootstrap equals the exact
+    ivf_drift_frame indexed-cohort stats; the warm path reads ZERO
+    index data (assigned=None would crash the bootstrap branch); an
+    empty cohort is returned but never pinned; appends leave the
+    reference pinned (the drift-masking fix); a retrain swap resets it
+    to the new generation's cohort; and the pinned decision agrees
+    with the exact rule on both a healthy and a planted-drift batch."""
+    import os
+
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import (
+        _BUCKETS,
+        _table_location,
+        replace_bucketed_table,
+    )
+    from mr_py_spark.operators.similarity import (
+        delta_p05,
+        drift_degraded,
+        drift_degraded_pinned,
+        drift_ref_stats,
+        ivf_assign_with,
+        ivf_drift_frame,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    def vecs(ids, axis):
+        base = np.zeros(4)
+        base[axis] = 1.0
+        rng = np.random.RandomState(7)
+        out = []
+        for i in ids:
+            v = base + 0.05 * rng.standard_normal(4)
+            v /= np.linalg.norm(v)
+            out.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(out, "vec_id long, v array<double>")
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid long, cv array<double>",
+    )
+    table = "t_drift_ref"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        corpus = vecs(range(40), 0)
+        write_bucketed(
+            ivf_assign_with(cent, corpus), table, "bucket", _BUCKETS,
+            path=str(tmp_path / "idx"),
+        )
+        assigned = spark.table(table)
+        # bootstrap == the exact frame's indexed cohort
+        ref = drift_ref_stats(spark, cent, table, assigned)
+        exact = {
+            r.cohort: r
+            for r in ivf_drift_frame(cent, assigned, vecs([99], 0)).collect()
+        }["indexed"]
+        assert ref["n_vecs"] == exact.n_vecs
+        assert ref["p05_top1"] == float(exact.p05_top1)
+        # warm path: no index access at all (bootstrap would raise)
+        assert drift_ref_stats(spark, cent, table, None) == ref
+        # append does NOT move the pinned reference
+        write_bucketed(
+            ivf_assign_with(cent, vecs(range(100, 120), 1)), table,
+            "bucket", _BUCKETS, mode="append",
+        )
+        assert drift_ref_stats(spark, cent, table, None) == ref
+        # decisions agree with the exact rule on both cohorts
+        healthy, drifted = vecs(range(200, 220), 0), vecs(range(300, 320), 2)
+        pre = spark.table(table)
+        for batch in (healthy, drifted):
+            assert drift_degraded_pinned(
+                ref, delta_p05(cent, batch)
+            ) == drift_degraded(ivf_drift_frame(cent, pre, batch))
+        assert drift_degraded_pinned(ref, delta_p05(cent, drifted))
+        assert not drift_degraded_pinned(ref, delta_p05(cent, healthy))
+        # empty cohort: returned, never pinned
+        side = os.path.join(_table_location(spark, table), "_drift_ref.json")
+        os.remove(side)
+        empty = drift_ref_stats(
+            spark, cent, table, spark.table(table).limit(0)
+        )
+        assert empty["n_vecs"] == 0 and not os.path.exists(side)
+        ref2 = drift_ref_stats(spark, cent, table, spark.table(table))
+        assert ref2["n_vecs"] == 60 and os.path.exists(side)
+        # a generation swap resets the reference to the new cohort
+        replace_bucketed_table(
+            spark, table, ivf_assign_with(cent, vecs(range(400, 410), 1)),
+            "bucket",
+        )
+        ref3 = drift_ref_stats(spark, cent, table, spark.table(table))
+        assert ref3["n_vecs"] == 10 and ref3 != ref2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_minhash_delta_status_planted(spark):
     """incremental_minhash_dedup's core on planted docs: a delta
     near-dup of a corpus doc is 'dup_of_corpus' (min corpus partner),
