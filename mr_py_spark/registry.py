@@ -196,21 +196,64 @@ def _const_repr(v, depth: int = 0) -> str | None:
     return None
 
 
-def _dep_closure(fn) -> tuple[list[str], list[str]]:
+def _local_imports_of(f):
+    """(module name, bound name, object) for every
+    ``from mr_py_spark... import x`` statement in ``f``'s source —
+    fp schema v3 (r15): a function-LOCAL import puts the name in
+    co_names but never in the function's MODULE globals, so the plain
+    globals walk missed the dependency entirely. The streaming module
+    imports almost everything function-locally, so e.g. an
+    ivf_index_append edit re-stamped no streaming query — a green
+    driver row kept "proving" code that had since changed underneath
+    it. AST-parsed from the source (the same text the hash covers);
+    unparseable or sourceless functions contribute nothing, which only
+    under-adds material exactly as before this fix."""
+    import ast
+    import importlib
+    import textwrap
+
+    try:
+        tree = ast.parse(textwrap.dedent(inspect.getsource(f)))
+    except (OSError, TypeError, SyntaxError, IndentationError):
+        return
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.ImportFrom)
+            and node.level == 0
+            and node.module
+            and node.module.startswith("mr_py_spark")
+        ):
+            continue
+        try:
+            mod = importlib.import_module(node.module)
+        except Exception:
+            continue  # never let a broken import poison fingerprinting
+        for alias in node.names:
+            if alias.name == "*":
+                continue
+            obj = getattr(mod, alias.name, None)
+            if obj is not None:
+                yield node.module, alias.name, obj
+
+
+def _dep_closure(fn, local_imports: bool = True) -> tuple[list[str], list[str]]:
     """(function sources, data-constant reprs) for everything in
     mr_py_spark transitively reachable from ``fn``'s code — module
     globals referenced by name, including names used inside nested
-    closures/lambdas. Folding function sources into the fingerprint
-    means a behavior-changing edit to a SHARED helper (the r8 case:
-    the IVF candidate machinery under knn_ivf_topk) re-stamps every
-    registered query that uses it; folding referenced DATA constants
-    (fp schema v2, r10) closes the blind spot that a module-level knob
-    (_TAU, _BUCKETS, _RUNTIME_CONFS) changes behavior without touching
-    any function source — the r10 harden() conf change escaped
-    re-stamping exactly this way. Attribute names in co_names that
-    happen to collide with unrelated module globals can only ADD
-    material to the hash — a spurious re-verification at worst, never
-    a missed one."""
+    closures/lambdas, plus (fp schema v3) names bound by
+    function-LOCAL ``from mr_py_spark... import`` statements (see
+    ``_local_imports_of``; ``local_imports=False`` reproduces the v2
+    closure for migration re-checks). Folding function sources into
+    the fingerprint means a behavior-changing edit to a SHARED helper
+    (the r8 case: the IVF candidate machinery under knn_ivf_topk)
+    re-stamps every registered query that uses it; folding referenced
+    DATA constants (fp schema v2, r10) closes the blind spot that a
+    module-level knob (_TAU, _BUCKETS, _RUNTIME_CONFS) changes
+    behavior without touching any function source — the r10 harden()
+    conf change escaped re-stamping exactly this way. Attribute names
+    in co_names that happen to collide with unrelated module globals
+    can only ADD material to the hash — a spurious re-verification at
+    worst, never a missed one."""
     import types
 
     seen: dict[tuple[str, str], object] = {}
@@ -245,6 +288,19 @@ def _dep_closure(fn) -> tuple[list[str], list[str]]:
                 r = _const_repr(obj)
                 if r is not None:
                     consts[f"{mod_name}.{name}"] = r
+        if local_imports:
+            for src_mod, name, obj in _local_imports_of(f):
+                if inspect.isfunction(obj) and (
+                    getattr(obj, "__module__", "") or ""
+                ).startswith("mr_py_spark"):
+                    key = (obj.__module__, obj.__qualname__)
+                    if key not in seen:
+                        seen[key] = obj
+                        stack.append(obj)
+                else:
+                    r = _const_repr(obj)
+                    if r is not None:
+                        consts[f"{src_mod}.{name}"] = r
     return (
         [_src_of(seen[k]) for k in sorted(seen)],
         [f"{k}={consts[k]}" for k in sorted(consts)],
@@ -256,7 +312,7 @@ def _dep_closure(fn) -> tuple[list[str], list[str]]:
 #: recorded version differs by re-hashing while KEEPING their round —
 #: trusting history like the bootstrap path — so a schema change never
 #: dumps all 200+ queries back into the verification window at once.
-_FP_VERSION = 2
+_FP_VERSION = 3
 
 
 def _fingerprint(q: Query) -> str:
@@ -291,7 +347,7 @@ def _fingerprint_v1(q: Query) -> str:
     verification window instead of riding the migration (ADVICE r10)."""
     h = hashlib.sha256()
     h.update(_src_of(q.fn).encode())
-    sources, _ = _dep_closure(q.fn)
+    sources, _ = _dep_closure(q.fn, local_imports=False)
     for dep in sources:
         h.update(b"\x00")
         h.update(dep.encode())
@@ -300,8 +356,29 @@ def _fingerprint_v1(q: Query) -> str:
     return h.hexdigest()[:16]
 
 
+def _fingerprint_v2(q: Query) -> str:
+    """The RETIRED v2 hash (globals-only dep closure + data constants
+    — function-local imports invisible, the blind spot v3 closes),
+    kept for the v2→v3 migration re-check: entries whose v2 hash still
+    matches keep their recorded round (only the hash INPUTS changed);
+    a real edit sharing a sync with the bump re-enters the window."""
+    h = hashlib.sha256()
+    h.update(_src_of(q.fn).encode())
+    sources, consts = _dep_closure(q.fn, local_imports=False)
+    for dep in sources:
+        h.update(b"\x00")
+        h.update(dep.encode())
+    h.update(b"\x00\x01")
+    for c in consts:
+        h.update(b"\x00")
+        h.update(c.encode())
+    h.update(b"\x00\x00")
+    h.update((q.oracle or "").encode())
+    return h.hexdigest()[:16]
+
+
 #: version -> that schema's hash function, for migration re-checks.
-_FP_BY_VERSION = {1: _fingerprint_v1, 2: _fingerprint}
+_FP_BY_VERSION = {1: _fingerprint_v1, 2: _fingerprint_v2, 3: _fingerprint}
 
 
 def _fingerprint_rounds(registry: dict[str, Query]) -> dict[str, int]:

@@ -283,6 +283,47 @@ def test_fingerprint_sees_module_data_constants(monkeypatch):
     assert before != after
 
 
+def test_dep_closure_sees_function_local_imports():
+    """fp schema v3 (r15): a dependency bound by a function-LOCAL
+    ``from mr_py_spark... import x`` must be in the closure — the
+    streaming module imports almost everything this way, so the
+    globals-only walk (v2) silently missed e.g. an ivf_index_append
+    edit under every streaming query. The v2 reproduction path
+    (local_imports=False) must keep NOT seeing it, or migration
+    re-checks would re-stamp the world."""
+    from mr_py_spark.registry import _dep_closure
+
+    def probe(spark, sf_dir):
+        from mr_py_spark.operators.bucketed import replay_guard
+
+        return replay_guard
+
+    sources, _ = _dep_closure(probe)
+    assert any("def replay_guard" in s for s in sources)
+    sources_v2, _ = _dep_closure(probe, local_imports=False)
+    assert not any("def replay_guard" in s for s in sources_v2)
+    # constants bound by local import are folded too (the v2 rule,
+    # extended to the local-import channel)
+    def probe2(spark, sf_dir):
+        from mr_py_spark.operators.bucketed import _BUCKETS
+
+        return _BUCKETS
+
+    _, consts = _dep_closure(probe2)
+    assert any(
+        c.startswith("mr_py_spark.operators.bucketed._BUCKETS=") for c in consts
+    )
+    # the closure is transitive THROUGH a locally-imported function
+    def probe3(spark, sf_dir):
+        from mr_py_spark.operators.dedup import lsh_index_append
+
+        return lsh_index_append
+
+    sources3, _ = _dep_closure(probe3)
+    assert any("def lsh_index_append" in s for s in sources3)
+    assert any("def raise_watermark" in s for s in sources3)  # its local import
+
+
 def test_fingerprint_schema_migration_keeps_rounds(tmp_path, monkeypatch):
     """Bumping _FP_VERSION re-hashes entries but KEEPS their recorded
     round — PROVIDED the old-schema hash still matches (the query
