@@ -27,6 +27,7 @@ import re
 import shutil
 import tempfile
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -413,7 +414,10 @@ def replay_guard(
     watermark table itself vanishing mid-overwrite degrades to the
     bootstrap full-max path. The guard is only sound if every append
     to ``table`` flows through it (or through a caller that raises the
-    watermark first) — all three maintenance loops do."""
+    watermark first) — all three maintenance loops do. The sidecar's
+    read-modify-write is SINGLE-WRITER (the foreachBatch driver loop
+    the whole standing-index tier assumes): two concurrent appenders
+    could interleave read/raise and leave the lower max standing."""
     if not spark.catalog.tableExists(table):
         return new_rows
     wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
@@ -481,8 +485,15 @@ def raise_watermark(
         return
     try:
         got = spark.read.parquet(wm_path).agg(F.max("wm")).collect()[0][0]
-    except Exception:
-        return  # half-written sidecar: bootstrap covers it
+    except AnalysisException:
+        # sidecar unreadable AS A DATASET (mid-overwrite window: empty/
+        # missing dir) — deterministic, so replay_guard's own read fails
+        # the same way and bootstraps from the full table max; skipping
+        # the raise is safe. Any OTHER error propagates (ADVICE r15: a
+        # TRANSIENT failure on a VALID lower watermark must not silently
+        # skip — the later replay would read that valid stale-LOW value,
+        # fast-path, and re-admit duplicates).
+        return
     if got is None:
         return
     mx = new_rows.agg(F.max(id_col)).collect()[0][0]

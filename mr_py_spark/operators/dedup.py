@@ -801,7 +801,16 @@ def lsh_index_append(new_docs: DataFrame, table: str) -> None:
     re-admitted duplicates), and the gauge sufficient statistics are
     bumped O(delta) (``_lsh_gauge_bump``; a no-op while no gauge
     sidecar exists). The entries frame is persisted across its three
-    consumers so the delta is shingled once."""
+    consumers so the delta is shingled once.
+
+    CONTRACT (r16): batch doc_ids are MONOTONE across appends — each
+    fresh batch's ids exceed every previously appended id. Both
+    sidecars rest on it (replay_guard's watermark fast path and the
+    gauge's replay skip); the streaming loops satisfy it by
+    construction. A violating batch still APPENDS correctly (the index
+    itself is id-agnostic) but is skipped by the gauge with a warning
+    (stale-LOW — see ``_lsh_gauge_bump``) and, if idempotent replay is
+    in use, may be re-admitted by a later replay."""
     from mr_py_spark.operators.bucketed import _BUCKETS, raise_watermark
     from mr_py_spark.sources.sinks import write_bucketed
 
@@ -1060,11 +1069,26 @@ def lsh_gauge_stats(
     records the PRE-bump snapshot alongside a bump watermark, so a
     check on behalf of a batch whose entries were already bumped (its
     max id at-or-below the watermark — bumps raise it before the rows
-    land, so only a replay can sit there) reads the pre-batch stats
-    the ORIGINAL run decided on, and original and replay agree. A
-    fresh batch that reuses low ids is merely served the one-bump-old
-    snapshot — a gauge lag, direction-benign (never a wrong banding,
-    at most a check-interval-late alarm)."""
+    land, so under the monotone-id ingest precondition (see
+    ``_lsh_gauge_bump``) only a replay can sit there) reads the
+    pre-batch stats the ORIGINAL run decided on, and original and
+    replay agree. A caller that VIOLATES the precondition by reusing
+    low ids gets the matching treatment on both paths (r16 — the r15
+    read path called this a one-bump lag while the bump path silently
+    dropped the mass): the read serves the snapshot and the bump SKIPS
+    the delta with a warning, so the gauge runs stale-LOW — never a
+    wrong banding, an alarm late by at most one re-band refresh —
+    until ``lsh_reband``'s exact recompute re-counts everything.
+
+    The sidecar keeps exactly ONE pre-bump snapshot, which makes
+    original-and-replay-agree hold for the SINGLE-WRITER /
+    replay-the-last-batch discipline foreachBatch provides (a restart
+    replays the one uncommitted batch; no second writer bumps in
+    between). A multi-batch replay or a concurrent writer would serve
+    an older check a newer snapshot — divergence is convergent today
+    only because ``lsh_reband`` is a pure function of the stored
+    signatures, but the one-snapshot design is sized to the loop's
+    contract, not to multi-writer tables (ADVICE r15)."""
     path = _lsh_gauge_path(spark, table)
     got = _lsh_gauge_read(path)
     if got is None:
@@ -1146,18 +1170,48 @@ def _lsh_gauge_bump(
     zero overhead beyond one file stat) and for deltas at-or-below the
     bump watermark: a crash-retry re-append would otherwise
     double-count its delta, and the watermark skip is exactly the
-    idempotence the atomic (stats, prev, watermark) write provides."""
+    idempotence the atomic (stats, prev, watermark) write provides.
+
+    PRECONDITION (r16, VERDICT r15 item 4): ingest ids are MONOTONE —
+    every fresh batch's min doc_id exceeds the bump watermark, the
+    same discipline ``bucketed.replay_guard`` already rests on and the
+    streaming loops satisfy by construction. The watermark cannot tell
+    a fresh low-id batch from a replay; under the precondition the
+    question never arises. A batch that STRADDLES the watermark
+    (min ≤ wm < max — impossible for both a monotone fresh batch and a
+    pure replay) is a precondition violation: it is SKIPPED with a
+    warning rather than bumped, because bumping a replayed-plus-new
+    mixture would double-count the replayed mass permanently while a
+    skip only under-counts until the next re-band's exact refresh —
+    stale-LOW (a check-interval-late alarm), the direction the warning
+    names so an id-reusing caller is loud, never silent."""
     path = _lsh_gauge_path(spark, table)
     got = _lsh_gauge_read(path)
     if got is None:
         return
     d0 = (
         entries.filter(F.col("band_id") == 0)
-        .agg(F.count(F.lit(1)).alias("nd"), F.max("doc_id").alias("mx"))
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
         .collect()[0]
     )
     if d0.mx is None or int(d0.mx) <= got["bump_wm"]:
         return  # empty delta, or a replayed/retried delta already bumped
+    if int(d0.mn) <= got["bump_wm"]:
+        import warnings
+
+        warnings.warn(
+            f"_lsh_gauge_bump({table}): delta ids straddle the bump "
+            f"watermark ({d0.mn}..{d0.mx} vs wm={got['bump_wm']}) — "
+            "non-monotone ingest violates the gauge's id-monotony "
+            "precondition; skipping the bump (gauge stale-LOW until "
+            "the next re-band refresh) to keep replay idempotence.",
+            stacklevel=3,
+        )
+        return
     dm = _lsh_gauge_delta_frame(spark, table, entries).collect()[0].dm
     _lsh_gauge_write(
         path,

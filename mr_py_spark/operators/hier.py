@@ -598,11 +598,24 @@ def hier_topk_with(
     cells = _hier_probe_cells(
         root_cent, leaf_cent, queries, root_probe, leaf_probe
     )
-    # each vector lives in exactly one cell and a query's probed cells
-    # are distinct, so (q_id, vec_id) candidates are unique — no dedup
-    cand = cells.join(assigned, ["bucket", "leaf"]).filter(
-        F.col("q_id") != F.col("vec_id")
+    # Prune the corpus side of the candidate join to the probed roots
+    # (r16): the bounded `isin` (≤ n_q·root_probe values — probe
+    # metadata, the documented bounded-collect class) pushes to the
+    # parquet scan, where the bucket-key-sorted small-row-group layout
+    # (sinks.write_bucketed) + the raised In-pushdown threshold
+    # (session.harden) skip the unprobed buckets' row groups. A filter
+    # preserves the scan's output partitioning, so the cell-key join
+    # stays exchange-free on the corpus side. Before this prune the
+    # candidate scan decoded ALL n rows at ANY probe selectivity
+    # (SCALE.md r16: 2.03M records at 39/488 probed roots). At full
+    # probes the filter selects everything — the exact-degeneration
+    # property is unchanged.
+    probed = sorted(
+        r.bucket for r in cells.select("bucket").distinct().collect()
     )
+    cand = cells.join(
+        assigned.filter(F.col("bucket").isin(probed)), ["bucket", "leaf"]
+    ).filter(F.col("q_id") != F.col("vec_id"))
     if emit_candidates:  # audit hook: the per-query candidate frame
         return cand.select("q_id", "vec_id", "bucket", "leaf")
     wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
@@ -698,7 +711,8 @@ def _hier_probe_cells(
 #: the ~_LEAF_ROWS grain — the continuation is a THIRD level (same
 #: construction; the leaf trainer is already group-local), decided
 #: AGAINST for now (VERDICT r14 item 8: no ≥100M-vector fixture is on
-#: the measurement path), so the ceiling is pinned with a loud assert
+#: the measurement path), so the ceiling is pinned with a loud
+#: ValueError (ADVICE r15: a bare assert is stripped under python -O)
 #: instead of a silent drift.
 _HIER_TWO_LEVEL_CEIL = 4096 * 4096 * 64
 
@@ -748,12 +762,13 @@ def hier_index(spark: SparkSession, sf_dir: str):
 
     e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
     n = _table_rows(e, sf_dir, "embeddings")
-    assert n <= _HIER_TWO_LEVEL_CEIL, (
-        f"hier_index: {n} vectors exceeds the two-level design ceiling "
-        f"({_HIER_TWO_LEVEL_CEIL} ≈ 4096·4096·64) — add the third "
-        "quantizer level (hier.py module docstring) before indexing "
-        "corpora this size"
-    )
+    if n > _HIER_TWO_LEVEL_CEIL:  # not `assert` — python -O strips those
+        raise ValueError(
+            f"hier_index: {n} vectors exceeds the two-level design "
+            f"ceiling ({_HIER_TWO_LEVEL_CEIL} ≈ 4096·4096·64) — add the "
+            "third quantizer level (hier.py module docstring) before "
+            "indexing corpora this size"
+        )
     nroot = min(_hier_nroot(n), max(1, n))
     stamp = _hier_index_stamp(n)
 
@@ -964,7 +979,10 @@ def hier_topk_pq_with(
     then exact-re-rank only the ADC top rerank·k per query.
 
     Scale shape: candidate join exchange-free on the (bucket, leaf)-
-    bucketed code table; ADC is one zero-shuffle mapInArrow; the exact
+    bucketed code table, PRUNED to the probed roots by a bounded
+    `isin` pushed to the parquet scan (the exact tier's re-rank
+    pattern — without it every serve batch read the full codes table);
+    ADC is one zero-shuffle mapInArrow; the exact
     re-rank joins the BROADCAST shortlist (rerank·k·n_q rows) against
     the assigned table PRUNED to the probed buckets — an `isin` over
     the bounded probed-root set that parquet row-group stats on the
@@ -982,9 +1000,27 @@ def hier_topk_pq_with(
     cells = _hier_probe_cells(
         root_cent, leaf_cent, queries, root_probe, leaf_probe
     )
+    # Probed-root set collected ONCE (≤ n_q·root_probe values — probe
+    # metadata, bounded by contract) and used to prune BOTH candidate-
+    # side scans: without the isin the candidate join read the FULL
+    # codes table per serve batch (r15 stage metrics: 126.9 MB vs the
+    # exact tier's 19.1 MB isin-pruned scan at 2M — VERDICT r15 item 1;
+    # at 1e9 vectors that unpruned read is ~16 GB+ per batch). The
+    # filter sits ON the bucketed scan, so it pushes to parquet
+    # (row-group skipping on the bucket-sorted files) and preserves the
+    # table's (bucket, leaf) output partitioning — the join stays
+    # exchange-free on the codes side (both plan-asserted,
+    # tests/test_plans.py).
+    probed = sorted(
+        r.bucket
+        for r in cells.select("bucket").distinct().collect()
+    )
     cand = (
         cells.select("q_id", "bucket", "leaf")
-        .join(codes, ["bucket", "leaf"])
+        .join(
+            codes.filter(F.col("bucket").isin(probed)),
+            ["bucket", "leaf"],
+        )
         .filter(F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id", "code")
     )
@@ -1027,13 +1063,8 @@ def hier_topk_pq_with(
     )
 
     # exact re-rank: broadcast the shortlist+query vectors, prune the
-    # assigned scan to the probed roots (bounded isin → row-group
-    # skipping on the bucket-sorted files), map-side join on vec_id —
+    # assigned scan to the same probed roots, map-side join on vec_id —
     # no corpus shuffle, no corpus-wide read
-    probed = sorted(
-        r.bucket
-        for r in cells.select("bucket").distinct().collect()
-    )  # ≤ n_q·root_probe values — probe metadata, bounded
     corpus = assigned.filter(F.col("bucket").isin(probed)).select(
         F.col("vec_id").alias("nn_id"), F.col("v").alias("cv")
     )
@@ -1181,6 +1212,15 @@ def hier_retrain(
             hier_assign(root_assigned, spark.table(leaf_table), spread=nroot),
             ("bucket", "leaf"),
         )
+        # pin the new generation's ROOT-level drift reference in the
+        # same pass as the swap (r16, VERDICT r15 item 3 — see
+        # similarity.pin_drift_ref; a hier index gauges at the root)
+        from mr_py_spark.operators.similarity import pin_drift_ref
+
+        pin_drift_ref(
+            spark, spark.table(root_table), idx_table,
+            spark.table(idx_table).select("vec_id", "bucket", "v"),
+        )
     finally:
         root_assigned.unpersist()
     return {
@@ -1223,3 +1263,159 @@ def hier_index_append(
         raise_watermark(new_vectors.sparkSession, table, new_vectors, "vec_id")
     entries = hier_assign(ivf_assign_with(root_cent, new_vectors), leaf_cent)
     write_bucketed(entries, table, ("bucket", "leaf"), _BUCKETS, mode="append")
+
+
+def hier_pq_codes_append(
+    root_cent: DataFrame,
+    leaf_cent: DataFrame,
+    books,
+    new_vectors: DataFrame,
+    table: str,
+    idempotent: bool = False,
+) -> None:
+    """O(delta) maintenance for a standing PQ-CODE inverted file (r16,
+    VERDICT r15 item 7 — the codes table had append-by-rebuild only,
+    so a streaming hier index serving through ADC would re-encode the
+    whole corpus per admitted batch): assign ``new_vectors`` (vec_id,
+    v) against the EXISTING root and leaf centroids, encode under the
+    EXISTING codebooks (one zero-shuffle mapInPandas pass over the
+    delta — never a books retrain), and append the (vec_id, bucket,
+    leaf, code) rows under the same (bucket, leaf) bucket spec (Spark
+    validates it; spec drift fails loudly). Same replay discipline as
+    ``hier_index_append``, against the CODES table's own sidecar:
+    ``idempotent=True`` drops vec_ids the table already holds via the
+    watermark-gated ``bucketed.replay_guard`` (fresh monotone batches
+    cost zero index I/O); ``idempotent=False`` appends still RAISE the
+    watermark (ADVICE r14 — mixed-mode callers must not leave it
+    stale-LOW).
+
+    GENERATION CONTRACT: codes are a pure function of (root/leaf
+    assignment, books). A ``hier_retrain`` or books rebuild
+    invalidates EVERY stored code — the caller rebuilds the codes
+    table from the new generation (one zero-shuffle encode pass, the
+    same cost this append path avoids per batch) instead of appending
+    across generations. The batch tier enforces this with the shared
+    content stamp (``hier_pq_codes`` folds the books + assignment
+    builders in); a streaming loop does it by dropping/rebuilding the
+    codes table in the same swap as its index tables. Appends
+    bit-equal a full re-encode and replay-idempotence are
+    property-tested (tests/test_properties.py)."""
+    from mr_py_spark.operators.bucketed import (
+        _BUCKETS,
+        raise_watermark,
+        replay_guard,
+    )
+    from mr_py_spark.operators.similarity import ivf_assign_with
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    if idempotent:
+        new_vectors = replay_guard(
+            new_vectors.sparkSession, table, new_vectors, "vec_id"
+        )
+    else:
+        raise_watermark(new_vectors.sparkSession, table, new_vectors, "vec_id")
+    assigned = hier_assign(ivf_assign_with(root_cent, new_vectors), leaf_cent)
+    write_bucketed(
+        _pq_encode_frame(assigned, books), table, ("bucket", "leaf"),
+        _BUCKETS, mode="append",
+    )
+
+
+@register("hier_pq_codes_maintenance", tags=("C3", "A8", "B22"), oracle=None)
+def hier_pq_codes_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible end-to-end of the PQ-code table's O(delta)
+    lifecycle (r16, VERDICT r15 item 7 — the codes table previously
+    had append-by-rebuild only): build a PRIVATE standing codes table
+    from the fixture's corpus split under the shared hier quantizers
+    and codebooks, admit the fixture's delta split through
+    ``hier_pq_codes_append`` (assign + encode the delta only — never a
+    corpus re-encode), replay the same append under the idempotent
+    guard, and emit the audit the maintenance contract promises:
+    the appended table is row-identical (codes included) to a one-pass
+    encode of the full corpus — codes are a pure function of
+    (assignment, books), so the O(delta) path must be bit-equal to the
+    rebuild it replaces — and the replay admits exactly zero rows.
+    Rows-only (PQ codes are engine-specific layout); the same
+    bit-equality and replay-idempotence are property-tested on
+    synthetic corpora (tests/test_properties.py), and the generation
+    contract (a retrain invalidates every stored code) is documented
+    on ``hier_pq_codes_append``."""
+    import os
+    import re as _re
+    import shutil
+    import tempfile as _tf
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.dedup import (
+        _INC_BUCKETS,
+        _INC_DELTA_BUCKET,
+        _INC_MULT,
+    )
+    from mr_py_spark.operators.similarity import _emb_double, ivf_assign_with
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    e = _emb_double(tbl(spark, sf_dir, "embeddings"), "v")
+    split = (F.col("vec_id") * F.lit(_INC_MULT)) % F.lit(_INC_BUCKETS)
+    delta = e.filter(split == _INC_DELTA_BUCKET)
+    # shared standing quantizers of the SAME corpus split + the shared
+    # codebooks — only the codes table itself is private to this demo
+    root_cent, leaf_cent, corpus_assigned = hier_corpus_index(spark, sf_dir)
+    books = _hier_pq_books(spark, sf_dir)
+
+    tag = (
+        _re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.strip("/")) + f"_p{os.getpid()}"
+    )
+    table = f"mrps_pq_codes_demo_{tag}"
+    root = os.path.join(_tf.gettempdir(), "spark_graft_pq_codes", tag)
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            _pq_encode_frame(corpus_assigned, books),
+            table, ("bucket", "leaf"), _BUCKETS,
+            path=os.path.join(root, "codes"),
+        )
+        n_corpus = spark.table(table).count()
+        hier_pq_codes_append(root_cent, leaf_cent, books, delta, table)
+        n_after = spark.table(table).count()
+        # bit-equality vs the one-pass full encode this path replaces:
+        # full outer on vec_id, any missing/extra/differing row counts
+        full = _pq_encode_frame(
+            hier_assign(
+                ivf_assign_with(root_cent, e), leaf_cent
+            ),
+            books,
+        ).select(
+            "vec_id",
+            F.struct("bucket", "leaf", "code").alias("want"),
+        )
+        got = spark.table(table).select(
+            "vec_id", F.struct("bucket", "leaf", "code").alias("got")
+        )
+        mismatches = (
+            got.join(full, "vec_id", "full_outer")
+            .filter(
+                F.col("got").isNull()
+                | F.col("want").isNull()
+                | (F.col("got") != F.col("want"))
+            )
+            .count()
+        )
+        # replayed append under the idempotent guard admits nothing
+        hier_pq_codes_append(
+            root_cent, leaf_cent, books, delta, table, idempotent=True
+        )
+        replay_admitted = spark.table(table).count() - n_after
+        return spark.createDataFrame(
+            [
+                ("n_corpus_codes", int(n_corpus)),
+                ("n_delta_appended", int(n_after - n_corpus)),
+                ("mismatch_vs_full_encode", int(mismatches)),
+                ("replay_admitted", int(replay_admitted)),
+            ],
+            "metric string, value long",
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(root, ignore_errors=True)

@@ -948,7 +948,19 @@ def knn_rplsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_BUCKET_ROWS = 4096  # target bucket size: nlist scales as n/this
 _N_PROBE = 6  # floor; scales with nlist so probed-fraction stays put
-_IVF_TRAIN_CAP = 100_000  # k-means fits on a bounded prefix, not the corpus
+#: k-means fits on a bounded prefix, not the corpus. DECISION (r16,
+#: VERDICT r15 item 6, the two-level-ceiling template): the driver-side
+#: root-sample Lloyd is ACCEPTED AS BOUNDED. Its cost is
+#: 8 rounds × cap × k × d float32 flops + one cap-row collect —
+#: independent of corpus size (n only moves k, and k caps at 4096), so
+#: it PLATEAUS at the measured constant: 140–211 s at k=4096 on this
+#: container's OpenBLAS (SCALE.md r15 profile — the 8M and any larger
+#: build pay the same), vs cluster stages ≤1.6 s. That constant is
+#: ~40% of a post-r15 8M cold build but a one-time per-generation cost
+#: with zero scale risk; the distributed partial-moment Lloyd
+#: (kmeans.py) remains the continuation if a future profile shows it
+#: dominating builds that matter — revisit then, not before.
+_IVF_TRAIN_CAP = 100_000
 
 
 def _ordered_train_sample(df: DataFrame, cap: int | None = None):
@@ -1519,7 +1531,14 @@ def knn_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= n_probe)
         .select("q_id", "qv", F.col("cid").alias("bucket"))
     )
-    cand = probes.join(assigned, "bucket").filter(F.col("q_id") != F.col("vec_id"))
+    # prune the inverted-file side to the probed buckets (r16, the hier
+    # tiers' pattern): bounded isin (≤ n_q·n_probe values) pushed to
+    # the bucket-sorted parquet scan; filter preserves the bucketed
+    # scan's partitioning so the join stays exchange-free
+    probed = sorted(r.bucket for r in probes.select("bucket").distinct().collect())
+    cand = probes.join(
+        assigned.filter(F.col("bucket").isin(probed)), "bucket"
+    ).filter(F.col("q_id") != F.col("vec_id"))
     wk = W.partitionBy("q_id").orderBy(F.desc("sim_raw"), F.asc("nn_id"))
     scored = cand.select(
         "q_id", F.col("vec_id").alias("nn_id"), dot("qv", "v").alias("sim_raw")
@@ -1861,12 +1880,20 @@ def drift_ref_stats(
     relative to training" actually means.
 
     ``assigned`` is the caller's PRE-BATCH index view, used only on
-    the bootstrap path (absent/unreadable sidecar: first check of a
-    generation, or a crash before the pin landed) — one exact pass,
-    repaired to the sidecar. An EMPTY cohort is returned but never
-    pinned (a replay-window first check with the whole index
-    anti-joined away must not freeze n_vecs=0 for the generation).
-    Pass ``assigned=None`` on a known-warm path; the read path never
+    the bootstrap path (absent/unreadable sidecar) — one exact pass,
+    repaired to the sidecar. As of r16 (VERDICT r15 item 3) every
+    generation WRITER pins the reference itself at creation
+    (``pin_drift_ref`` — ivf_retrain/hier_retrain and the streaming
+    loops' first-index writes), so this bootstrap is strictly the
+    REPAIR path: a crash between the index swap and the pin, or a
+    pre-r16 table. Pinning at creation closes the window where up to
+    drift_check_every−1 post-generation batches joined the reference
+    cohort, and moves the one O(index) bootstrap pass (25 s at 2M)
+    out of the serving loop and into the build/retrain that is
+    already O(index). An EMPTY cohort is returned but never pinned
+    (a replay-window first check with the whole index anti-joined
+    away must not freeze n_vecs=0 for the generation). Pass
+    ``assigned=None`` on a known-warm path; the read path never
     touches the index (property-tested)."""
     import json as _json
     import os as _os
@@ -1886,6 +1913,17 @@ def drift_ref_stats(
             f"drift_ref_stats: no pinned reference at {path} and no "
             "bootstrap frame supplied"
         )
+    stats = _drift_ref_compute(cent, assigned)
+    if stats["n_vecs"] > 0:
+        _drift_ref_write(path, stats)
+    return stats
+
+
+def _drift_ref_compute(cent: DataFrame, assigned: DataFrame) -> dict:
+    """One exact scored pass over ``assigned`` (vec_id, bucket, v)
+    against its own centroids — the reference cohort's sufficient
+    statistics. O(cohort); callers decide when that cost is paid
+    (generation creation, or the repair bootstrap)."""
     row = (
         assigned.join(F.broadcast(cent), assigned["bucket"] == cent["cid"])
         .select(dot("v", "cv").alias("score"))
@@ -1897,20 +1935,57 @@ def drift_ref_stats(
         )
         .collect()[0]
     )
-    stats = {
+    return {
         "n_vecs": int(row.n_vecs),
         "mean_top1": None if row.mean_top1 is None else float(row.mean_top1),
         "p05_top1": None if row.p05_top1 is None else float(row.p05_top1),
         "p50_top1": None if row.p50_top1 is None else float(row.p50_top1),
     }
+
+
+def _drift_ref_write(path: str, stats: dict) -> None:
+    import json as _json
+    import os as _os
+
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(stats, f)
+        _os.replace(tmp, path)
+    except OSError:
+        pass  # read-only location: derive-per-call still correct
+
+
+def pin_drift_ref(
+    spark: SparkSession, cent: DataFrame, idx_table: str,
+    assigned: DataFrame | None = None,
+) -> dict:
+    """Pin the drift reference AT GENERATION CREATION (r16, VERDICT r15
+    item 3 + ADVICE): called by the index WRITERS — ``ivf_retrain`` /
+    ``hier_retrain`` right after their inverted-file swap, and the
+    streaming loops' first-index ``write_bucketed`` — in the same pass
+    that creates the generation, from the just-built cohort. Unlike
+    ``drift_ref_stats`` this OVERWRITES any sidecar (creation defines
+    the generation; a leftover file can only be stale) and defaults
+    ``assigned`` to the table itself. Closes the first-check window
+    (up to drift_check_every−1 post-creation batches previously joined
+    the reference cohort) and keeps the O(index) scoring pass inside
+    the build/retrain, which is already O(index) — the serving loop's
+    scheduled checks are then always the warm 1-file read. An empty
+    cohort is still never pinned (same replay-window rule as the
+    bootstrap)."""
+    import os as _os
+
+    from mr_py_spark.operators.bucketed import _table_location
+
+    if assigned is None:
+        assigned = spark.table(idx_table).select("vec_id", "bucket", "v")
+    stats = _drift_ref_compute(cent, assigned)
     if stats["n_vecs"] > 0:
-        try:
-            tmp = path + ".tmp"
-            with open(tmp, "w") as f:
-                _json.dump(stats, f)
-            _os.replace(tmp, path)
-        except OSError:
-            pass  # read-only location: derive-per-call still correct
+        _drift_ref_write(
+            _os.path.join(_table_location(spark, idx_table), "_drift_ref.json"),
+            stats,
+        )
     return stats
 
 
@@ -2037,6 +2112,12 @@ def ivf_retrain(
     replace_bucketed_table(spark, cent_table, cent_df, "cid")
     new_assigned = ivf_assign_with(spark.table(cent_table), idx)
     replace_bucketed_table(spark, idx_table, new_assigned, "bucket")
+    # pin the new generation's drift reference in the same pass as the
+    # swap (r16, VERDICT r15 item 3): the swap renamed a fresh data dir
+    # into place, clearing the old sidecar — writing the new cohort's
+    # stats here closes the first-check window and keeps the O(index)
+    # scoring pass inside the retrain, which is already O(index)
+    pin_drift_ref(spark, spark.table(cent_table), idx_table)
     return {"nlist": int(nlist), "n_vecs": int(spark.table(idx_table).count())}
 
 

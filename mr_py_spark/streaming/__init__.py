@@ -1186,6 +1186,7 @@ def _ivf_maintenance_step(
         ivf_assign_with,
         ivf_index_append,
         ivf_retrain,
+        pin_drift_ref,
         semantic_delta_status,
     )
     from mr_py_spark.sources.sinks import write_bucketed
@@ -1272,6 +1273,13 @@ def _ivf_maintenance_step(
                 ivf_assign_with(cent, new_vecs), idx_table, "bucket",
                 _BUCKETS, path=idx_path,
             )
+            # first generation: pin its drift reference at creation
+            # (r16, VERDICT r15 item 3 — the first scheduled check is
+            # then a warm sidecar read; a crash before this pin lands
+            # is repaired by drift_ref_stats' bootstrap). The cohort is
+            # the quantizer's own training batch — exactly what
+            # "degraded relative to training" compares against.
+            pin_drift_ref(spark, cent, idx_table)
         status.unpersist()
 
     return step
@@ -1469,6 +1477,7 @@ def _hier_maintenance_step(
         drift_degraded_pinned,
         drift_ref_stats,
         ivf_assign_with,
+        pin_drift_ref,
     )
     from mr_py_spark.sources.sinks import write_bucketed
 
@@ -1573,6 +1582,13 @@ def _hier_maintenance_step(
             write_bucketed(
                 hier_assign(ivf_assign_with(root, new_vecs), leaf),
                 idx_table, ("bucket", "leaf"), _BUCKETS, path=idx_path,
+            )
+            # first generation: pin the ROOT-level drift reference at
+            # creation (r16, VERDICT r15 item 3 — see the flat loop)
+            pin_drift_ref(
+                spark, root,
+                idx_table,
+                spark.table(idx_table).select("vec_id", "bucket", "v"),
             )
         status.unpersist()
 

@@ -1931,6 +1931,79 @@ def test_lsh_gauge_incremental_exact_zero_io_and_replay(spark, tmp_path, monkeyp
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_lsh_gauge_bump_nonmonotone_ids_skip_stale_low(spark, tmp_path):
+    """r16 (VERDICT r15 item 4): the gauge's id-monotony precondition
+    is pinned. A batch STRADDLING the bump watermark (min ≤ wm < max —
+    impossible under monotone ingest) is skipped WITH a warning, never
+    partially bumped (bumping the mixture would double-count replayed
+    mass permanently; the skip is stale-LOW, recovered by the next
+    re-band's exact refresh). A wholly-below-watermark fresh batch is
+    indistinguishable from a replay and is skipped silently — the
+    documented consequence of violating the contract. lsh_reband's
+    exact recompute then re-counts every skipped row."""
+    import pytest
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.dedup import (
+        _LSH_INDEX_KEYS,
+        _lsh_gauge_bump,
+        _lsh_gauge_full,
+        lsh_band_entries,
+        lsh_gauge_stats,
+        lsh_index_append,
+        lsh_table_band_rows,
+        minhash_signatures,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, f"shared body text variant {i % 2} " * 6) for i in ids],
+            "doc_id long, text string",
+        )
+
+    def entries_of(ids):
+        return lsh_band_entries(
+            minhash_signatures(mk(ids)), lsh_table_band_rows(spark, table)
+        )
+
+    table = "t_gauge_monotone"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            lsh_band_entries(minhash_signatures(mk(range(20)))),
+            table, _LSH_INDEX_KEYS, _BUCKETS, path=str(tmp_path / "idx"),
+        )
+        lsh_gauge_stats(spark, table)  # bootstrap the sidecar
+        lsh_index_append(mk(range(100, 110)), table)  # wm -> 109
+        s = lsh_gauge_stats(spark, table)
+        # straddling batch (105..114): warned, NOT bumped
+        straddle = entries_of(range(105, 115))
+        with pytest.warns(UserWarning, match="id-monotony"):
+            _lsh_gauge_bump(spark, table, straddle)
+        assert lsh_gauge_stats(spark, table) == s
+        # wholly-low fresh batch (50..59): silent replay-skip
+        _lsh_gauge_bump(spark, table, entries_of(range(50, 60)))
+        assert lsh_gauge_stats(spark, table) == s
+        # the skipped rows DO land in the table (the index is
+        # id-agnostic); the gauge runs stale-LOW until the re-band's
+        # exact refresh re-counts them
+        write_bucketed(
+            entries_of(range(50, 60)), table, _LSH_INDEX_KEYS, _BUCKETS,
+            mode="append",
+        )
+        m, nd, _ = _lsh_gauge_full(spark.table(table))
+        assert lsh_gauge_stats(spark, table)["n_docs"] < nd  # stale-LOW
+        from mr_py_spark.operators.dedup import lsh_reband
+
+        lsh_reband(spark, table, 8)
+        m2, nd2, _ = _lsh_gauge_full(spark.table(table))
+        assert lsh_gauge_stats(spark, table) == {"mass": m2, "n_docs": nd2}
+        assert lsh_gauge_stats(spark, table)["n_docs"] == 40
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_raise_watermark_closes_mixed_mode_replay(spark, tmp_path):
     """ADVICE r14: replay_guard's soundness precondition (every append
     raises the watermark first) is now ENFORCED by the append helpers —
@@ -2084,6 +2157,89 @@ def test_drift_ref_stats_pinned_generation(spark, tmp_path):
         assert ref3["n_vecs"] == 10 and ref3 != ref2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pin_drift_ref_at_creation(spark, tmp_path):
+    """r16 (VERDICT r15 item 3): generation writers pin the drift
+    reference AT CREATION — a check before any append equals the
+    at-creation cohort (no bootstrap frame needed, zero index I/O),
+    appends between creation and the first scheduled check can no
+    longer join the reference cohort, pin OVERWRITES a stale leftover
+    sidecar, and ivf_retrain pins the NEW generation immediately (a
+    post-retrain warm check equals the rebuilt cohort's exact stats,
+    before any check ever ran on that generation)."""
+    import os
+
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import (
+        _BUCKETS,
+        _table_location,
+        replace_bucketed_table,
+    )
+    from mr_py_spark.operators.similarity import (
+        _drift_ref_compute,
+        drift_ref_stats,
+        ivf_assign_with,
+        ivf_retrain,
+        pin_drift_ref,
+    )
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    def vecs(ids, axis):
+        base = np.zeros(4)
+        base[axis] = 1.0
+        rng = np.random.RandomState(11)
+        out = []
+        for i in ids:
+            v = base + 0.05 * rng.standard_normal(4)
+            v /= np.linalg.norm(v)
+            out.append((i, [float(x) for x in v]))
+        return spark.createDataFrame(out, "vec_id long, v array<double>")
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid long, cv array<double>",
+    )
+    cent_t, idx_t = "t_pin_cent", "t_pin_idx"
+    for t in (cent_t, idx_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        write_bucketed(cent, cent_t, "cid", _BUCKETS, path=str(tmp_path / "c"))
+        write_bucketed(
+            ivf_assign_with(cent, vecs(range(30), 0)), idx_t, "bucket",
+            _BUCKETS, path=str(tmp_path / "i"),
+        )
+        # creation-time pin: warm check BEFORE any append == the
+        # at-creation cohort, no bootstrap frame supplied
+        pinned = pin_drift_ref(spark, cent, idx_t)
+        assert pinned["n_vecs"] == 30
+        assert drift_ref_stats(spark, cent, idx_t, None) == pinned
+        # an append between creation and the first check cannot join
+        # the reference cohort
+        write_bucketed(
+            ivf_assign_with(cent, vecs(range(100, 140), 1)), idx_t,
+            "bucket", _BUCKETS, mode="append",
+        )
+        assert drift_ref_stats(spark, cent, idx_t, None) == pinned
+        # pin overwrites a stale sidecar (creation defines the
+        # generation — drift_ref_stats would have trusted the leftover)
+        repinned = pin_drift_ref(spark, cent, idx_t)
+        assert repinned["n_vecs"] == 70
+        assert drift_ref_stats(spark, cent, idx_t, None) == repinned
+        # retrain pins the NEW generation immediately: the sidecar
+        # exists post-swap and equals the rebuilt cohort's exact stats
+        ivf_retrain(spark, cent_t, idx_t, nlist=2)
+        side = os.path.join(_table_location(spark, idx_t), "_drift_ref.json")
+        assert os.path.exists(side)
+        exact = _drift_ref_compute(
+            spark.table(cent_t),
+            spark.table(idx_t).select("vec_id", "bucket", "v"),
+        )
+        assert drift_ref_stats(spark, spark.table(cent_t), idx_t, None) == exact
+    finally:
+        for t in (cent_t, idx_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_minhash_delta_status_planted(spark):
@@ -3013,6 +3169,76 @@ def test_hier_index_append_bit_equal_to_rebuild(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_hier_pq_codes_append_bit_equal_to_rebuild(spark, tmp_path):
+    """r16 (VERDICT r15 item 7): O(delta) maintenance for the standing
+    PQ-code table. Build codes from part of a corpus, append the rest
+    against the EXISTING centroids + codebooks, and the table must be
+    row-identical (codes included) to encoding the full corpus in one
+    pass — codes are a pure function of (assignment, books); the
+    idempotent replay guard admits nothing twice."""
+    import numpy as np
+
+    from mr_py_spark.operators.bucketed import _BUCKETS
+    from mr_py_spark.operators.hier import (
+        _pq_encode_frame,
+        hier_assign,
+        hier_leaf_centroids,
+        hier_pq_codes_append,
+    )
+    from mr_py_spark.operators.similarity import _ivf_centroids, ivf_assign_with
+    from mr_py_spark.operators.vectors import _pq_train
+    from mr_py_spark.sources.sinks import write_bucketed
+
+    rng = np.random.RandomState(29)
+    X = rng.randn(300, 8)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    full = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(len(X))],
+        "vec_id long, v array<double>",
+    )
+    base = full.filter(F.col("vec_id") < 200)
+    delta = full.filter(F.col("vec_id") >= 200)
+    root_cent = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(_ivf_centroids(spark, base, 4))],
+        "cid long, cv array<double>",
+    )
+    leaf_cent = hier_leaf_centroids(ivf_assign_with(root_cent, base), leaf_rows=16)
+    books = _pq_train(X[:200], m=4, k=16, sub=2)
+    table = "t_hier_pq_append_private"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        write_bucketed(
+            _pq_encode_frame(
+                hier_assign(ivf_assign_with(root_cent, base), leaf_cent), books
+            ),
+            table, ("bucket", "leaf"), _BUCKETS,
+            path=str(tmp_path / table),
+        )
+        hier_pq_codes_append(root_cent, leaf_cent, books, delta, table)
+        got = sorted(
+            (r.vec_id, r.bucket, r.leaf, tuple(r.code))
+            for r in spark.table(table).collect()
+        )
+        want = sorted(
+            (r.vec_id, r.bucket, r.leaf, tuple(r.code))
+            for r in _pq_encode_frame(
+                hier_assign(ivf_assign_with(root_cent, full), leaf_cent), books
+            ).collect()
+        )
+        assert got == want and len(got) == 300
+        # replayed append admits nothing under the idempotent guard
+        hier_pq_codes_append(
+            root_cent, leaf_cent, books, delta, table, idempotent=True
+        )
+        again = sorted(
+            (r.vec_id, r.bucket, r.leaf, tuple(r.code))
+            for r in spark.table(table).collect()
+        )
+        assert again == got
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_drift_rule_continuous_monotone_never_fires_on_better(spark):
     """ADVICE r13: the drift decision's fire threshold as a function
     of the indexed cohort's p05 must be CONTINUOUS (the old two-branch
@@ -3164,6 +3390,20 @@ def test_hier_retrain_planted_drift_recovers(spark, tmp_path):
             root_rows=64, leaf_rows=8,
         )
         assert stats["n_vecs"] == len(X) and stats["n_leaves"] > stats["nroot"]
+        # r16: the retrain pinned the NEW generation's ROOT-level drift
+        # reference at creation — warm read, no bootstrap frame, equal
+        # to the rebuilt cohort's exact stats
+        from mr_py_spark.operators.similarity import (
+            _drift_ref_compute,
+            drift_ref_stats,
+        )
+
+        assert drift_ref_stats(
+            spark, spark.table(root_t), idx_t, None
+        ) == _drift_ref_compute(
+            spark.table(root_t),
+            spark.table(idx_t).select("vec_id", "bucket", "v"),
+        )
         after = {r.cohort: float(r.p05_top1) for r in drift().collect()}
         # the rebuilt quantizer covers the drifted region: the delta's
         # quantization quality recovers, the indexed cohort stays sane
