@@ -180,6 +180,46 @@ def get_spark(app_name: str = "mr_py_spark", cpus: int | None = None) -> SparkSe
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", shuffle_parts)
+        # Pin PYTHON-WORKER BLAS to one thread (static conf — workers
+        # inherit spark.executorEnv.*). This container's OpenBLAS
+        # spawns a thread per core per process for a ~1.25× single-
+        # matmul gain (measured: 23.2 vs 28.9 ms on the knn block
+        # tile), so 32 concurrent Arrow-cogroup workers ran ~1024 BLAS
+        # threads — the oversubscription behind sf1 knn_selfjoin's
+        # session-to-session wall bands (1.8–17 s on identical code,
+        # VERDICT r15 item 5; A/B in SCALE.md r16). Task-level
+        # parallelism comes from Spark; intra-task BLAS threads only
+        # fight it. The DRIVER process is deliberately left unpinned —
+        # the bounded-sample k-means (_np_spherical_kmeans) runs there
+        # and does benefit from threaded BLAS.
+        .config(
+            "spark.executorEnv.OPENBLAS_NUM_THREADS",
+            os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1"),
+        )
+        .config(
+            "spark.executorEnv.OMP_NUM_THREADS",
+            os.environ.get("SPARK_GRAFT_WORKER_BLAS_THREADS", "1"),
+        )
+        # Parquet In-predicate pushdown keeps the literal value list
+        # only up to this threshold (default 10); above it the filter
+        # is rewritten to a [min, max] range, which is useless for a
+        # probed-bucket set scattered across the key domain (the ANN
+        # serve tiers' bounded `isin` over probed roots — r16: measured
+        # decoding the FULL 2M-row assigned table at 39/488-root
+        # selectivity because the 400-odd-value INSET degraded to the
+        # range form; with the value list kept, row-group skipping on
+        # the bucket-key-sorted small-row-group layout tracks the
+        # probed fraction). Set here and NOT in harden(): harden is in
+        # every registered query's fingerprint closure, so a conf
+        # nudge there re-stamps the whole registry into the driver
+        # verification window at once (the registry.py:314 hazard —
+        # this exact edit did it in-session before being moved). A
+        # vanilla harness session keeps Spark's default; the prune is
+        # a performance pushdown, never a correctness dependency.
+        .config(
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            os.environ.get("SPARK_GRAFT_PARQUET_IN_THRESHOLD", "1024"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         # static conf: must be set at session build; bucketed-table tests
