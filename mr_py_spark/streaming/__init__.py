@@ -1426,12 +1426,70 @@ def stream_lsh_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _root_gen_hash(spark: SparkSession, root_table: str) -> str:
+    """Content hash of a ROOT centroid table — the identity of a hier
+    index GENERATION (every retrain rewrites the roots; appends never
+    do). Bounded collect: the root frame is capped at 4096 rows by the
+    two-level design (the documented broadcast-bounded class)."""
+    import hashlib
+
+    import numpy as np
+
+    rows = sorted(
+        (r.cid, tuple(r.cv))
+        for r in spark.table(root_table).select("cid", "cv").collect()
+    )
+    h = hashlib.sha1()
+    for cid, cv in rows:
+        h.update(np.int64(cid).tobytes())
+        h.update(np.asarray(cv, dtype=np.float64).tobytes())
+    return h.hexdigest()
+
+
+def _codes_gen_read(codes_path: str) -> str | None:
+    import json as _json
+
+    try:
+        with open(os.path.join(codes_path, "_codes_gen.json")) as f:
+            return _json.load(f)["root_gen"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _codes_gen_write(codes_path: str, gen: str) -> None:
+    import json as _json
+
+    p = os.path.join(codes_path, "_codes_gen.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        _json.dump({"root_gen": gen}, f)
+    os.replace(tmp, p)
+
+
+def _books_np(spark: SparkSession, books_table: str):
+    """Materialize the stored PQ codebooks (mi, ki, sub) as the numpy
+    (M, K, sub) tensor the encode kernel broadcasts. Bounded collect:
+    M·K rows (≤ 4096 at production m=16, k=256)."""
+    import numpy as np
+
+    rows = spark.table(books_table).collect()
+    m = max(r.mi for r in rows) + 1
+    k = max(r.ki for r in rows) + 1
+    books = np.empty((m, k, len(rows[0].sub)))
+    for r in rows:
+        books[r.mi, r.ki] = r.sub
+    return books
+
+
 def _hier_maintenance_step(
     spark: SparkSession, root_table: str, leaf_table: str, idx_table: str,
     out: str, root_path: str, leaf_path: str, idx_path: str,
     drift_check_every: int = 8, drift_ratio: float | None = None,
     retrain_log: list | None = None,
     root_rows: int | None = None, leaf_rows: int | None = None,
+    codes_table: str | None = None, codes_path: str | None = None,
+    books_table: str | None = None, books_path: str | None = None,
+    pq_m: int = 4, pq_k: int = 16,
 ):
     """The per-micro-batch body of ``stream_hier_index_maintenance`` —
     the TWO-LEVEL twin of ``_ivf_maintenance_step``, for corpora past
@@ -1455,17 +1513,50 @@ def _hier_maintenance_step(
     (``exclude_ids``), the tripping batch rides ``extra_train``, and a
     crash mid-swap is finished by recover_compaction at step entry.
     ``root_rows``/``leaf_rows`` are test knobs (defaults: the module
-    grains, ~4096/~64)."""
+    grains, ~4096/~64).
+
+    With ``codes_table``/``codes_path``/``books_table``/``books_path``
+    set, the loop also maintains the STANDING PQ-CODE inverted file
+    the ADC serve tier reads (r16, VERDICT r15 item 7 — previously the
+    codes table was batch-rebuild-only, so a streaming hier index
+    serving through ADC re-encoded the corpus per admitted batch):
+
+    - Codebooks train ONCE, on the bootstrap batch's admitted cohort
+      (bounded ordered sample), and persist as a small bucketed table;
+      they quantize RAW subspaces, so index retrains do not invalidate
+      them (only the assignment columns of code rows move) — a books
+      rebuild is an operator decision, not loop maintenance.
+    - Admitted vectors are encoded O(delta) per batch
+      (``hier_pq_codes_append``, replay-idempotent against the codes
+      table's own watermark sidecar — a crash between the index append
+      and the codes append replays into an idx no-op plus the missed
+      codes append, converging).
+    - GENERATION COHERENCE is self-healing by construction: a
+      ``_codes_gen.json`` sidecar INSIDE the codes data dir (the r15
+      lives-with-the-generation pattern) records the ROOT-table
+      content hash the codes were encoded under; every step entry
+      compares it to the live root hash and re-encodes the codes table
+      from the index (crash-atomic ``replace_bucketed_table``) on
+      mismatch — so a retrain immediately re-encodes, and a crash
+      BETWEEN the retrain's swap and the re-encode is repaired at the
+      next entry. The root hash is the generation identity because
+      every retrain rewrites the roots and no append ever does."""
     from pyspark.sql import functions as SF
 
-    from mr_py_spark.operators.bucketed import _BUCKETS, recover_compaction
+    from mr_py_spark.operators.bucketed import (
+        _BUCKETS,
+        recover_compaction,
+        replace_bucketed_table,
+    )
     from mr_py_spark.operators.hier import (
         _LEAF_ROWS,
         _ROOT_ROWS,
         _hier_nroot,
+        _pq_encode_frame,
         hier_assign,
         hier_index_append,
         hier_leaf_centroids,
+        hier_pq_codes_append,
         hier_retrain,
         semantic_delta_status_hier,
     )
@@ -1485,10 +1576,45 @@ def _hier_maintenance_step(
         drift_ratio = _DRIFT_P05_RATIO
     r_rows = _ROOT_ROWS if root_rows is None else int(root_rows)
     l_rows = _LEAF_ROWS if leaf_rows is None else int(leaf_rows)
+    codes_on = codes_table is not None
+    if codes_on and not (codes_path and books_table and books_path):
+        raise ValueError(
+            "_hier_maintenance_step: codes maintenance needs codes_table, "
+            "codes_path, books_table AND books_path"
+        )
+
+    def rebuild_codes(gen: str) -> None:
+        # one zero-shuffle re-encode of the index under the stored
+        # books; crash-atomic two-phase swap, then the gen sidecar
+        # (a crash between swap and sidecar re-runs this — wasteful,
+        # never wrong: the rebuild is a pure function of (index, books))
+        replace_bucketed_table(
+            spark, codes_table,
+            _pq_encode_frame(
+                spark.table(idx_table).select("vec_id", "bucket", "leaf", "v"),
+                _books_np(spark, books_table),
+            ),
+            ("bucket", "leaf"),
+        )
+        _codes_gen_write(codes_path, gen)
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        for p in (root_path, leaf_path, idx_path):
+        paths = (root_path, leaf_path, idx_path) + (
+            (codes_path, books_path) if codes_on else ()
+        )
+        for p in paths:
             recover_compaction(spark, p)
+        if (
+            codes_on
+            and spark.catalog.tableExists(codes_table)
+            and spark.catalog.tableExists(root_table)
+        ):
+            # generation self-heal (docstring): codes encoded under a
+            # root generation that is no longer live are re-encoded
+            # before anything reads or appends to them
+            gen = _root_gen_hash(spark, root_table)
+            if _codes_gen_read(codes_path) != gen:
+                rebuild_codes(gen)
         batch = batch_df.select(
             "vec_id", SF.col("embedding").cast("array<double>").alias("v")
         )
@@ -1562,6 +1688,12 @@ def _hier_maintenance_step(
             root = spark.table(root_table)
             leaf = spark.table(leaf_table)
             corpus = spark.table(idx_table).join(ids, "vec_id", "left_anti")
+            if codes_on and spark.catalog.tableExists(codes_table):
+                # the retrain moved every row's (bucket, leaf): re-
+                # encode now; a crash before this lands is repaired by
+                # the entry self-heal (the new roots won't match the
+                # codes' recorded generation)
+                rebuild_codes(_root_gen_hash(spark, root_table))
         status = semantic_delta_status_hier(root, leaf, corpus, batch)
         status.persist().count()
         (
@@ -1578,6 +1710,14 @@ def _hier_maintenance_step(
         )
         if have_idx:
             hier_index_append(root, leaf, new_vecs, idx_table, idempotent=True)
+            if codes_on and spark.catalog.tableExists(codes_table):
+                # O(delta) code admit, replay-idempotent against the
+                # CODES table's own watermark (a crash between the two
+                # appends replays into an idx no-op + this catch-up)
+                hier_pq_codes_append(
+                    root, leaf, _books_np(spark, books_table), new_vecs,
+                    codes_table, idempotent=True,
+                )
         else:
             write_bucketed(
                 hier_assign(ivf_assign_with(root, new_vecs), leaf),
@@ -1590,6 +1730,47 @@ def _hier_maintenance_step(
                 idx_table,
                 spark.table(idx_table).select("vec_id", "bucket", "v"),
             )
+            if codes_on:
+                # books train ONCE, on the bootstrap cohort (bounded
+                # ordered sample — the flat loop's replay-stable
+                # sampling discipline); then the first code generation
+                # is one encode pass over the fresh index
+                import numpy as _np
+
+                from mr_py_spark.operators.similarity import (
+                    _ordered_train_sample as _ots,
+                )
+                from mr_py_spark.operators.vectors import _pq_train
+
+                X = _ots(new_vecs.select("vec_id", F.col("v")))
+                books = _pq_train(
+                    _np.asarray(X, dtype=_np.float64),
+                    m=pq_m,
+                    k=min(pq_k, len(X)),
+                    sub=X.shape[1] // pq_m,
+                )
+                write_bucketed(
+                    spark.createDataFrame(
+                        [
+                            (mi, ki, [float(x) for x in books[mi, ki]])
+                            for mi in range(books.shape[0])
+                            for ki in range(books.shape[1])
+                        ],
+                        "mi long, ki long, sub array<double>",
+                    ),
+                    books_table, "mi", _BUCKETS, path=books_path,
+                )
+                write_bucketed(
+                    _pq_encode_frame(
+                        spark.table(idx_table).select(
+                            "vec_id", "bucket", "leaf", "v"
+                        ),
+                        books,
+                    ),
+                    codes_table, ("bucket", "leaf"), _BUCKETS,
+                    path=codes_path,
+                )
+                _codes_gen_write(codes_path, _root_gen_hash(spark, root_table))
         status.unpersist()
 
     return step
@@ -1661,4 +1842,106 @@ def stream_hier_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         "status",
         "match_id",
         F.col("batch_id").cast("long").alias("batch_id"),
+    )
+
+
+@register("stream_hier_pq_maintenance", tags=("C9", "C3", "A8", "B22"))
+def stream_hier_pq_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_hier_index_maintenance`` with the ADC tier's standing
+    PQ-CODE table maintained in the same loop (r16, VERDICT r15
+    item 7): codebooks train once on the bootstrap cohort and persist,
+    admitted vectors are encoded O(delta) per batch under the codes
+    table's own replay guard, and generation coherence is the
+    self-healing root-hash sidecar check (``_hier_maintenance_step``
+    docstring — a retrain re-encodes; a crash between swap and
+    re-encode repairs at the next step entry). Emits the audit the
+    lifecycle promises instead of the triage statuses: the codes table
+    is row-identical (codes included) to a one-pass encode of the
+    final index under the stored books, covers exactly the indexed
+    ids, and the stored generation matches the live roots. Rows-only
+    (seeded quantizers + engine-specific code layout); crash-window,
+    replay, and retrain-re-encode properties are byte-level-tested in
+    tests/test_streaming_sink.py."""
+    import shutil
+    import tempfile
+
+    from mr_py_spark.operators.bucketed import _table_location
+    from mr_py_spark.operators.hier import _pq_encode_frame
+
+    harden(spark)
+    root_dir = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_stream",
+        sf_dir.rstrip("/").replace("/", "_"),
+        "hier_pq_maint",
+    )
+    shutil.rmtree(root_dir, ignore_errors=True)
+    out = os.path.join(root_dir, "out")
+    ckpt = os.path.join(root_dir, "ckpt")
+    os.makedirs(out, exist_ok=True)
+    tag = stream_table_tag(sf_dir)
+    root_table = f"mrps_stream_hpq_root_{tag}"
+    leaf_table = f"mrps_stream_hpq_leaf_{tag}"
+    idx_table = f"mrps_stream_hpq_idx_{tag}"
+    codes_table = f"mrps_stream_hpq_codes_{tag}"
+    books_table = f"mrps_stream_hpq_books_{tag}"
+    for t in (root_table, leaf_table, idx_table, codes_table, books_table):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    schema = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir.rstrip("/"))
+    )
+    codes_path = os.path.join(root_dir, "codes")
+    q = (
+        stream.writeStream.foreachBatch(
+            _hier_maintenance_step(
+                spark, root_table, leaf_table, idx_table, out,
+                os.path.join(root_dir, "root"),
+                os.path.join(root_dir, "leaf"),
+                os.path.join(root_dir, "index"),
+                codes_table=codes_table, codes_path=codes_path,
+                books_table=books_table,
+                books_path=os.path.join(root_dir, "books"),
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # lifecycle audit (vs the statuses the sibling query already emits)
+    idx = spark.table(idx_table)
+    got = spark.table(codes_table).select(
+        "vec_id", F.struct("bucket", "leaf", "code").alias("got")
+    )
+    want = _pq_encode_frame(
+        idx.select("vec_id", "bucket", "leaf", "v"),
+        _books_np(spark, books_table),
+    ).select("vec_id", F.struct("bucket", "leaf", "code").alias("want"))
+    mismatches = (
+        got.join(want, "vec_id", "full_outer")
+        .filter(
+            F.col("got").isNull()
+            | F.col("want").isNull()
+            | (F.col("got") != F.col("want"))
+        )
+        .count()
+    )
+    gen_ok = _codes_gen_read(
+        _table_location(spark, codes_table)
+    ) == _root_gen_hash(spark, root_table)
+    return spark.createDataFrame(
+        [
+            ("n_indexed", int(idx.count())),
+            ("n_codes", int(spark.table(codes_table).count())),
+            ("mismatch_vs_full_encode", int(mismatches)),
+            ("generation_coherent", 1 if gen_ok else 0),
+        ],
+        "metric string, value long",
     )

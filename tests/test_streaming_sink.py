@@ -906,3 +906,107 @@ def test_hier_maintenance_bootstrap_crash_between_quantizer_writes(
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
     assert snaps["crashed"] == snaps["clean"]
     assert len(snaps["clean"][0]) == 15
+
+
+def test_hier_pq_codes_loop_replay_and_generation_self_heal(spark, tmp_path):
+    """r16 (VERDICT r15 item 7): the codes-maintaining hier loop. Per
+    batch the standing PQ-code table stays row-identical (codes
+    included) to a one-pass encode of the live index under the stored
+    books; a replayed batch admits nothing (codes-table watermark);
+    books train once and never move; and a retrain whose codes
+    re-encode never ran (the crash window between the three-table swap
+    and the re-encode, simulated by retraining the tables OUTSIDE the
+    step) is repaired by the next step entry's generation self-heal —
+    the root-hash sidecar mismatch triggers the crash-atomic
+    re-encode before anything reads or appends."""
+    import os
+
+    import numpy as np
+
+    from mr_py_spark.operators.hier import _pq_encode_frame, hier_retrain
+    from mr_py_spark.streaming import (
+        _books_np,
+        _codes_gen_read,
+        _hier_maintenance_step,
+        _root_gen_hash,
+    )
+
+    X = np.eye(40)
+    vecs = [[float(x) for x in r] for r in X]
+    root_t, leaf_t, idx_t, codes_t, books_t = (
+        "mrps_test_hpq_root", "mrps_test_hpq_leaf", "mrps_test_hpq_idx",
+        "mrps_test_hpq_codes", "mrps_test_hpq_books",
+    )
+    for t in (root_t, leaf_t, idx_t, codes_t, books_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    out = str(tmp_path / "out")
+    os.makedirs(out, exist_ok=True)
+    codes_path = str(tmp_path / "codes")
+    step = _hier_maintenance_step(
+        spark, root_t, leaf_t, idx_t, out,
+        str(tmp_path / "root"), str(tmp_path / "leaf"),
+        str(tmp_path / "index"),
+        root_rows=4, leaf_rows=2,
+        codes_table=codes_t, codes_path=codes_path,
+        books_table=books_t, books_path=str(tmp_path / "books"),
+    )
+
+    def codes_snapshot():
+        return sorted(
+            (r.vec_id, r.bucket, r.leaf, tuple(r.code))
+            for r in spark.table(codes_t).collect()
+        )
+
+    def full_encode():
+        return sorted(
+            (r.vec_id, r.bucket, r.leaf, tuple(r.code))
+            for r in _pq_encode_frame(
+                spark.table(idx_t).select("vec_id", "bucket", "leaf", "v"),
+                _books_np(spark, books_t),
+            ).collect()
+        )
+
+    def books_snapshot():
+        return sorted(
+            (r.mi, r.ki, tuple(r.sub)) for r in spark.table(books_t).collect()
+        )
+
+    b0 = spark.createDataFrame(
+        [(i, vecs[i]) for i in range(20)] + [(100, vecs[3])],
+        "vec_id long, embedding array<double>",
+    )
+    b1 = spark.createDataFrame(
+        [(200, vecs[25]), (201, vecs[26])],
+        "vec_id long, embedding array<double>",
+    )
+    try:
+        step(b0, 0)
+        books0 = books_snapshot()
+        assert codes_snapshot() == full_encode()
+        idx_ids = {r.vec_id for r in spark.table(idx_t).collect()}
+        assert {c[0] for c in codes_snapshot()} == idx_ids
+        step(b1, 1)
+        snap1 = codes_snapshot()
+        assert snap1 == full_encode()
+        assert {c[0] for c in snap1} >= {200, 201}
+        assert books_snapshot() == books0  # books train once, never move
+        step(b1, 1)  # replay: codes watermark admits nothing
+        assert codes_snapshot() == snap1
+        # crash window: a retrain swapped the three index tables but
+        # died before the codes re-encode — codes still carry the OLD
+        # generation's (bucket, leaf)
+        hier_retrain(spark, root_t, leaf_t, idx_t, root_rows=4, leaf_rows=2)
+        assert _codes_gen_read(codes_path) != _root_gen_hash(spark, root_t)
+        stale = codes_snapshot()
+        assert stale != full_encode()  # demonstrably stale
+        b2 = spark.createDataFrame(
+            [(300, vecs[30])], "vec_id long, embedding array<double>"
+        )
+        step(b2, 2)  # entry self-heal re-encodes, then admits the batch
+        assert _codes_gen_read(codes_path) == _root_gen_hash(spark, root_t)
+        assert codes_snapshot() == full_encode()
+        assert 300 in {c[0] for c in codes_snapshot()}
+        assert books_snapshot() == books0
+    finally:
+        for t in (root_t, leaf_t, idx_t, codes_t, books_t):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
