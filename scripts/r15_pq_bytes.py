@@ -1,4 +1,11 @@
-"""Round-15 measurement — the PQ serve tier's BYTE claim, measured
+"""SUPERSEDED (r16): the input-bytes table this script produced
+compared filtered against unfiltered scans, and Spark's stage
+`inputBytes` does not count the unfiltered parquet read path (same
+wall + records, 25× different bytes — SCALE.md r16). Use
+scripts/r16_pq_serve_ab.py, which reports wall / task time / records.
+Kept for the round-15 ledger's provenance.
+
+Round-15 measurement — the PQ serve tier's BYTE claim, measured
 (VERDICT r14 item 2/"missing #2": SCALE.md r14 recorded single-node
 wall-time parity and INFERRED the multi-executor win from per-row
 widths — ~80 B/candidate with 16-byte codes vs ~530 B with the full
