@@ -1730,19 +1730,29 @@ def _hier_maintenance_step(
                 idx_table,
                 spark.table(idx_table).select("vec_id", "bucket", "v"),
             )
-            if codes_on:
-                # books train ONCE, on the bootstrap cohort (bounded
-                # ordered sample — the flat loop's replay-stable
-                # sampling discipline); then the first code generation
-                # is one encode pass over the fresh index
-                import numpy as _np
+        if (
+            codes_on
+            and not spark.catalog.tableExists(codes_table)
+            and spark.catalog.tableExists(idx_table)
+        ):
+            # CODES BOOTSTRAP, deliberately keyed on "codes missing,
+            # index present" rather than the index's own bootstrap
+            # branch: an empty or all-dup first batch defers it to the
+            # first batch that actually indexes something, and a crash
+            # between the index write and this block is repaired on
+            # replay by the same condition. Books train ONCE, on a
+            # bounded ordered sample of the INDEXED cohort (the flat
+            # loop's replay-stable sampling discipline); the first
+            # code generation is then one encode pass over the index.
+            import numpy as _np
 
-                from mr_py_spark.operators.similarity import (
-                    _ordered_train_sample as _ots,
-                )
-                from mr_py_spark.operators.vectors import _pq_train
+            from mr_py_spark.operators.similarity import (
+                _ordered_train_sample as _ots,
+            )
+            from mr_py_spark.operators.vectors import _pq_train
 
-                X = _ots(new_vecs.select("vec_id", F.col("v")))
+            X = _ots(spark.table(idx_table).select("vec_id", "v"))
+            if len(X):
                 books = _pq_train(
                     _np.asarray(X, dtype=_np.float64),
                     m=pq_m,
