@@ -27,7 +27,6 @@ import re
 import shutil
 import tempfile
 
-from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -224,15 +223,28 @@ def _bucketed_table(
 
 
 def _table_location(spark: SparkSession, table: str) -> str:
-    """Filesystem path of ``table``'s data (DESCRIBE FORMATTED's
-    Location row, scheme stripped — local deployments only; an object
-    store would keep the URI)."""
-    loc = (
-        spark.sql(f"DESCRIBE FORMATTED {table}")
-        .filter(F.col("col_name") == "Location")
-        .head()
-        .data_type
-    )
+    """Filesystem path of ``table``'s data, scheme stripped — local
+    deployments only; an object store would keep the URI.
+
+    Fast path (r16): the session catalog's metadata lookup through the
+    JVM gateway — a few py4j calls, ~2 ms. The previous
+    ``DESCRIBE FORMATTED`` form planned and executed a whole SQL
+    command (~165 ms measured), and this helper sits under EVERY
+    per-batch sidecar read (replay guard, LSH banding/gauge, drift
+    reference), where it was the dominant term once the sidecars
+    themselves became cheap JSON reads. The DESCRIBE fallback covers
+    sessions without a JVM gateway (e.g. Spark Connect)."""
+    try:
+        ss = spark._jsparkSession.sessionState()
+        ident = ss.sqlParser().parseTableIdentifier(table)
+        loc = str(ss.catalog().getTableMetadata(ident).location())
+    except Exception:
+        loc = (
+            spark.sql(f"DESCRIBE FORMATTED {table}")
+            .filter(F.col("col_name") == "Location")
+            .head()
+            .data_type
+        )
     return re.sub(r"^file:", "", loc)
 
 
@@ -384,6 +396,54 @@ def replace_bucketed_table(
     _swap_in_side_copy(spark, table, tmp_tbl, path, cols, keys, n_buckets)
 
 
+def sidecar_read_json(path: str) -> dict | None:
+    """Read a 1-record JSON metadata sidecar; ``None`` when it is
+    ABSENT or DETERMINISTICALLY unreadable (torn content, or the
+    legacy 1-row-parquet directory form) — exactly the cases where
+    every other reader of the same path fails the same way, so a
+    caller that degrades to its bootstrap/re-derive stays consistent
+    across processes. Transient I/O errors (an OSError on an existing,
+    valid file) PROPAGATE — the ADVICE r15 narrowing: silently
+    treating a transient failure as "absent" would let a replay read
+    the valid-but-lower value later and fast-path unsoundly.
+
+    Why JSON files and not 1-row parquet datasets (r16): the parquet
+    form costs a FULL Spark job per read and per write — measured
+    0.2–0.5 s each on this container — and the per-batch maintenance
+    paths (replay_guard + raise_watermark + the LSH banding lookup)
+    paid up to three of them per micro-batch. A local JSON read is
+    ~0.1 ms, and ``os.replace`` gives atomicity the parquet overwrite
+    never had (its mid-overwrite unreadable window disappears)."""
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return None
+    except (IsADirectoryError, ValueError):
+        # directory = legacy parquet sidecar (pre-r16 generation);
+        # ValueError covers torn/invalid JSON. Both deterministic.
+        return None
+
+
+def sidecar_write_json(path: str, payload: dict) -> None:
+    """Atomically (re)write a JSON metadata sidecar: tmp + rename, so
+    readers see the old record or the new one, never a torn file. A
+    legacy parquet-directory sidecar at the same path is removed first
+    (a crash between the two steps leaves the sidecar absent, which
+    every caller treats as its bootstrap case — stale-never, the safe
+    direction)."""
+    import json
+
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def replay_guard(
     spark: SparkSession, table: str, new_rows: DataFrame, id_col: str
 ) -> DataFrame:
@@ -393,10 +453,12 @@ def replay_guard(
     scan, O(index) per batch at 10⁹ rows). Returns ``new_rows`` with
     ids the table already holds dropped.
 
-    Mechanism: a max-id WATERMARK in a tiny parquet sidecar NEXT TO
+    Mechanism: a max-id WATERMARK in a tiny JSON sidecar NEXT TO
     the table's own data directory (``<location>_rwm`` — no catalog
     entry, so externally-owned sessions never get a surprise managed
-    table in their warehouse dir). Invariant — the watermark is always
+    table in their warehouse dir; JSON file, not a 1-row parquet
+    dataset — see ``sidecar_read_json``, r16: the parquet form cost
+    a Spark job per read/write on every micro-batch). Invariant — the watermark is always
     >= every id the standing table holds, because it is raised BEFORE
     the caller can append (and bootstraps from a one-time full max
     over the table, so pre-guard appends are covered). Ids ABOVE the
@@ -410,9 +472,10 @@ def replay_guard(
     Crash-safe in both directions: a crash AFTER the raise but BEFORE
     the append leaves the watermark stale-HIGH, which only widens the
     exact-check set (the retried batch's ids are <= wm, get checked
-    against the table, found absent, and admitted — nothing lost); the
-    watermark table itself vanishing mid-overwrite degrades to the
-    bootstrap full-max path. The guard is only sound if every append
+    against the table, found absent, and admitted — nothing lost); an
+    absent or unreadable sidecar degrades to the bootstrap full-max
+    path (and the atomic rename write means no reader can ever see a
+    torn one). The guard is only sound if every append
     to ``table`` flows through it (or through a caller that raises the
     watermark first) — all three maintenance loops do. The sidecar's
     read-modify-write is SINGLE-WRITER (the foreachBatch driver loop
@@ -421,16 +484,18 @@ def replay_guard(
     if not spark.catalog.tableExists(table):
         return new_rows
     wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
-    mx = new_rows.agg(F.max(id_col)).collect()[0][0]
-    if mx is None:  # empty batch
+    # min rides the same single pass over the delta (r16): the normal
+    # streaming batch is entirely-fresh (min > wm), which the min
+    # proves WITHOUT the second suspects-empty? job below — the fast
+    # path is then exactly one delta-sized job plus two file touches
+    row = new_rows.agg(
+        F.max(id_col).alias("mx"), F.min(id_col).alias("mn")
+    ).collect()[0]
+    if row.mx is None:  # empty batch
         return new_rows
-    mx = int(mx)
-    wm = None
-    try:
-        got = spark.read.parquet(wm_path).agg(F.max("wm")).collect()[0][0]
-        wm = None if got is None else int(got)
-    except Exception:
-        pass  # absent or half-written sidecar -> bootstrap below
+    mx, mn = int(row.mx), int(row.mn)
+    rec = sidecar_read_json(wm_path)
+    wm = None if rec is None else int(rec["wm"])
     if wm is None:
         # bootstrap: one full (column-pruned) max over the standing
         # table, paid ONCE per table lifetime — covers ids appended
@@ -442,12 +507,13 @@ def replay_guard(
     else:
         suspects = new_rows.filter(F.col(id_col) <= F.lit(wm))
         raise_to = mx if mx > wm else None
-    # raise the commitment BEFORE the caller can append
+    # raise the commitment BEFORE the caller can append (a write
+    # failure propagates — soundness depends on the raise landing)
     if raise_to is not None:
-        spark.createDataFrame([(int(raise_to),)], "wm long").write.mode(
-            "overwrite"
-        ).parquet(wm_path)
-    if suspects is not new_rows and not suspects.limit(1).count():
+        sidecar_write_json(wm_path, {"wm": int(raise_to)})
+    if suspects is not new_rows and (
+        mn > wm or not suspects.limit(1).count()
+    ):
         return new_rows  # the O(delta) fast path: zero index I/O
     ids = suspects.select(id_col)
     already = spark.table(table).select(id_col).join(ids, id_col, "left_semi")
@@ -477,30 +543,20 @@ def raise_watermark(
     if not spark.catalog.tableExists(table):
         return
     wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
-    if not os.path.exists(wm_path):
-        # no sidecar yet: replay_guard's bootstrap covers history. The
-        # exists-check (local fs, same assumption as _table_location)
-        # spares one Spark job + a logged AnalysisException per append
-        # on never-guarded tables.
+    rec = sidecar_read_json(wm_path)
+    # None = absent or deterministically unreadable (legacy/torn form):
+    # replay_guard's own read fails the same way and bootstraps from
+    # the full table max, so skipping the raise is safe. A TRANSIENT
+    # failure on a valid existing file propagates out of
+    # sidecar_read_json instead of silently skipping (ADVICE r15: the
+    # later replay would read that valid stale-LOW value, fast-path,
+    # and re-admit duplicates).
+    if rec is None:
         return
-    try:
-        got = spark.read.parquet(wm_path).agg(F.max("wm")).collect()[0][0]
-    except AnalysisException:
-        # sidecar unreadable AS A DATASET (mid-overwrite window: empty/
-        # missing dir) — deterministic, so replay_guard's own read fails
-        # the same way and bootstraps from the full table max; skipping
-        # the raise is safe. Any OTHER error propagates (ADVICE r15: a
-        # TRANSIENT failure on a VALID lower watermark must not silently
-        # skip — the later replay would read that valid stale-LOW value,
-        # fast-path, and re-admit duplicates).
-        return
-    if got is None:
-        return
+    got = int(rec["wm"])
     mx = new_rows.agg(F.max(id_col)).collect()[0][0]
-    if mx is not None and int(mx) > int(got):
-        spark.createDataFrame([(int(mx),)], "wm long").write.mode(
-            "overwrite"
-        ).parquet(wm_path)
+    if mx is not None and int(mx) > got:
+        sidecar_write_json(wm_path, {"wm": int(mx)})
 
 
 def compact_bucketed_table(

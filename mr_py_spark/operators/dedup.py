@@ -867,33 +867,43 @@ def lsh_table_band_rows(spark: SparkSession, table: str) -> int:
     """``lsh_index_band_rows`` for a STANDING table, without the
     per-call index scan (the replay-guard lesson, same round: a
     bounded-looking derive that reads a full column per micro-batch is
-    O(index) per batch at 10⁹ rows). The banding rides a 1-row parquet
-    sidecar next to the table's data directory, BOUND to the data
+    O(index) per batch at 10⁹ rows). The banding rides a 1-record JSON
+    sidecar next to the table's data directory (r16: a file read, not
+    the former 1-row-parquet Spark job — 0.43 s warm measured against
+    the 0.25 s index agg it was supposed to beat; see
+    ``bucketed.sidecar_read_json``), BOUND to the data
     dir's generation (inode — see ``_table_generation``): absent,
     unreadable, or from another generation (pre-r14 tables, a crash
     between lsh_reband's swap and its sidecar refresh, a compaction or
     rollback), it degrades to the exact column derive and REPAIRS the
     sidecar — so a stale sidecar can cost one bounded re-derive, never
     a wrong banding."""
-    import os as _os
+    from mr_py_spark.operators.bucketed import sidecar_read_json
 
     side = _banding_sidecar(spark, table)
     gen = _table_generation(spark, table)
-    if _os.path.exists(side):
-        try:
-            got = spark.read.parquet(side).collect()
-            if got and int(got[0]["gen"]) == gen:
-                return int(got[0]["band_rows"])
-        except Exception:
-            pass  # half-written sidecar -> derive + repair below
+    rec = sidecar_read_json(side)
+    if rec is not None and int(rec["gen"]) == gen:
+        return int(rec["band_rows"])
     rows = lsh_index_band_rows(spark.table(table))
     try:
-        spark.createDataFrame(
-            [(int(rows), gen)], "band_rows long, gen long"
-        ).write.mode("overwrite").parquet(side)
-    except Exception:
+        _banding_write(spark, table, rows, gen)
+    except OSError:
         pass  # read-only location: derive-per-call still correct
     return rows
+
+
+def _banding_write(
+    spark: SparkSession, table: str, band_rows: int, gen: int | None = None
+) -> None:
+    from mr_py_spark.operators.bucketed import sidecar_write_json
+
+    if gen is None:
+        gen = _table_generation(spark, table)
+    sidecar_write_json(
+        _banding_sidecar(spark, table),
+        {"band_rows": int(band_rows), "gen": int(gen)},
+    )
 
 
 #: Re-band trigger: the index's mean COLLISION mass per band probe —
@@ -1248,10 +1258,7 @@ def lsh_reband(spark: SparkSession, table: str, band_rows: int) -> dict:
     # crash before this line leaves a sidecar bound to the OLD inode,
     # which lsh_table_band_rows detects and re-derives — stale can
     # cost a re-derive, never a wrong banding
-    spark.createDataFrame(
-        [(int(band_rows), _table_generation(spark, table))],
-        "band_rows long, gen long",
-    ).write.mode("overwrite").parquet(_banding_sidecar(spark, table))
+    _banding_write(spark, table, band_rows)
     # refresh the gauge sufficient statistics EXACTLY from the new
     # generation (the old gauge file vanished with the swapped-out
     # dir; a crash before this write just costs the next reader the

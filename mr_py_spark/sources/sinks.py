@@ -25,6 +25,8 @@ probed fraction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 
 
@@ -84,11 +86,19 @@ def write_bucketed(
         # per table generation; stale-HIGH is safe, stale-LOW is not)
         import shutil as _sh
 
-        _sh.rmtree(path.rstrip("/") + "_rwm", ignore_errors=True)
+        def _rm_sidecar(p: str) -> None:
+            # JSON file (r16) or legacy 1-row-parquet directory
+            _sh.rmtree(p, ignore_errors=True)
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+        _rm_sidecar(path.rstrip("/") + "_rwm")
         # same reasoning for the LSH banding sidecar: a recreated table
-        # at the build-default banding under a stale 8-row sidecar
+        # at the build-default banding under a stale sidecar
         # would band its appends wrong (mixed-banding corruption)
-        _sh.rmtree(path.rstrip("/") + "_banding", ignore_errors=True)
+        _rm_sidecar(path.rstrip("/") + "_banding")
     # Align the write to the bucket spec: ONE file per occupied bucket
     # per write (r16). The bucketed writer emits a file per
     # (task, bucket) pair, so a frame arriving with N upstream

@@ -1817,7 +1817,7 @@ def test_lsh_table_band_rows_sidecar_lifecycle(spark, tmp_path):
         assert lsh_table_band_rows(spark, table) == 8  # refreshed in-call
         import shutil
 
-        shutil.rmtree(side)
+        os.remove(side)  # r16: the sidecar is a JSON file, not a dir
         assert lsh_table_band_rows(spark, table) == 8  # re-derive correct
         # crash window: a rebuild WITHOUT the sidecar refresh (a crash
         # between lsh_reband's swap and its sidecar write) must not

@@ -419,7 +419,7 @@ def test_replay_guard_fast_path_and_exactness(spark, tmp_path):
 
         # vanished sidecar: bootstrap re-derives from the table —
         # replay still admits nothing, fresh still admitted
-        shutil.rmtree(path + "_rwm", ignore_errors=True)
+        os.remove(path + "_rwm")  # r16: a JSON file, not a dir
         assert replay_guard(spark, table, b3, "vec_id").count() == 0
         b4 = spark.createDataFrame([(200, 0)], "vec_id long, x long")
         assert sorted(
@@ -428,8 +428,6 @@ def test_replay_guard_fast_path_and_exactness(spark, tmp_path):
 
         # table recreation at the same path clears the stale sidecar
         # (a stale-LOW watermark would be unsound for a new generation)
-        import os
-
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(path, ignore_errors=True)
         write_bucketed(base, table, "vec_id", 4, path=path)
