@@ -23,6 +23,13 @@ The ``sf1`` block (VERDICT r10 item 6) re-times the same queries at
 scale factor 1 (lineitem 6M rows), where Spark's ~0.15-0.7 s
 per-action JVM floor no longer dominates — round-over-round deltas at
 sf0.1 are mostly floor noise; the sf1 block is the comparable signal.
+Block ORDER (r17, VERDICT r16 item 3): sf0.1 headline -> sf1 headline
+-> sf0.1 index -> sf1 index. Both headline blocks run before any
+index work because the index blocks' session churn (bucketed
+warehouse builds + Lloyd recompute chains in the same JVM) measurably
+inflated in-stream sf1 headline numbers (r16 isolation: q1 5.18 s
+after the index block vs 0.96-1.05 s fresh-session control). The JSON
+shape and per-block methodology are unchanged.
 The sf1 fixture lives in /tmp (driver fixtures are read-only) and is
 regenerated via scripts/gen_sf.py when absent; if generation fails the
 block degrades to an "error" key rather than failing the sf0.1 run.
@@ -137,7 +144,47 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "sf": sf,
+        # r17 (VERDICT r16 items 4/6): make the driver's core-count
+        # scaling probe legible without a code dive. ``cpus`` is what
+        # the session actually ran (the env the driver varies);
+        # ``scaling_note`` names the floor-bound class — at sf0.1 the
+        # headline queries sit on Spark's ~0.2-1 s per-action JVM
+        # constant (job launch + codegen), so their wall barely moves
+        # with cores; the compute-bound signals that DO scale are
+        # knn_selfjoin and the index sub-block at sf1 (BENCH_r16 vs
+        # BENCH_r16_c8: sf1 knn 2.03->3.15 s at 32->8 cores while
+        # sf0.1 aggregates stayed 0.87-1.13x).
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
+        "scaling_note": (
+            "sf0.1 headline queries are launch-floor-bound (~0.2-1s "
+            "per-action JVM constant); core-count scaling is visible "
+            "in sf1 knn_selfjoin and the sf1 index block, not in "
+            "sf0.1 ratios"
+        ),
     }
+
+    # sf1 block FIRST (r17, VERDICT r16 item 3): the sf0.1 index
+    # block's session churn (bucketed warehouse builds + Lloyd
+    # recompute chains in the same JVM) measurably inflated the sf1
+    # headline numbers that followed it in-stream (r16 isolation: q1
+    # 5.18 s after the index block vs 0.96 s without; the fresh-
+    # session control band is 0.96-1.05 s). Emitting the sf1 headline
+    # block before any index work keeps the driver's artifact in the
+    # control band without changing what any block measures — JSON
+    # shape is unchanged (same keys), methodology per block identical.
+    if sf == 0.1 and not os.environ.get("SPARK_GRAFT_NO_SF1"):
+        try:
+            sf1_dir = _ensure_sf1()
+            t1: dict[str, float] = {}
+            s1: dict[str, list[float]] = {}
+            for name in BENCH_QUERIES:
+                if name in skip:
+                    continue
+                t1[name] = timed(name, sf1_dir, spread=s1)
+            out["sf1"] = {"queries": t1, "value": round(sum(t1.values()), 4),
+                          "spread": s1, "unit": "sec"}
+        except Exception as e:  # degrade, never fail the sf0.1 numbers
+            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
 
     # index block (standing-index tier regression tracking): warm
     # indexed triage vs its per-run recompute form at the primary sf.
@@ -163,43 +210,37 @@ def main() -> None:
         except Exception as e:
             out["index"] = {"error": f"{type(e).__name__}: {e}"}
 
-    # sf1 block: only when the primary run was the default sf0.1 (an
-    # explicit $SPARK_GRAFT_SF_DIR run is a targeted measurement; don't
-    # double it), and opt-out via SPARK_GRAFT_NO_SF1=1.
-    if sf == 0.1 and not os.environ.get("SPARK_GRAFT_NO_SF1"):
+    # index sub-block at sf1 (VERDICT r12 item 2): at sf0.1 the
+    # semantic indexed/recompute ratio INVERTS because every
+    # number sits on Spark's per-action floor, so the sf0.1
+    # index block cannot catch regressions in the tier it
+    # exists to track — the sf1 rerun is the comparable signal
+    # (lineitem-scale fixture, 20k vectors: the Lloyd chain is
+    # genuinely more work than the warm indexed triage here).
+    # The sub-block runs on the MUTATED sf1 twin (r13 review:
+    # byte-identical replicated documents/embeddings collapse
+    # near-dup and quantizer structure to the duplicate-
+    # multiplicity floor — the CLAUDE.md rule says near-dup and
+    # vector work at sf>=1 measures on mutated fixtures only).
+    # r17: runs LAST (with the other index blocks after the sf1
+    # headline block) so its churn cannot inflate the headline
+    # numbers — see the sf1-block comment above.
+    if (
+        sf == 0.1
+        and not os.environ.get("SPARK_GRAFT_NO_SF1")
+        and isinstance(out.get("sf1"), dict)
+        and "error" not in out["sf1"]
+        and idx_set
+        and not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH")
+    ):
         try:
-            sf1_dir = _ensure_sf1()
-            t1: dict[str, float] = {}
-            s1: dict[str, list[float]] = {}
-            for name in BENCH_QUERIES:
-                if name in skip:
-                    continue
-                t1[name] = timed(name, sf1_dir, spread=s1)
-            out["sf1"] = {"queries": t1, "value": round(sum(t1.values()), 4),
-                          "spread": s1, "unit": "sec"}
-            # index sub-block at sf1 (VERDICT r12 item 2): at sf0.1 the
-            # semantic indexed/recompute ratio INVERTS because every
-            # number sits on Spark's per-action floor, so the sf0.1
-            # index block cannot catch regressions in the tier it
-            # exists to track — the sf1 rerun is the comparable signal
-            # (lineitem-scale fixture, 20k vectors: the Lloyd chain is
-            # genuinely more work than the warm indexed triage here).
-            # The sub-block runs on the MUTATED sf1 twin (r13 review:
-            # byte-identical replicated documents/embeddings collapse
-            # near-dup and quantizer structure to the duplicate-
-            # multiplicity floor — the CLAUDE.md rule says near-dup and
-            # vector work at sf>=1 measures on mutated fixtures only).
-            if idx_set and not os.environ.get("SPARK_GRAFT_NO_INDEX_BENCH"):
-                try:
-                    sf1m_dir = _ensure_sf1(mutate=True)
-                    out["sf1"]["index"] = {
-                        labels[n]: timed(n, sf1m_dir) for n in idx_set
-                    }
-                    out["sf1"]["index"]["unit"] = "sec"
-                except Exception as e:
-                    out["sf1"]["index"] = {"error": f"{type(e).__name__}: {e}"}
-        except Exception as e:  # degrade, never fail the sf0.1 numbers
-            out["sf1"] = {"error": f"{type(e).__name__}: {e}"}
+            sf1m_dir = _ensure_sf1(mutate=True)
+            out["sf1"]["index"] = {
+                labels[n]: timed(n, sf1m_dir) for n in idx_set
+            }
+            out["sf1"]["index"]["unit"] = "sec"
+        except Exception as e:
+            out["sf1"]["index"] = {"error": f"{type(e).__name__}: {e}"}
 
     # machine-load stamp (VERDICT r14 item 2: BENCH_r14's sf1 block was
     # ~2-2.9x load-inflated and nothing in the artifact said so — the

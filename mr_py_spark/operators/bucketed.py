@@ -41,8 +41,14 @@ from mr_py_spark.sources.sinks import write_bucketed
 #: ~1.1x over the shuffle form because 16 tasks scanned 13 GB of
 #: lineitem on 32 cores (vs 1.5-1.6x at sf10 where the scan fit the
 #: task width) — size buckets to the cluster's parallelism, not the
-#: fixture. At 100 TB that means thousands of buckets.
-_BUCKETS = 32
+#: fixture. At 100 TB that means thousands of buckets. r17 (VERDICT
+#: r16 item 7): env-tunable so a cluster deployment sizes it to task
+#: width without a source edit; the default is unchanged and the spec
+#: is stamped into every standing table, so a drifted value fails
+#: loudly on append (Spark validates the bucket spec) and the
+#: content-stamped warehouse rebuilds rather than serving a stale
+#: layout.
+_BUCKETS = int(os.environ.get("SPARK_GRAFT_BUCKETS", "32"))
 _CACHE_ROOT_NAME = "spark_graft_bucketed"
 
 
@@ -428,11 +434,18 @@ def sidecar_read_json(path: str) -> dict | None:
 
 
 def sidecar_write_json(path: str, payload: dict) -> None:
-    """Atomically (re)write a JSON metadata sidecar: tmp + rename, so
-    readers see the old record or the new one, never a torn file. A
-    legacy parquet-directory sidecar at the same path is removed first
-    (a crash between the two steps leaves the sidecar absent, which
-    every caller treats as its bootstrap case — stale-never, the safe
+    """Atomically (re)write a JSON metadata sidecar: tmp + fsync +
+    rename, so readers see the old record or the new one, never a torn
+    file. The fsync (ADVICE r16) extends the guarantee from process
+    crashes to power loss: without it a lost rename could leave a
+    STALE-LOW watermark standing after the subsequent table append
+    survived — the unsound direction ``replay_guard`` exists to close.
+    The parent-dir fsync after the rename is best-effort (the rename's
+    durability; a lost rename with a durable tmp is still just
+    "old record visible", which every caller handles). A legacy
+    parquet-directory sidecar at the same path is removed first (a
+    crash between the two steps leaves the sidecar absent, which every
+    caller treats as its bootstrap case — stale-never, the safe
     direction)."""
     import json
 
@@ -441,11 +454,30 @@ def sidecar_write_json(path: str, payload: dict) -> None:
     tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "w") as f:
         json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    try:
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass
+
+
+#: sentinel for "caller did not supply a precomputed value" (None is a
+#: meaningful supplied value: a known-empty batch).
+_UNSET = object()
 
 
 def replay_guard(
-    spark: SparkSession, table: str, new_rows: DataFrame, id_col: str
+    spark: SparkSession,
+    table: str,
+    new_rows: DataFrame,
+    id_col: str,
+    minmax=_UNSET,
 ) -> DataFrame:
     """O(delta) idempotence guard for standing-index appends (VERDICT
     r13 'minor, watch it': the *_index_append replay guards probed the
@@ -480,20 +512,33 @@ def replay_guard(
     watermark first) — all three maintenance loops do. The sidecar's
     read-modify-write is SINGLE-WRITER (the foreachBatch driver loop
     the whole standing-index tier assumes): two concurrent appenders
-    could interleave read/raise and leave the lower max standing."""
+    could interleave read/raise and leave the lower max standing.
+
+    ``minmax`` (r17, VERDICT r16 item 2): precomputed
+    (min_id, max_id) of ``new_rows`` — a caller that already paid a
+    delta-sized agg passes it and the entirely-fresh fast path costs
+    zero Spark jobs. Must describe EXACTLY ``new_rows``'s ``id_col``
+    ((None, None) for a known-empty batch)."""
     if not spark.catalog.tableExists(table):
         return new_rows
     wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
     # min rides the same single pass over the delta (r16): the normal
     # streaming batch is entirely-fresh (min > wm), which the min
-    # proves WITHOUT the second suspects-empty? job below — the fast
-    # path is then exactly one delta-sized job plus two file touches
-    row = new_rows.agg(
-        F.max(id_col).alias("mx"), F.min(id_col).alias("mn")
-    ).collect()[0]
-    if row.mx is None:  # empty batch
+    # proves WITHOUT a second suspects-empty? job — the fast path is
+    # then exactly one delta-sized job plus two file touches. r17:
+    # a caller that already aggregated the delta (the streaming loops
+    # agg their persisted status frame) passes ``minmax`` and the fast
+    # path costs ZERO jobs.
+    if minmax is _UNSET:
+        row = new_rows.agg(
+            F.max(id_col).alias("mx"), F.min(id_col).alias("mn")
+        ).collect()[0]
+        mn, mx = row.mn, row.mx
+    else:
+        mn, mx = minmax
+    if mx is None:  # empty batch
         return new_rows
-    mx, mn = int(row.mx), int(row.mn)
+    mx, mn = int(mx), int(mn)
     rec = sidecar_read_json(wm_path)
     wm = None if rec is None else int(rec["wm"])
     if wm is None:
@@ -511,9 +556,11 @@ def replay_guard(
     # failure propagates — soundness depends on the raise landing)
     if raise_to is not None:
         sidecar_write_json(wm_path, {"wm": int(raise_to)})
-    if suspects is not new_rows and (
-        mn > wm or not suspects.limit(1).count()
-    ):
+    # ADVICE r16: when mn <= wm the minimum-id row itself satisfies the
+    # suspects filter, so "suspects empty?" is provably false — the old
+    # limit(1).count() disjunct could never return 0 and only added one
+    # wasted delta-sized job to every slow-path batch.
+    if suspects is not new_rows and mn > wm:
         return new_rows  # the O(delta) fast path: zero index I/O
     ids = suspects.select(id_col)
     already = spark.table(table).select(id_col).join(ids, id_col, "left_semi")
@@ -521,7 +568,11 @@ def replay_guard(
 
 
 def raise_watermark(
-    spark: SparkSession, table: str, new_rows: DataFrame, id_col: str
+    spark: SparkSession,
+    table: str,
+    new_rows: DataFrame,
+    id_col: str,
+    max_id=_UNSET,
 ) -> None:
     """Unconditionally raise ``table``'s replay-guard watermark to
     cover ``new_rows`` BEFORE they are appended (ADVICE r14:
@@ -539,7 +590,12 @@ def raise_watermark(
     BELOW pre-existing ids (stale-LOW, the unsound direction). Raising
     is idempotent and stale-HIGH-safe, so a caller that already went
     through ``replay_guard`` (which raises) pays only one 1-row
-    sidecar read and one delta-sized max."""
+    sidecar read and one delta-sized max.
+
+    ``max_id`` (r17): precomputed max of ``new_rows``'s ``id_col``
+    (None for a known-empty batch) — supplied by callers that already
+    aggregated the delta (``lsh_index_append`` shares one stats pass
+    across the gauge bump and this raise), making the raise job-free."""
     if not spark.catalog.tableExists(table):
         return
     wm_path = _table_location(spark, table).rstrip("/") + "_rwm"
@@ -554,7 +610,11 @@ def raise_watermark(
     if rec is None:
         return
     got = int(rec["wm"])
-    mx = new_rows.agg(F.max(id_col)).collect()[0][0]
+    mx = (
+        new_rows.agg(F.max(id_col)).collect()[0][0]
+        if max_id is _UNSET
+        else max_id
+    )
     if mx is not None and int(mx) > got:
         sidecar_write_json(wm_path, {"wm": int(mx)})
 

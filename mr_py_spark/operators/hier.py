@@ -1236,6 +1236,7 @@ def hier_index_append(
     new_vectors: DataFrame,
     table: str,
     idempotent: bool = False,
+    minmax: tuple[int | None, int | None] | None = None,
 ) -> None:
     """O(delta) maintenance for a standing two-level inverted file:
     assign ``new_vectors`` (vec_id, v) against the EXISTING root and
@@ -1246,7 +1247,9 @@ def hier_index_append(
     vec_ids the table already holds before the append —
     watermark-gated (bucketed.replay_guard, r14), so the normal fresh
     batch costs zero index I/O; ``idempotent=False`` appends still
-    RAISE the watermark (ADVICE r14 — see ivf_index_append)."""
+    RAISE the watermark (ADVICE r14 — see ivf_index_append).
+    ``minmax`` (r17): precomputed (min, max) vec_id of the delta —
+    see ivf_index_append; makes the fresh-batch guard path job-free."""
     from mr_py_spark.operators.bucketed import (
         _BUCKETS,
         raise_watermark,
@@ -1256,11 +1259,21 @@ def hier_index_append(
     from mr_py_spark.sources.sinks import write_bucketed
 
     if idempotent:
-        new_vectors = replay_guard(
-            new_vectors.sparkSession, table, new_vectors, "vec_id"
+        new_vectors = (
+            replay_guard(new_vectors.sparkSession, table, new_vectors, "vec_id")
+            if minmax is None
+            else replay_guard(
+                new_vectors.sparkSession, table, new_vectors, "vec_id",
+                minmax=minmax,
+            )
         )
-    else:
+    elif minmax is None:
         raise_watermark(new_vectors.sparkSession, table, new_vectors, "vec_id")
+    else:
+        raise_watermark(
+            new_vectors.sparkSession, table, new_vectors, "vec_id",
+            max_id=minmax[1],
+        )
     entries = hier_assign(ivf_assign_with(root_cent, new_vectors), leaf_cent)
     write_bucketed(entries, table, ("bucket", "leaf"), _BUCKETS, mode="append")
 
@@ -1272,6 +1285,7 @@ def hier_pq_codes_append(
     new_vectors: DataFrame,
     table: str,
     idempotent: bool = False,
+    minmax: tuple[int | None, int | None] | None = None,
 ) -> None:
     """O(delta) maintenance for a standing PQ-CODE inverted file (r16,
     VERDICT r15 item 7 — the codes table had append-by-rebuild only,
@@ -1309,11 +1323,21 @@ def hier_pq_codes_append(
     from mr_py_spark.sources.sinks import write_bucketed
 
     if idempotent:
-        new_vectors = replay_guard(
-            new_vectors.sparkSession, table, new_vectors, "vec_id"
+        new_vectors = (
+            replay_guard(new_vectors.sparkSession, table, new_vectors, "vec_id")
+            if minmax is None
+            else replay_guard(
+                new_vectors.sparkSession, table, new_vectors, "vec_id",
+                minmax=minmax,
+            )
         )
-    else:
+    elif minmax is None:
         raise_watermark(new_vectors.sparkSession, table, new_vectors, "vec_id")
+    else:
+        raise_watermark(
+            new_vectors.sparkSession, table, new_vectors, "vec_id",
+            max_id=minmax[1],
+        )
     assigned = hier_assign(ivf_assign_with(root_cent, new_vectors), leaf_cent)
     write_bucketed(
         _pq_encode_frame(assigned, books), table, ("bucket", "leaf"),

@@ -1462,7 +1462,11 @@ def ivf_assign_with(cent: DataFrame, vectors: DataFrame) -> DataFrame:
 
 
 def ivf_index_append(
-    cent: DataFrame, new_vectors: DataFrame, table: str, idempotent: bool = False
+    cent: DataFrame,
+    new_vectors: DataFrame,
+    table: str,
+    idempotent: bool = False,
+    minmax: tuple[int | None, int | None] | None = None,
 ) -> None:
     """Index MAINTENANCE for the standing IVF index (the ANN twin of
     dedup.py:lsh_index_append): assign ``new_vectors`` (vec_id, v)
@@ -1487,7 +1491,13 @@ def ivf_index_append(
     r14: the guard's every-append-raises-first precondition was
     unenforced — an unguarded append of above-watermark ids left the
     watermark stale-LOW, so a later idempotent replay of those rows
-    fast-pathed past the table check and re-admitted duplicates)."""
+    fast-pathed past the table check and re-admitted duplicates).
+
+    ``minmax`` (r17, VERDICT r16 item 2): precomputed (min, max) of
+    the delta's vec_id — callers that already aggregated the batch
+    (the streaming loops agg their persisted status frame) pass it
+    through to the guard/raise, making the fresh-batch path job-free;
+    a (None, None) tuple is a known-empty batch."""
     from mr_py_spark.operators.bucketed import (
         _BUCKETS,
         raise_watermark,
@@ -1496,11 +1506,21 @@ def ivf_index_append(
     from mr_py_spark.sources.sinks import write_bucketed
 
     if idempotent:
-        new_vectors = replay_guard(
-            new_vectors.sparkSession, table, new_vectors, "vec_id"
+        new_vectors = (
+            replay_guard(new_vectors.sparkSession, table, new_vectors, "vec_id")
+            if minmax is None
+            else replay_guard(
+                new_vectors.sparkSession, table, new_vectors, "vec_id",
+                minmax=minmax,
+            )
         )
-    else:
+    elif minmax is None:
         raise_watermark(new_vectors.sparkSession, table, new_vectors, "vec_id")
+    else:
+        raise_watermark(
+            new_vectors.sparkSession, table, new_vectors, "vec_id",
+            max_id=minmax[1],
+        )
     write_bucketed(ivf_assign_with(cent, new_vectors), table, "bucket",
                    _BUCKETS, mode="append")
 

@@ -1126,12 +1126,45 @@ def _lsh_maintenance_step(
             "left_semi",
         )
         if have_index:
+            # r17 (VERDICT r16 item 2): ONE agg over the PERSISTED
+            # status frame supplies (count, min, max) of the admitted
+            # ids for the whole admission path — new_docs' id set IS
+            # status's 'new' id set (the semi-join filters batch to
+            # exactly those ids), so the guard's fresh-path check and
+            # the append's watermark/gauge stats all read this tuple
+            # instead of each firing its own delta agg (3 jobs → 1,
+            # and the 1 is a cached-frame scan).
+            st = (
+                status.filter(SF.col("status") == "new")
+                .agg(
+                    SF.count(SF.lit(1)).alias("nd"),
+                    SF.min("doc_id").alias("mn"),
+                    SF.max("doc_id").alias("mx"),
+                )
+                .collect()[0]
+            )
+            stats = (
+                int(st.nd),
+                None if st.mn is None else int(st.mn),
+                None if st.mx is None else int(st.mx),
+            )
             # guard 3: never re-admit a doc the index already holds —
             # watermark-gated (bucketed.replay_guard, r14): a fresh
             # batch costs zero index I/O, a replay pays an index semi
             # restricted to its own (at-or-below-watermark) ids.
-            new_docs = replay_guard(spark, table, new_docs, "doc_id")
-            lsh_index_append(new_docs, table)
+            guarded = replay_guard(
+                spark, table, new_docs, "doc_id",
+                minmax=(stats[1], stats[2]),
+            )
+            if guarded is new_docs:
+                # fast path: nothing filtered, stats still describe the
+                # appended frame exactly — the append runs job-free
+                # aside from its write (and the gauge's O(delta) probe)
+                lsh_index_append(guarded, table, delta_stats=stats)
+            else:
+                # replay slow path: the guard filtered; stats computed
+                # upstream of the filter no longer apply
+                lsh_index_append(guarded, table)
         else:
             entries = lsh_band_entries(minhash_signatures(new_docs))
             write_bucketed(entries, table, _LSH_INDEX_KEYS, _BUCKETS, path=idx_path)
@@ -1267,7 +1300,23 @@ def _ivf_maintenance_step(
             "left_semi",
         )
         if have_idx:
-            ivf_index_append(cent, new_vecs, idx_table, idempotent=True)
+            # r17 (VERDICT r16 item 2): one agg over the PERSISTED
+            # status frame supplies the admitted ids' (min, max) to the
+            # append's replay guard — the fresh-batch path then runs
+            # zero delta aggs of its own (the LSH loop's shared-stats
+            # pattern; new_vecs' id set IS status's 'new' id set).
+            mm = (
+                status.filter(SF.col("status") == "new")
+                .agg(SF.min("vec_id").alias("mn"), SF.max("vec_id").alias("mx"))
+                .collect()[0]
+            )
+            ivf_index_append(
+                cent, new_vecs, idx_table, idempotent=True,
+                minmax=(
+                    None if mm.mn is None else int(mm.mn),
+                    None if mm.mx is None else int(mm.mx),
+                ),
+            )
         else:
             write_bucketed(
                 ivf_assign_with(cent, new_vecs), idx_table, "bucket",
@@ -1709,14 +1758,29 @@ def _hier_maintenance_step(
             "left_semi",
         )
         if have_idx:
-            hier_index_append(root, leaf, new_vecs, idx_table, idempotent=True)
+            # r17 (VERDICT r16 item 2): one agg over the PERSISTED
+            # status frame supplies the admitted ids' (min, max) to
+            # BOTH appends' replay guards — fresh batches then pay no
+            # per-guard delta agg (two jobs saved per warm batch).
+            mm = (
+                status.filter(SF.col("status") == "new")
+                .agg(SF.min("vec_id").alias("mn"), SF.max("vec_id").alias("mx"))
+                .collect()[0]
+            )
+            mmt = (
+                None if mm.mn is None else int(mm.mn),
+                None if mm.mx is None else int(mm.mx),
+            )
+            hier_index_append(
+                root, leaf, new_vecs, idx_table, idempotent=True, minmax=mmt
+            )
             if codes_on and spark.catalog.tableExists(codes_table):
                 # O(delta) code admit, replay-idempotent against the
                 # CODES table's own watermark (a crash between the two
                 # appends replays into an idx no-op + this catch-up)
                 hier_pq_codes_append(
                     root, leaf, _books_np(spark, books_table), new_vecs,
-                    codes_table, idempotent=True,
+                    codes_table, idempotent=True, minmax=mmt,
                 )
         else:
             write_bucketed(

@@ -837,7 +837,12 @@ def test_lsh_index_side_exchange_free_under_shuffle_join(spark):
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
     def indent(line: str) -> int:
-        for marker in ("+- ", "Scan ", "FileScan "):
+        # ":- " marks a first child in toString trees (r17: without it
+        # a ":- Sort" sibling-branch line read as leading-whitespace
+        # indent — SHALLOWER than the true tree position — which made
+        # the upward ancestor walk skip the very SortMergeJoin it was
+        # looking for and false-flag the aggregation exchange above it)
+        for marker in ("+- ", ":- ", "Scan ", "FileScan "):
             i = line.find(marker)
             if i >= 0:
                 return i
