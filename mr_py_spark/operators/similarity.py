@@ -1416,9 +1416,26 @@ def _ivf_assign_pass(cent: DataFrame, vectors: DataFrame, with_score: bool) -> D
     ``ivf_assign_with`` (emits the vector, for the inverted file) and
     ``ivf_assign_scored`` (emits the top-1 similarity, for the drift
     monitor) — a single body so a future fix cannot silently diverge
-    assignment from scoring (review r12)."""
+    assignment from scoring (review r12).
+
+    r17 (VERDICT r16 item 4, guide §4.2): ``mapInArrow`` instead of
+    ``mapInPandas``. The O(n·nroot·d) matmul this pass exists for is
+    NOT where its task time went — at 8M×1953×64 the dgemm floor is
+    ~2·10^12 flops ≈ a few hundred CPU-seconds, while the pass
+    measured 3.6-4.3k s — the rest was the pandas boundary: every
+    batch paid Series-of-ndarray → list → np.asarray on the way in and
+    an object-Series → Arrow list re-serialization of the untouched
+    ``v`` payload on the way out. In Arrow a list<double> column is
+    ONE contiguous values buffer + offsets, so the input matrix is a
+    zero-copy ``flatten().reshape(n, d)`` and the ``v``/``vec_id``
+    output columns are the INPUT ARRAYS passed through untouched —
+    only ``bucket``/``score`` are newly materialized. The similarity
+    values are the same float64 ``m @ cmat.T`` dgemm over the same
+    rows, so assignments are bit-identical (pinned by the A/B in
+    scripts/r17_assign_ab.py and the standing append-equals-rebuild
+    property tests)."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     spark = vectors.sparkSession
     cmat0 = np.asarray(
@@ -1428,27 +1445,29 @@ def _ivf_assign_pass(cent: DataFrame, vectors: DataFrame, with_score: bool) -> D
 
     def gen(batches):
         cmat = np.asarray(b_cmat.value, dtype=np.float64)
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            m = np.asarray(list(pdf["v"]), dtype=np.float64)
+            vec_id = rb.column(rb.schema.get_field_index("vec_id"))
+            v = rb.column(rb.schema.get_field_index("v"))
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            m = flat.reshape(rb.num_rows, -1)
             sims = m @ cmat.T
-            cols = {
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "bucket": sims.argmax(1).astype(np.int64),
-            }
+            bucket = pa.array(sims.argmax(1).astype(np.int64), type=pa.int64())
             if with_score:
-                cols["score"] = sims.max(1)
+                out = [vec_id, bucket, pa.array(sims.max(1), type=pa.float64())]
+                names = ["vec_id", "bucket", "score"]
             else:
-                cols["v"] = pdf["v"]
-            yield pd.DataFrame(cols)
+                out = [vec_id, bucket, v]
+                names = ["vec_id", "bucket", "v"]
+            yield pa.RecordBatch.from_arrays(out, names)
 
     out_schema = (
         "vec_id long, bucket long, score double"
         if with_score
         else "vec_id long, bucket long, v array<double>"
     )
-    return vectors.mapInPandas(gen, out_schema)
+    return vectors.select("vec_id", "v").mapInArrow(gen, out_schema)
 
 
 def ivf_assign_with(cent: DataFrame, vectors: DataFrame) -> DataFrame:

@@ -111,7 +111,8 @@ def test_incremental_semantic_dedup_reads_standing_index(spark):
     """The O(delta) semantic-dedup form (VERDICT r12 item 4): the
     corpus side is the persisted bucket-bucketed inverted file and the
     persisted centroid table — no Lloyd retrain collect, no corpus
-    assignment pass at query time. MapInPandas is the DELTA's
+    assignment pass at query time. MapInArrow (r17; MapInPandas
+    before) is the DELTA's
     broadcast-argmax assignment (O(delta) by construction); pair
     verification is the bucket-cogrouped fold-order Arrow kernel,
     never a nested loop."""
@@ -130,7 +131,9 @@ def test_knn_ivf_indexed_reads_standing_index(spark):
     p = plan_of(spark, "knn_ivf_topk_indexed")
     assert "mrps_bkt_ivf_assign" in p
     assert "mrps_bkt_ivf_cent" in p
-    assert "MapInPandas" not in p  # assignment never re-runs at query time
+    # assignment never re-runs at query time (r17: the assign kernel is
+    # MapInArrow now, so exclude both Python-stage forms)
+    assert "MapInPandas" not in p and "MapInArrow" not in p
     # r16: inverted-file side pruned to the probed buckets (bounded isin)
     assert "PushedFilters: [In(bucket" in p or "bucket IN" in p
 
@@ -145,7 +148,8 @@ def test_knn_hier_indexed_reads_standing_index(spark):
     assert "mrps_bkt_hier_assign_full" in p
     assert "mrps_bkt_hier_root_full" in p
     assert "mrps_bkt_hier_leaf_full" in p
-    assert "MapInPandas" not in p  # assignment never re-runs at query time
+    # assignment never re-runs at query time (r17: either Python form)
+    assert "MapInPandas" not in p and "MapInArrow" not in p
     assert "FlatMapCoGroupsInPandas" in p  # the leaf probe
     assert "BroadcastNestedLoopJoin" in p  # bounded root broadcast only
     # r16: the candidate join's corpus side carries the bounded
